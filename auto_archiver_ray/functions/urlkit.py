@@ -1,0 +1,232 @@
+"""URL kernels — canonicalization, validation, relevance, quality rewrites.
+
+Behavioral parity targets (ref paths relative to
+/root/reference/src/auto_archiver/):
+
+- ``clean_url``            ~ ref:utils/url.py:55-60   (tracker-param stripping)
+- ``check_url``            ~ ref:utils/url.py:12-45   (scheme/host/IP validation,
+  re-expressed as a (valid, reason) pair so errors become columns, not
+  exceptions — the Ray pipeline branches with filters)
+- ``domain_for_url``       ~ ref:utils/url.py:48-52
+- ``is_auth_wall``         ~ ref:utils/url.py:63-71
+- ``remove_get_parameters``~ ref:utils/url.py:74-79
+- ``is_relevant_url``      ~ ref:utils/url.py:82-138
+- ``twitter_best_quality_url`` ~ ref:utils/url.py:141-153
+- ``best_quality_url``     ~ ref:utils/url.py:156-176
+- ``platform_for_url``     ~ ref:utils/deletion_detection.py:229-250
+
+Additions for the frontier (north rule): ``canonicalize`` (clean + lowercase
+scheme/host + drop default port + drop fragment) and ``url_seen_key``
+(sha256 of the canonical form) — the deterministic frontier key; replaces the
+reference's external-ledger URL identity (gsheet status column,
+ref:modules/gsheet_feeder_db/gsheet_feeder_db.py:70-79).
+
+All batch-level helpers take/return plain Python lists so callers can wrap
+them in pyarrow arrays without an extra pandas hop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from ipaddress import ip_address
+from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
+
+_TRACKER_PARAMS = frozenset(
+    {"utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content", "fbclid", "gclid"}
+)
+
+_AUTHWALL_PATTERNS = (
+    re.compile(r"https?:\/\/t\.me(\/c)\/(.+)\/(\d+)"),  # private telegram channels
+    re.compile(r"https?:\/\/(www\.)?instagram\.com"),
+)
+
+# (substring tuples) — a URL is irrelevant if ALL parts of any tuple appear.
+_IRRELEVANT_SUBSTRING_SETS = (
+    ("favicon",),
+    ("twimg.com/profile_images",),
+    ("twimg.com", "default_profile_images"),
+    ("https://scontent.cdninstagram.com/", "150x150"),
+    ("https://static.cdninstagram.com/rsrc.php/",),
+    ("https://telegram.org/img/emoji/",),
+    ("https://www.youtube.com/s/gaming/emoji/",),
+    ("https://yt3.ggpht.com", "default-user="),
+    ("https://www.youtube.com/s/search/audio/",),
+    ("https://ok.ru/res/i/",),
+    ("https://vk.com/emoji/",),
+    ("vk.com/images/",),
+    ("vk.com/images/reaction/",),
+    ("wikipedia.org/static",),
+    ("styles.redditmedia.com",),
+    ("emoji.redditmedia.com",),
+    ("static.licdn.com",),
+)
+
+_IRRELEVANT_SUFFIXES = (".svg", ".ico", ".m3u8", ".mpd", ".ism")
+
+_SIZED_BASENAME_RE = re.compile(r"(.+)-\d+x\d+(\.[a-zA-Z0-9]+)$")
+_NAME_PARAM_RE = re.compile(r"name=[^&]*")
+
+_PLATFORM_DOMAIN_RULES = (
+    (("twitter.com", "x.com"), "twitter"),
+    (("facebook.com", "fb.com"), "facebook"),
+    (("instagram.com",), "instagram"),
+    (("tiktok.com",), "tiktok"),
+    (("youtube.com", "youtu.be"), "youtube"),
+    (("reddit.com",), "reddit"),
+    (("vk.com",), "vk"),
+    (("t.me",), "telegram"),
+)
+
+
+def clean_url(url: str) -> str:
+    """Strip tracking query parameters, preserving the rest of the query.
+
+    Parity: ref:utils/url.py:55-60.
+    """
+    parts = urlparse(url)
+    kept = [(k, v) for k, v in parse_qsl(parts.query) if k not in _TRACKER_PARAMS]
+    return parts._replace(query=urlencode(kept)).geturl()
+
+
+def check_url(url: str) -> tuple[bool, str]:
+    """Validate a URL; returns (valid, reason) instead of raising.
+
+    Reason strings are stable sentinels used as a column. Rules mirror
+    ref:utils/url.py:12-45: http(s) scheme only, non-empty hostname, no
+    localhost, and for IP-literal hosts no non-global / reserved /
+    link-local / private addresses.
+    """
+    if not (url.startswith("http://") or url.startswith("https://")):
+        return False, "bad_scheme"
+    parts = urlparse(url)
+    host = parts.hostname
+    if not host:
+        return False, "no_hostname"
+    if host == "localhost":
+        return False, "localhost"
+    if parts.scheme not in ("http", "https"):
+        return False, "bad_scheme"
+    try:
+        ip = ip_address(host)
+    except ValueError:
+        return True, ""
+    if not ip.is_global:
+        return False, "ip_not_global"
+    if ip.is_reserved:
+        return False, "ip_reserved"
+    if ip.is_link_local:
+        return False, "ip_link_local"
+    if ip.is_private:
+        return False, "ip_private"
+    return True, ""
+
+
+def domain_for_url(url: str) -> str:
+    """netloc of a URL (the politeness / partition key). Parity: ref:utils/url.py:48-52."""
+    return urlparse(url).netloc
+
+
+def is_auth_wall(url: str) -> bool:
+    """True when the URL is behind a login wall. Parity: ref:utils/url.py:63-71."""
+    return any(p.match(url) for p in _AUTHWALL_PATTERNS)
+
+
+def remove_get_parameters(url: str) -> str:
+    """Drop the query string entirely. Parity: ref:utils/url.py:74-79."""
+    return urlunparse(urlparse(url)._replace(query=""))
+
+
+def is_relevant_url(url: str) -> bool:
+    """Media-link relevance predicate (filters favicons/emoji/profile pics/
+    streaming manifests). Parity: ref:utils/url.py:82-138."""
+    stripped = remove_get_parameters(url)
+    if stripped.endswith(_IRRELEVANT_SUFFIXES):
+        return False
+    for parts in _IRRELEVANT_SUBSTRING_SETS:
+        if all(p in stripped for p in parts):
+            return False
+    return True
+
+
+def twitter_best_quality_url(url: str) -> str:
+    """Rewrite the first ``name=...`` query param to ``name=orig``.
+    Parity: ref:utils/url.py:141-153."""
+    parts = urlparse(url)
+    if "name=" not in parts.query:
+        return url
+    return urlunparse(parts._replace(query=_NAME_PARAM_RE.sub("name=orig", parts.query, 1)))
+
+
+def best_quality_url(url: str) -> str:
+    """Best-quality media URL rewrite: twitter name=orig + ``-WxH.ext`` →
+    ``.ext`` basename rewrite. Parity: ref:utils/url.py:156-176."""
+    parts = urlparse(url)
+    if any(d in parts.netloc.replace("www", "") for d in ("twitter.com", "twimg.com", "x.com")):
+        url = twitter_best_quality_url(url)
+        parts = urlparse(url)
+    basename = parts.path.rsplit("/", 1)[-1]
+    m = _SIZED_BASENAME_RE.match(basename)
+    if m:
+        head = parts.path.rsplit("/", 1)[0] if "/" in parts.path else ""
+        parts = parts._replace(path=f"{head}/{m.group(1)}{m.group(2)}")
+        url = urlunparse(parts)
+    return url
+
+
+def platform_for_url(url: str) -> str:
+    """Platform name from domain. Parity: ref:utils/deletion_detection.py:229-250."""
+    domain = urlparse(url).netloc
+    for needles, name in _PLATFORM_DOMAIN_RULES:
+        if any(n in domain for n in needles):
+            return name
+    return "unknown"
+
+
+def canonicalize(url: str) -> str:
+    """Frontier canonical form: tracker-stripped, scheme+host lowercased,
+    default port dropped, fragment dropped, empty path → '/'.
+
+    This is the deterministic URL identity the frontier's seen-filter keys
+    on (north rule); the reference's identity was the raw URL string in its
+    external ledgers.
+    """
+    parts = urlparse(clean_url(url))
+    host = (parts.hostname or "").lower()
+    port = parts.port
+    if port is not None and not (
+        (parts.scheme == "http" and port == 80) or (parts.scheme == "https" and port == 443)
+    ):
+        host = f"{host}:{port}"
+    path = parts.path or "/"
+    return urlunparse((parts.scheme.lower(), host, path, parts.params, parts.query, ""))
+
+
+def url_seen_key(url_canon: str) -> bytes:
+    """32-byte sha256 digest of the canonical URL — the frontier membership key."""
+    return hashlib.sha256(url_canon.encode("utf-8")).digest()
+
+
+def url_seen_hex(url_canon: str) -> str:
+    """Hex form of :func:`url_seen_key` for Parquet-friendly string columns."""
+    return hashlib.sha256(url_canon.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# Batch-level helpers (list in → list out; caller wraps in Arrow).
+# ---------------------------------------------------------------------------
+
+def validate_batch(urls: list[str]) -> tuple[list[bool], list[str]]:
+    valid = [False] * len(urls)
+    reason = [""] * len(urls)
+    for i, u in enumerate(urls):
+        valid[i], reason[i] = check_url(u)
+    return valid, reason
+
+
+def canonicalize_batch(urls: list[str]) -> tuple[list[str], list[str], list[str]]:
+    """Returns (url_canon, host, url_hash_hex) triple for a batch."""
+    canon = [canonicalize(u) for u in urls]
+    host = [urlparse(c).netloc for c in canon]
+    keys = [hashlib.sha256(c.encode("utf-8")).hexdigest() for c in canon]
+    return canon, host, keys

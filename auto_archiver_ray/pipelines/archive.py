@@ -1,0 +1,96 @@
+"""The flagship archive pipeline — the reference's per-URL mega-operator
+(ref:core/orchestrator.py:589-668, six stages documented at :590-598)
+decomposed into a streaming Ray Data pipeline:
+
+    read_parquet(pages)                         # feeder
+      → validate+canonicalize (map_batches)     # stage 1 kernels
+      → [frontier seen-filter]                  # stage 2 (actor shards)
+      → hash/meta/pdq enrich over html          # stage 4 kernels (before the
+                                                #   binary column is dropped)
+      → extract: platform parser chain          # stage 3 (drops html)
+      → report/json format                      # stage 6 formatter
+      → write_parquet / return                  # stage 5 sinks
+
+Ordering note: enrichers that need the payload run *before* extract so the
+``html`` binary column is projected away as early as possible — binary never
+crosses a shuffle (SURVEY.md §7.5 "wide binary rows").
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+
+from ..sources.pages import read_pages
+from ..stages import enrich, extract, format as fmt, validate
+
+
+def archive_pages(
+    sf_dir: str,
+    frontier=None,
+    with_report: bool = False,
+    batch_size: int = 256,
+    extract_concurrency=None,
+):
+    """Build the lazy archive Dataset for an sf dir's pages table.
+
+    Returns a Dataset with columns: url, warc_ts, lang, valid/invalid_reason,
+    url_clean/url_canon/host/url_hash/platform/auth_wall, content_hash,
+    sha256, size_bytes/human, pdq_hash, status, title, text_extracted,
+    timestamp, media_links, deletion_* (+ report_html/report_hash).
+    """
+    ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+    if frontier is not None:
+        ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    kwargs = {"concurrency": extract_concurrency} if extract_concurrency else {}
+    ds = ds.map_batches(extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, **kwargs)
+    if with_report:
+        ds = ds.map_batches(fmt.HtmlReportStage, batch_format="pyarrow", batch_size=batch_size)
+    return ds
+
+
+def archive_pages_full(sf_dir: str, out_dir: str | None = None, **kwargs):
+    """archive_pages + global content dedup + optional partitioned write.
+
+    Content dedup = the S3 no-dups semantics
+    (ref:modules/s3_storage/s3_storage.py:50-73): one survivor per sha256
+    (minimum url_canon — deterministic), via hash-partition groupby.
+    """
+    from ..stages.dedup import exact_dedup
+
+    ds = archive_pages(sf_dir, **kwargs)
+    ds = exact_dedup(ds.drop_columns(["media_links"]), "sha256", "url_canon")
+    if out_dir:
+        ds.write_parquet(out_dir, partition_cols=None)
+        return out_dir
+    return ds
+
+
+def archive_summary(ds):
+    """Per-host crawl stats (the orchestrator's url_count + meta_enricher
+    totals, ref:core/orchestrator.py:544-552): pre-aggregated per batch, then
+    a small groupby — no full-row shuffle."""
+    import pyarrow as pa
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+
+        tbl = batch.group_by("host").aggregate(
+            [("size_bytes", "sum"), ("url", "count"), ("deletion_detected", "sum")]
+        )
+        return tbl.rename_columns(["host", "bytes_partial", "urls_partial", "deleted_partial"])
+
+    partials = ds.select_columns(["host", "size_bytes", "url", "deletion_detected"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192
+    )
+    from ray.data.aggregate import Sum
+
+    return partials.groupby("host").aggregate(
+        Sum("bytes_partial", alias_name="total_bytes"),
+        Sum("urls_partial", alias_name="n_urls"),
+        Sum("deleted_partial", alias_name="n_deleted"),
+    )

@@ -1,0 +1,213 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+Schema is exactly BASELINE.json's ``input_hint``:
+``(url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string)``.
+
+The generator is a pure function of (num_rows, seed): every process that
+generates the same (rows, seed) produces byte-identical Parquet content, so
+oracle SQL (DuckDB reading the same file) and Ray pipelines agree. The
+``text`` column is produced by the pinned extraction kernel
+(:func:`auto_archiver_ray.functions.textkit.extract_text`) applied to the
+generated ``html`` — the pipeline's byte-identical per-url invariant —
+while dedicated golden tests in tests/test_textkit.py pin the kernel itself.
+
+Feature mix (FIXTURES.md F1):
+- hosts Zipf-skewed over ~50 synthetic domains + platform-shaped domains
+  (t.me, twitter.com, youtube.com, reddit.com, vk.com, instagram.com) so
+  host-partition skew and platform routing are exercised;
+- ~3% of urls carry tracker params (utm_*/fbclid/gclid);
+- ~2% invalid urls (non-http scheme, localhost, private-IP literal);
+- ~2% of pages embed a platform-appropriate deletion indicator;
+- ~2% exact-duplicate html payloads under different urls (content dedup);
+- ~3% near-duplicate texts (one sentence changed) for MinHash/SimHash.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import textkit
+
+PAGES_SEED = 20260817
+
+SYNTH_HOSTS = [f"site{i:02d}.example.org" for i in range(44)]
+PLATFORM_HOSTS = ["t.me", "twitter.com", "youtube.com", "reddit.com", "vk.com", "instagram.com"]
+ALL_HOSTS = SYNTH_HOSTS + PLATFORM_HOSTS
+
+_WORDS = {
+    "en": (
+        "the of and to in is that it was for on are with as his they at be this have "
+        "from or one had by word but not what all were when your can said there use "
+        "each which she how their will other about out many then them these some her "
+        "would make like him into time has look two more write go see number way could "
+        "people my than first water been call who oil its now find long down day did "
+        "get come made may part over new sound take only little work know place year"
+    ).split(),
+    "es": (
+        "de la que el en y a los del se las por un para con no una su al es lo como "
+        "más pero sus le ya o fue este ha sí porque esta son entre cuando muy sin "
+        "sobre ser tiene también me hasta hay donde quien desde todo nos durante todos "
+        "uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué unos"
+    ).split(),
+    "ru": (
+        "и в не на я что с со как а то все она так его но да ты к у же вы за бы по "
+        "только ее мне было вот от меня еще нет о из ему теперь когда даже ну вдруг "
+        "ли если уже или ни быть был него до вас нибудь опять уж вам ведь там потом"
+    ).split(),
+}
+_LANGS = ["en", "es", "ru"]
+
+
+def _sentence(rng: np.random.Generator, lang: str, n_words: int) -> str:
+    pool = _WORDS[lang]
+    idx = rng.integers(0, len(pool), size=n_words)
+    words = [pool[i] for i in idx]
+    return " ".join(words).capitalize() + "."
+
+
+def _page_html(rng: np.random.Generator, row: int, host: str, lang: str) -> tuple[bytes, str]:
+    """Build one page's html; returns (html_bytes, deletion_platform_or_'')."""
+    title = _sentence(rng, lang, int(rng.integers(3, 8)))[:-1]
+    n_paras = int(rng.integers(1, 5))
+    paras = [_sentence(rng, lang, int(rng.integers(8, 40))) for _ in range(n_paras)]
+
+    # Deletion indicator in ~2% of pages, platform-matched.
+    from ..functions.urlkit import platform_for_url
+    deleted = ""
+    if rng.random() < 0.02:
+        platform = platform_for_url(f"https://{host}/")
+        pool = (
+            textkit.DELETION_INDICATORS.get(platform)
+            or textkit.GENERIC_DELETION_INDICATORS
+        )
+        paras.append(pool[int(rng.integers(0, len(pool)))] + ".")
+        deleted = platform
+
+    ts_attr = ""
+    if rng.random() < 0.5:
+        ts_attr = f'<time datetime="2024-0{int(rng.integers(1,10))}-1{int(rng.integers(0,10))}T0{int(rng.integers(0,10))}:00:00+00:00">posted</time>'
+
+    media_bits = []
+    if rng.random() < 0.6:
+        media_bits.append(f'<img src="https://{host}/img/photo-{row}-1280x720.jpg">')
+    if rng.random() < 0.2:
+        media_bits.append(f'<video src="https://cdn.{host}/v/clip{row}.mp4"></video>')
+    if rng.random() < 0.3:  # irrelevant media: filtered by is_relevant_url
+        media_bits.append(f'<link href="https://{host}/favicon.ico"><img src="https://{host}/logo.svg">')
+    if rng.random() < 0.1:
+        media_bits.append('<img src="https://pbs.twimg.com/profile_images/u/x_400x400.jpg">')
+
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = (
+        f"<html><head><title>{title}</title>"
+        f"<style>body{{margin:0}}</style>"
+        f"<script>var x={row};</script></head>"
+        f"<body><h1>{title}</h1>{ts_attr}{body}{''.join(media_bits)}"
+        f"<!-- gen row {row} --></body></html>"
+    )
+    return html.encode("utf-8"), deleted
+
+
+def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    # Zipf-skewed host choice (bounded, mapped onto the host list).
+    zipf_ranks = np.minimum(rng.zipf(1.3, size=num_rows), len(ALL_HOSTS)) - 1
+    base_ts = datetime(2024, 1, 1)
+
+    urls: list[str] = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
+    ts: list[datetime] = []
+
+    dup_pool: list[tuple[bytes, str, str]] = []  # (html, text, lang) for exact dups
+    near_pool: list[tuple[str, str, str]] = []  # (host, text, lang)
+
+    for row in range(num_rows):
+        host = ALL_HOSTS[int(zipf_ranks[row])]
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        r = rng.random()
+
+        url = f"https://{host}/p/{row}"
+        if r < 0.02:  # invalid: non-http scheme
+            url = f"ftp://{host}/p/{row}"
+        elif r < 0.03:
+            url = f"https://localhost/p/{row}"
+        elif r < 0.04:
+            url = f"https://192.168.{row % 256}.{(row * 7) % 256}/p/{row}"
+        elif r < 0.07:  # tracker params
+            url = f"https://{host}/p/{row}?utm_source=feed&utm_campaign=c{row % 5}&id={row}"
+        elif r < 0.09:
+            url = f"https://{host}/p/{row}?fbclid=abc{row}&ref=share"
+
+        if dup_pool and rng.random() < 0.02:  # exact duplicate content
+            html, text, lang = dup_pool[int(rng.integers(0, len(dup_pool)))]
+        elif near_pool and rng.random() < 0.03:  # near duplicate
+            _, base_text, lang = near_pool[int(rng.integers(0, len(near_pool)))]
+            extra = _sentence(rng, lang, 6)
+            html_s = f"<html><head><title>near dup {row}</title></head><body><p>{base_text}</p><p>{extra}</p></body></html>"
+            html = html_s.encode("utf-8")
+            text = textkit.extract_text(html)
+        else:
+            html, _ = _page_html(rng, row, host, lang)
+            text = textkit.extract_text(html)
+            if len(dup_pool) < 50 and rng.random() < 0.1:
+                dup_pool.append((html, text, lang))
+            if len(near_pool) < 50 and rng.random() < 0.1:
+                near_pool.append((host, " ".join(text.split()[:40]), lang))
+
+        urls.append(url)
+        htmls.append(html)
+        texts.append(text)
+        langs.append(lang)
+        ts.append(base_ts + timedelta(seconds=row * 13))
+
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+
+
+# rows per sf directory name (keyed by basename of the testdata dir)
+SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+
+
+def pages_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    rows = SF_ROWS.get(sf, 3000)
+    return f"/tmp/aar_pages/{sf}_r{rows}/pages.parquet"
+
+
+def ensure_pages(sf_dir: str) -> str:
+    """Idempotently materialize the pages table for an sf dir; returns path.
+
+    Atomic write (tmp + rename) so concurrent callers are safe.
+    """
+    path = pages_path(sf_dir)
+    if os.path.exists(path):
+        return path
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    rows = SF_ROWS.get(sf, 3000)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tbl = generate_pages(rows)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def read_pages(sf_dir: str, columns: list[str] | None = None):
+    """ray.data.Dataset over the sf's pages table (column-pruned read)."""
+    import ray.data as rd
+
+    return rd.read_parquet(ensure_pages(sf_dir), columns=columns)

@@ -1,0 +1,101 @@
+"""Enricher stages — per-row augmentation kernels.
+
+- ``hash_enrich``: the hash_enricher (ref:modules/hash_enricher/
+  hash_enricher.py:25-42) over the page payload: adds
+  ``content_hash = "<ALGO>:<hex>"`` and bare ``sha256`` (the dedup key,
+  S3 no-dups semantics ref:modules/s3_storage/s3_storage.py:50-64).
+- ``meta_enrich``: the meta_enricher's size accounting
+  (ref:modules/meta_enricher/meta_enricher.py:9-50): ``size_bytes`` +
+  ``size_human``.
+- ``select_metadata``: the metadata_enricher's author/datetime/location
+  basket selection (ref:modules/metadata_enricher/metadata_enricher.py:40-68).
+- ``pdq_hash_enrich``: PDQ perceptual hashing needs image decode libs not in
+  this container — STUBBED: deterministic 256-bit stand-in derived from the
+  payload so the downstream near-dup bucketing plumbing
+  (ref:modules/pdq_hash_enricher/pdq_hash_enricher.py:24-62) is real and
+  testable; swap ``_pdq256`` for the real pdqhash call in production.
+
+All run inside ``map_batches(batch_format="pyarrow")``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import hashkit
+
+
+def human_readable_bytes(size: float) -> str:
+    """Parity: ref:modules/meta_enricher/meta_enricher.py:39-44."""
+    for unit in ["bytes", "KB", "MB", "GB", "TB", "PB", "EB", "ZB"]:
+        if size < 1024:
+            return f"{size:.1f} {unit}"
+        size /= 1024
+    return f"{size:.1f} YB"
+
+
+def hash_enrich(batch: pa.Table, payload_col: str = "html", algorithm: str = "SHA-256") -> pa.Table:
+    payloads = batch.column(payload_col).to_pylist()
+    hexes = hashkit.hash_batch(payloads, algorithm)
+    tagged = [f"{algorithm}:{h}" if h else "" for h in hexes]
+    sha = hexes if algorithm == "SHA-256" else hashkit.hash_batch(payloads, "SHA-256")
+    return batch.append_column("content_hash", pa.array(tagged, pa.string())).append_column(
+        "sha256", pa.array(sha, pa.string())
+    )
+
+
+def meta_enrich(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    sizes = pc.binary_length(batch.column(payload_col))
+    human = [human_readable_bytes(float(s)) for s in sizes.to_pylist()]
+    return batch.append_column("size_bytes", sizes.cast(pa.int64())).append_column(
+        "size_human", pa.array(human, pa.string())
+    )
+
+
+# metadata_enricher basket term lists (ref:modules/metadata_enricher/metadata_enricher.py:45-48)
+_BASKET_TERMS = {
+    "author": ("author", "producer", "creator"),
+    "datetime": ("date", "time"),
+    "location": ("gps", "latitude", "longitude"),
+}
+
+
+def select_metadata(all_md: dict[str, str], requested_keys: list[str]) -> dict[str, str]:
+    """Filter an exiftool-style key→value map down to the user's grocery
+    list. Parity: ref:modules/metadata_enricher/metadata_enricher.py:40-68 —
+    basket names ("author"/"datetime"/"location") select any key containing
+    one of the basket's terms (with a non-empty value); other entries select
+    keys directly (case-insensitive or exact), preserving the same
+    non-short-circuit operator precedence on the direct match."""
+    out: dict[str, str] = {}
+    for md_key, md_val in all_md.items():
+        key_lower = md_key.lower()
+        for basket, terms in _BASKET_TERMS.items():
+            if basket in requested_keys and any(t in key_lower and len(md_val) for t in terms):
+                out[md_key] = md_val
+        # `a in keys or b in keys and len(v)` — parity with the reference's
+        # un-parenthesized expression (metadata_enricher.py:66-67).
+        if key_lower in requested_keys or md_key in requested_keys and len(md_val):
+            out[md_key] = md_val
+    return out
+
+
+def _pdq256(payload: bytes) -> str:
+    """STUB perceptual hash: deterministic 256-bit hex from payload bytes.
+
+    Real PDQ requires image decoding (pdqhash + PIL/numpy image), absent in
+    this container. The stand-in keeps identical payloads mapping to
+    identical codes so bucketed near-dup grouping downstream behaves like
+    exact-dup over the stub; replace with
+    ``pdqhash.compute(np.asarray(Image.open(...)))`` in production.
+    """
+    return hashlib.sha256(b"pdq:" + payload).hexdigest()
+
+
+def pdq_hash_enrich(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    payloads = batch.column(payload_col).to_pylist()
+    codes = ["" if p is None else _pdq256(p) for p in payloads]
+    return batch.append_column("pdq_hash", pa.array(codes, pa.string()))

@@ -1,0 +1,151 @@
+"""Fetch/extract stage — the extractor chain re-expressed for Ray Data.
+
+In the reference, ``orchestrator.archive`` tries extractors in config order,
+folding each ``download`` result with ``Metadata.merge`` and stopping at the
+first success (ref:core/orchestrator.py:632-640). Extractors are routed by
+``suitable(url)`` (ref:core/extractor.py:52-62). Here:
+
+- the "fetch" reads the ``html:binary`` column of the pages table (the
+  sandbox stand-in for network fetch / WARC record);
+- per-platform parsers are pure kernels in a dispatch table keyed by the
+  ``platform`` column (the dropin registry of
+  ref:modules/generic_extractor/dropin.py:7-77, re-expressed);
+- the try-chain fold runs per row *inside* one ``map_batches`` call
+  (``mergekit.merge_results``), so no per-attempt shuffle exists;
+- errors become status/error columns (log-and-continue parity with
+  ref:core/orchestrator.py:638-640).
+
+``ExtractStage`` is a callable class → actor pool: per-actor __init__
+pre-compiles every parser's regexes once (the yt-dlp/session-object slot of
+ref:modules/generic_extractor/generic_extractor.py:87-169).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pyarrow as pa
+
+from ..functions import textkit, timekit, urlkit
+
+# A parser takes (url, html_bytes) and returns a partial result dict:
+# {"status": str, "title": str, "text": str, "timestamp": str,
+#  "media_links": list[str]} — the row-level unit the try-chain folds.
+Parser = Callable[[str, bytes], dict]
+
+
+def generic_parser(url: str, html: bytes) -> dict:
+    """The GenericExtractor stand-in: title/text/media/timestamp from HTML
+    (ref:modules/generic_extractor/generic_extractor.py:297-348 normalizes
+    metadata the same way: title, timestamp, then platform specifics)."""
+    text = textkit.extract_text(html)
+    title = textkit.extract_title(html)
+    links = [u for u in textkit.discover_media_links(html) if urlkit.is_relevant_url(u)]
+    # dayfirst=False: parity with Metadata.set_timestamp's parse_dt default
+    # (ref:core/metadata.py:130-133), not misc.get_timestamp's dayfirst=True
+    ts = timekit.to_utc_iso(textkit.extract_time_datetime(html), dayfirst=False)
+    return {
+        "status": "generic: success",
+        "title": title,
+        "text": text,
+        "timestamp": ts,
+        "media_links": links,
+    }
+
+
+def telegram_parser(url: str, html: bytes) -> dict:
+    """Telegram-embed parse: timestamp from first <time datetime>, media from
+    src attrs + css url(...) (ref:modules/telegram_extractor/
+    telegram_extractor.py:30-76). Fails (empty status) when the page exposes
+    no media — parity with its at-least-one-media contract."""
+    out = generic_parser(url, html)
+    if not out["media_links"]:
+        return {"status": "", "title": "", "text": "", "timestamp": "", "media_links": []}
+    out["status"] = "telegram: success"
+    return out
+
+
+PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
+    # platform → ordered extractor chain (first success wins).
+    "telegram": (telegram_parser, generic_parser),
+    "default": (generic_parser,),
+}
+
+
+def extract_one(url: str, platform: str, html: bytes) -> dict:
+    """Run the platform's parser chain with merge-fold semantics
+    (ref:core/orchestrator.py:632-640): merge every attempt's output, stop at
+    first success; parser exceptions continue the chain."""
+    from ..functions.mergekit import is_success, merge_results
+
+    acc: dict = {"status": "no archiver", "metadata": {}, "media": []}
+    fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": []}
+    for parser in PARSER_CHAINS.get(platform, PARSER_CHAINS["default"]):
+        try:
+            res = parser(url, html)
+        except Exception as e:  # log-and-continue parity
+            acc.setdefault("metadata", {})[f"error_{parser.__name__}"] = str(e)
+            continue
+        if res.get("status"):
+            merge_results(acc, {"status": res["status"], "metadata": {}, "media": []})
+            for k in fields:
+                v = res.get(k)
+                if isinstance(v, list):
+                    fields[k] = fields[k] + v
+                elif v:
+                    fields[k] = v
+        if is_success(acc["status"]):
+            break
+    if not is_success(acc["status"]):
+        acc["status"] = "nothing archived"  # ref:core/orchestrator.py:658-659
+    return {"status": acc["status"], **fields}
+
+
+class ExtractStage:
+    """Actor-pool extract stage: html → (status, title, text, timestamp,
+    media_links) + deletion columns. Regexes are compiled at import of
+    textkit; the actor keeps the dispatch table hot."""
+
+    def __init__(self) -> None:
+        self.chains = PARSER_CHAINS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        platforms = (
+            batch.column("platform").to_pylist()
+            if "platform" in batch.column_names
+            else [urlkit.platform_for_url(u) for u in urls]
+        )
+        htmls = batch.column("html").to_pylist()
+        n = len(urls)
+        status = [""] * n
+        title = [""] * n
+        text = [""] * n
+        tstamp = [""] * n
+        links: list[list[str]] = [[] for _ in range(n)]
+        deleted = [False] * n
+        del_ind = [""] * n
+        del_src = [""] * n
+        for i in range(n):
+            html = htmls[i] or b""
+            res = extract_one(urls[i], platforms[i], html)
+            status[i] = res["status"]
+            title[i] = res["title"]
+            text[i] = res["text"]
+            tstamp[i] = res["timestamp"]
+            links[i] = res["media_links"]
+            d, ind, src = textkit.detect_deletion(res["text"], res["title"], None, platforms[i])
+            if d:  # ref:utils/deletion_detection.py:253-266
+                deleted[i], del_ind[i], del_src[i] = True, ind, src
+                status[i] = "deleted_or_unavailable"
+        out = batch.drop_columns(["html"]) if "html" in batch.column_names else batch
+        return (
+            out.append_column("status", pa.array(status, pa.string()))
+            .append_column("title", pa.array(title, pa.string()))
+            .append_column("text_extracted", pa.array(text, pa.string()))
+            .append_column("timestamp", pa.array(tstamp, pa.string()))
+            .append_column("media_links", pa.array(links, pa.list_(pa.string())))
+            .append_column("deletion_detected", pa.array(deleted, pa.bool_()))
+            .append_column("deletion_indicator", pa.array(del_ind, pa.string()))
+            .append_column("deletion_source", pa.array(del_src, pa.string()))
+        )

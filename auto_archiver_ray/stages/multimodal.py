@@ -1,0 +1,145 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+The decode libraries (PIL/ffmpeg/librosa) are not in this container, so the
+decode kernels are STUBBED behind ``try-import`` + deterministic fakes —
+the Ray-side plumbing (schema, actor-pool signature, batch sizing, output
+layout) is real and tested. This mirrors how the reference shells out to
+ffmpeg/exiftool for the same jobs (ref:modules/thumbnail_enricher/
+thumbnail_enricher.py:19-73, ref:modules/metadata_enricher/
+metadata_enricher.py:23-38).
+
+Stage contract: every stage is a callable class for
+``map_batches(Cls, batch_format="pyarrow", batch_size=small, concurrency=N)``
+— small batches because rows carry megabyte binaries; setup (codec init,
+model load) belongs in ``__init__``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("kind", pa.string()),  # image | audio | video
+        ("mimetype", pa.string()),
+        ("payload", pa.binary()),
+        ("props_json", pa.string()),
+    ]
+)
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image decode: pseudo-dimensions from the
+    payload digest."""
+    d = hashlib.sha256(payload).digest()
+    return 64 + d[0] * 4, 64 + d[1] * 4
+
+
+class ImageDecodeStage:
+    """image payload → (width, height, decode_ok). Real path uses PIL; the
+    fake path derives stable pseudo-dims so downstream stages are testable."""
+
+    def __init__(self):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        w, h, ok = [], [], []
+        for p in payloads:
+            if p is None:
+                w.append(0), h.append(0), ok.append(False)
+                continue
+            if self._pil is not None:
+                import io
+
+                try:
+                    with self._pil.open(io.BytesIO(p)) as im:
+                        w.append(im.width), h.append(im.height), ok.append(True)
+                    continue
+                except Exception:
+                    w.append(0), h.append(0), ok.append(False)
+                    continue
+            fw, fh = _fake_dims(p)
+            w.append(fw), h.append(fh), ok.append(True)
+        return (
+            batch.append_column("width", pa.array(w, pa.int32()))
+            .append_column("height", pa.array(h, pa.int32()))
+            .append_column("decode_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+class ImageFeatureStage:
+    """image payload → unit-norm feature vector (list<float32>[dim]).
+
+    Real path: a vision model loaded once per actor. Fake path: seeded
+    projection of the payload digest — deterministic, unit-norm, so ANN /
+    near-dup stages downstream run realistically."""
+
+    def __init__(self, dim: int = 32):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        feats = []
+        for p in payloads:
+            if p is None:
+                feats.append([0.0] * self.dim)
+                continue
+            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+            rng = np.random.Generator(np.random.PCG64(seed))
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            v /= np.linalg.norm(v) or 1.0
+            feats.append(v.tolist())
+        return batch.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
+
+
+class FrameSampleStage:
+    """video payload → N evenly spaced frame-sample rows.
+
+    Frame-count math reproduces thumbnail_enricher exactly
+    (ref:modules/thumbnail_enricher/thumbnail_enricher.py:50-52):
+    ``num = int(min(max(1, duration/60 × per_minute), max_frames))`` and
+    timestamps ``duration/(num+1) × i`` for i in 1..num. Real decode
+    (ffmpeg frame grab) raises NotImplementedError; the duration comes from
+    props_json in the fake path."""
+
+    def __init__(self, per_minute: int = 1, max_frames: int = 16, decode: bool = False):
+        self.per_minute, self.max_frames, self.decode = per_minute, max_frames, decode
+
+    @staticmethod
+    def frame_times(duration: float, per_minute: int, max_frames: int) -> list[float]:
+        num = int(min(max(1, (duration / 60.0) * per_minute), max_frames))
+        return [duration / (num + 1) * i for i in range(1, num + 1)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        if self.decode:
+            raise NotImplementedError("real frame extraction needs ffmpeg (not in container)")
+        ids = batch.column("media_id").to_pylist()
+        props = batch.column("props_json").to_pylist()
+        out_id, out_t, out_i = [], [], []
+        for mid, pj in zip(ids, props):
+            duration = float(json.loads(pj or "{}").get("duration", 0.0))
+            if duration <= 0:
+                continue
+            for i, t in enumerate(self.frame_times(duration, self.per_minute, self.max_frames)):
+                out_id.append(mid)
+                out_t.append(t)
+                out_i.append(i)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.string()),
+                "frame_index": pa.array(out_i, pa.int32()),
+                "frame_ts": pa.array(out_t, pa.float64()),
+            }
+        )

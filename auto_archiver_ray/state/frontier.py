@@ -1,0 +1,222 @@
+"""Sharded URL frontier — the north rule's core state service.
+
+Replaces the reference's external work ledger (the Google-Sheet status
+column that doubles as seed list + dedup filter + lock table,
+ref:modules/gsheet_feeder_db/gsheet_feeder_db.py:70-79,115-118, and the
+API-DB cache fetch, ref:modules/api_db/api_db.py:14-32) with in-cluster
+sharded actors:
+
+- shard routing: ``shard = hash64(host) % num_shards`` — hash-partitioned
+  by host so one shard owns both the seen-filter entries *and* the
+  politeness/robots state for a host (no cross-shard coordination);
+- URL-seen: a Bloom filter per shard over sha256(url_canon) digests;
+- politeness: deterministic token-bucket plan — per host, at most
+  ``per_host_budget`` URLs per epoch, ordering (priority, warc_ts,
+  url_canon);
+- robots: a per-host cache of (fetched_at, disallow_prefixes) — in the
+  sandbox the robots payload comes from the caller, the cache mechanics are
+  real;
+- checkpoints: each shard snapshots (bloom bytes, counters, epoch) to its
+  own file; a restored frontier reproduces the same URL-seen set, hence the
+  same crawl ordering (resume test in tests/test_frontier.py).
+
+The Dataset integration is ``Frontier.filter_new_stage()`` — a map_batches
+callable that partitions each Arrow batch by shard, issues one actor call
+per shard per batch, and keeps only first-seen rows. State stays in actors;
+blocks keep streaming.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Iterable
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .bloom import BloomFilter
+
+
+def _hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def shard_for_host(host: str, num_shards: int) -> int:
+    return _hash64(host) % num_shards
+
+
+@ray.remote(num_cpus=0.25)
+class FrontierShard:
+    """One frontier partition: Bloom seen-filter + per-host politeness and
+    robots state + counters, checkpointable."""
+
+    def __init__(self, shard_id: int, capacity: int = 1_000_000, error_rate: float = 1e-4):
+        self.shard_id = shard_id
+        self.bloom = BloomFilter(capacity, error_rate)
+        self.robots: dict[str, list[str]] = {}
+        self.host_counts: dict[str, int] = {}
+        self.counters = {"offered": 0, "admitted": 0, "duplicate": 0}
+        self.epoch = 0
+
+    def check_and_add(self, digests: list[bytes], hosts: list[str]) -> list[bool]:
+        """Membership-test-and-insert; True = first sighting (admit)."""
+        out = []
+        for d, h in zip(digests, hosts):
+            dup = self.bloom.add(d)
+            out.append(not dup)
+            self.counters["offered"] += 1
+            if dup:
+                self.counters["duplicate"] += 1
+            else:
+                self.counters["admitted"] += 1
+                self.host_counts[h] = self.host_counts.get(h, 0) + 1
+        return out
+
+    def peek(self, digests: list[bytes]) -> list[bool]:
+        return [d in self.bloom for d in digests]
+
+    # ---------------------------------------------------------------- robots
+    def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
+        self.robots[host] = disallow_prefixes
+
+    def robots_allowed(self, hosts: list[str], paths: list[str]) -> list[bool]:
+        out = []
+        for h, p in zip(hosts, paths):
+            rules = self.robots.get(h)
+            out.append(True if not rules else not any(p.startswith(r) for r in rules))
+        return out
+
+    # ------------------------------------------------------------- lifecycle
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "epoch": self.epoch,
+            "seen": self.bloom.count,
+            "hosts": len(self.host_counts),
+            **self.counters,
+        }
+
+    def advance_epoch(self) -> int:
+        self.epoch += 1
+        return self.epoch
+
+    def snapshot(self, ckpt_dir: str) -> str:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, f"shard_{self.shard_id:05d}.ckpt")
+        meta = {
+            "shard_id": self.shard_id,
+            "epoch": self.epoch,
+            "counters": self.counters,
+            "host_counts": self.host_counts,
+            "robots": self.robots,
+        }
+        blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)  # atomic per-partition checkpoint
+        return path
+
+    def restore(self, ckpt_dir: str) -> bool:
+        path = os.path.join(ckpt_dir, f"shard_{self.shard_id:05d}.ckpt")
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            blob = f.read()
+        meta_b, _, bloom_b = blob.partition(b"\x00")
+        meta = json.loads(meta_b)
+        self.epoch = meta["epoch"]
+        self.counters = meta["counters"]
+        self.host_counts = meta["host_counts"]
+        self.robots = meta["robots"]
+        self.bloom = BloomFilter.from_bytes(bloom_b)
+        return True
+
+
+class Frontier:
+    """Driver-side handle over the shard pool."""
+
+    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000, error_rate: float = 1e-4, name_prefix: str = "frontier"):
+        self.num_shards = num_shards
+        self.name_prefix = name_prefix
+        self.shards = [
+            FrontierShard.options(name=f"{name_prefix}_{i}", get_if_exists=True).remote(
+                i, capacity_per_shard, error_rate
+            )
+            for i in range(num_shards)
+        ]
+
+    # ------------------------------------------------------------- dataset op
+    def filter_new_stage(self):
+        """A map_batches callable: keeps rows whose url_hash is first-seen.
+        Requires ``host`` and ``url_hash`` columns (from stages.validate)."""
+        shards = self.shards
+        num_shards = self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            hosts = batch.column("host").to_pylist()
+            hashes = batch.column("url_hash").to_pylist()
+            n = len(hosts)
+            if n == 0:
+                return batch
+            shard_ids = np.asarray([shard_for_host(h, num_shards) for h in hosts])
+            keep = np.zeros(n, dtype=bool)
+            futures, index_lists = [], []
+            for s in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == s)[0]
+                digests = [bytes.fromhex(hashes[i]) for i in idx]
+                futures.append(shards[s].check_and_add.remote(digests, [hosts[i] for i in idx]))
+                index_lists.append(idx)
+            for fut, idx in zip(ray.get(futures), index_lists):
+                keep[idx] = fut
+            return batch.filter(pa.array(keep))
+
+        return fn
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def checkpoint(self, ckpt_dir: str) -> list[str]:
+        return ray.get([s.snapshot.remote(ckpt_dir) for s in self.shards])
+
+    def restore(self, ckpt_dir: str) -> int:
+        return sum(ray.get([s.restore.remote(ckpt_dir) for s in self.shards]))
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic politeness / crawl-ordering plan (Dataset-native)
+# ---------------------------------------------------------------------------
+
+def assign_crawl_epochs(ds, per_host_budget: int = 10, priority_col: str | None = None):
+    """Assign each row a deterministic fetch epoch honoring the per-host
+    politeness budget: rows are ranked within host by (priority desc,
+    warc_ts, url_canon) and epoch = rank // budget.
+
+    This is the batch-mode equivalent of a per-host token bucket: epoch k
+    contains at most ``per_host_budget`` URLs of any host, and the ordering
+    is a pure function of the input — a resumed run reproduces it (north
+    rule: "matching the reference's crawl ordering under the same seed list
+    + politeness budget"). Shuffle key = host (the frontier partition key).
+    """
+    import pandas as pd
+
+    sort_cols = ["warc_ts", "url_canon"]
+    ascending = [True, True]
+    if priority_col:
+        sort_cols = [priority_col] + sort_cols
+        ascending = [False] + ascending
+
+    def plan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(sort_cols, ascending=ascending, kind="mergesort").reset_index(drop=True)
+        g["host_rank"] = np.arange(len(g), dtype=np.int64)
+        g["fetch_epoch"] = g["host_rank"] // per_host_budget
+        return g
+
+    return ds.groupby("host").map_groups(plan, batch_format="pandas")

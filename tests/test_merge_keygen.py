@@ -1,0 +1,103 @@
+"""Merge-fold, metadata-selection and storage-key semantics tests."""
+
+import pytest
+
+from auto_archiver_ray.functions import keygen, mergekit, timekit
+from auto_archiver_ray.stages.enrich import human_readable_bytes, select_metadata
+
+
+def test_merge_results_scalar_dict_list():
+    left = {"status": "no archiver", "metadata": {"a": 1, "d": {"x": 1}, "l": [1]}, "media": [{"m": 1}]}
+    right = {"status": "gen: success", "metadata": {"a": 2, "d": {"y": 2}, "l": [2], "n": 3}, "media": [{"m": 2}]}
+    out = mergekit.merge_results(left, right)
+    assert out["status"] == "gen: success"
+    assert out["metadata"]["a"] == 2  # scalar overwrite
+    assert out["metadata"]["d"] == {"x": 1, "y": 2}  # dict union
+    assert out["metadata"]["l"] == [1, 2]  # list concat
+    assert out["metadata"]["n"] == 3
+    assert out["media"] == [{"m": 1}, {"m": 2}]
+    # empty right status does not clobber
+    out2 = mergekit.merge_results({"status": "s: success", "metadata": {}, "media": []}, {"status": "", "metadata": {}, "media": []})
+    assert out2["status"] == "s: success"
+    assert mergekit.merge_results(left, None) is left
+
+
+def test_choose_most_complete():
+    r1 = {"status": "", "metadata": {"a": 1}, "media": []}
+    r2 = {"status": "", "metadata": {}, "media": [1, 2]}
+    r3 = {"status": "", "metadata": {"a": 1, "b": 2}, "media": [1, 2]}
+    assert mergekit.choose_most_complete([]) is None
+    assert mergekit.choose_most_complete([r1]) is r1
+    assert mergekit.choose_most_complete([r1, r2, r3]) is r3  # media tie → more metadata
+    assert mergekit.choose_most_complete([r3, r2]) is r3  # first wins ties
+
+
+def test_dedup_media_by_hash():
+    media = [
+        {"payload": b"aaa"},
+        {"payload": b"aaa"},
+        {"payload": b"bbb", "hash": "custom"},
+        {"payload": b"ccc", "hash": "custom"},
+        {"payload": None},
+    ]
+    out = mergekit.dedup_media_by_hash(media)
+    assert len(out) == 3  # first aaa, first custom, the payload-less one
+    assert out[-1] == {"payload": None}
+
+
+def test_is_success():
+    assert mergekit.is_success("telegram: success")
+    assert not mergekit.is_success("nothing archived")
+
+
+def test_select_metadata_parity():
+    exif = {
+        "Author": "Jane",
+        "Create Date": "2024:01:01",
+        "GPS Latitude": "10.0",
+        "File Size": "1 kB",
+        "Producer": "",
+    }
+    out = select_metadata(exif, ["author", "datetime", "location"])
+    assert out == {"Author": "Jane", "Create Date": "2024:01:01", "GPS Latitude": "10.0"}
+    # empty values excluded from basket matches
+    assert "Producer" not in out
+    # direct key request (case-insensitive path)
+    out2 = select_metadata(exif, ["file size"])
+    assert out2 == {"File Size": "1 kB"}
+    assert select_metadata(exif, []) == {}
+
+
+def test_storage_key_policies():
+    h = "ab" * 32
+    assert keygen.storage_key("https://e.com/a", "m1", ".jpg", h, "", "flat", "static") == f"{h[:24]}.jpg"
+    k_url = keygen.storage_key("https://e.com/a b", "m1", ".jpg", h, "f", "url", "static")
+    assert k_url.startswith("f/https-e-com-a-b/")
+    # deterministic "random"
+    k1 = keygen.storage_key("https://e.com/a", "m1", ".jpg", h, "", "random", "random")
+    k2 = keygen.storage_key("https://e.com/a", "m1", ".jpg", h, "", "random", "random")
+    assert k1 == k2
+    k3 = keygen.storage_key("https://e.com/b", "m1", ".jpg", h, "", "random", "random")
+    assert k1 != k3
+    with pytest.raises(ValueError):
+        keygen.storage_key("u", "m", ".x", h, "", "nope", "static")
+
+
+def test_human_readable_bytes():
+    assert human_readable_bytes(500) == "500.0 bytes"
+    assert human_readable_bytes(2048) == "2.0 KB"
+    assert human_readable_bytes(5 * 1024**3) == "5.0 GB"
+
+
+def test_timekit():
+    # parity quirk: misc.get_timestamp defaults dayfirst=True, which makes
+    # dateutil swap day/month even for ISO strings (ref:utils/misc.py:80-99)
+    assert timekit.to_utc_iso("2024-03-01T10:00:00") == "2024-01-03T10:00:00+00:00"
+    # the extract path mirrors Metadata.set_timestamp's parse_dt default
+    # (dayfirst=False, ref:core/metadata.py:130-133)
+    assert timekit.to_utc_iso("2024-03-01T10:00:00", dayfirst=False) == "2024-03-01T10:00:00+00:00"
+    assert timekit.to_utc_iso("") == ""
+    assert timekit.to_utc_iso("not a date !!!") == ""
+    assert timekit.parse_datetime("01/02/2024").day == 1  # dayfirst=True
+    assert timekit.parse_datetime("2024-01-02", fmt="%Y-%m-%d").month == 1
+    assert timekit.parse_datetime("garbage") is None

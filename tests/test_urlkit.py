@@ -1,0 +1,91 @@
+"""URL kernel parity tests — expectations mirror the reference's behavior
+(ref:tests/utils/test_urls.py plus direct readings of ref:utils/url.py)."""
+
+from auto_archiver_ray.functions import urlkit
+
+
+def test_clean_url_strips_trackers():
+    assert (
+        urlkit.clean_url("https://example.com/page?utm_source=x&utm_medium=y&id=1")
+        == "https://example.com/page?id=1"
+    )
+    assert urlkit.clean_url("https://example.com/p?fbclid=abc&gclid=def") == "https://example.com/p"
+    # non-tracker params survive, order preserved
+    assert urlkit.clean_url("https://example.com/p?b=2&a=1") == "https://example.com/p?b=2&a=1"
+    # no query → unchanged
+    assert urlkit.clean_url("https://example.com/p") == "https://example.com/p"
+
+
+def test_check_url():
+    assert urlkit.check_url("https://example.com/x") == (True, "")
+    assert urlkit.check_url("http://example.com") == (True, "")
+    assert urlkit.check_url("ftp://example.com")[0] is False
+    assert urlkit.check_url("https://localhost/x") == (False, "localhost")
+    assert urlkit.check_url("https://127.0.0.1/x")[0] is False
+    # reference checks is_global first (ref:utils/url.py:36-43), so private
+    # addresses surface as not-globally-reachable
+    assert urlkit.check_url("https://192.168.1.1/x") == (False, "ip_not_global")
+    assert urlkit.check_url("https://169.254.0.1/x")[0] is False
+    assert urlkit.check_url("https://8.8.8.8/x") == (True, "")
+    assert urlkit.check_url("https:///nopath")[0] is False
+
+
+def test_domain_and_authwall():
+    assert urlkit.domain_for_url("https://www.example.com:8080/a") == "www.example.com:8080"
+    assert urlkit.is_auth_wall("https://t.me/c/12345/99") is True
+    assert urlkit.is_auth_wall("https://t.me/durov/99") is False
+    assert urlkit.is_auth_wall("https://www.instagram.com/p/x") is True
+    assert urlkit.is_auth_wall("https://twitter.com/a/status/1") is False
+
+
+def test_remove_get_parameters():
+    assert urlkit.remove_get_parameters("http://example.com/file.mp4?t=1") == "http://example.com/file.mp4"
+
+
+def test_is_relevant_url():
+    # irrelevant suffixes / recurring assets (ref:utils/url.py:90-128)
+    assert urlkit.is_relevant_url("https://site.com/logo.svg") is False
+    assert urlkit.is_relevant_url("https://site.com/favicon.ico") is False
+    assert urlkit.is_relevant_url("https://site.com/stream.m3u8") is False
+    assert urlkit.is_relevant_url("https://pbs.twimg.com/profile_images/x/y.jpg") is False
+    assert urlkit.is_relevant_url("https://static.licdn.com/x.png") is False
+    assert urlkit.is_relevant_url("https://site.com/photo.jpg") is True
+    # get-params removed before suffix test
+    assert urlkit.is_relevant_url("https://site.com/icon.ico?v=2") is False
+
+
+def test_twitter_best_quality():
+    assert (
+        urlkit.twitter_best_quality_url("https://pbs.twimg.com/media/x.jpg?format=jpg&name=small")
+        == "https://pbs.twimg.com/media/x.jpg?format=jpg&name=orig"
+    )
+    assert urlkit.twitter_best_quality_url("https://pbs.twimg.com/media/x.jpg") == "https://pbs.twimg.com/media/x.jpg"
+
+
+def test_best_quality_url():
+    assert (
+        urlkit.best_quality_url("https://example.com/media-1280x720.mp4")
+        == "https://example.com/media.mp4"
+    )
+    assert urlkit.best_quality_url("https://example.com/a/media.mp4") == "https://example.com/a/media.mp4"
+    assert (
+        urlkit.best_quality_url("https://twimg.com/m/photo.jpg?name=small")
+        == "https://twimg.com/m/photo.jpg?name=orig"
+    )
+
+
+def test_platform_for_url():
+    assert urlkit.platform_for_url("https://twitter.com/x") == "twitter"
+    assert urlkit.platform_for_url("https://x.com/x") == "twitter"
+    assert urlkit.platform_for_url("https://t.me/c/1/2") == "telegram"
+    assert urlkit.platform_for_url("https://youtu.be/abc") == "youtube"
+    assert urlkit.platform_for_url("https://example.org/x") == "unknown"
+
+
+def test_canonicalize_and_key():
+    assert urlkit.canonicalize("HTTPS://Example.COM:443/a?utm_source=t#frag") == "https://example.com/a"
+    assert urlkit.canonicalize("http://example.com:8080/a") == "http://example.com:8080/a"
+    assert urlkit.canonicalize("https://example.com") == "https://example.com/"
+    k1 = urlkit.url_seen_hex(urlkit.canonicalize("https://EXAMPLE.com/a#x"))
+    k2 = urlkit.url_seen_hex(urlkit.canonicalize("https://example.com/a"))
+    assert k1 == k2 and len(k1) == 64
