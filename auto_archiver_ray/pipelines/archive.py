@@ -29,7 +29,7 @@ def archive_pages(
     frontier=None,
     with_report: bool = False,
     batch_size: int = 256,
-    extract_concurrency=None,
+    extract_concurrency=4,
 ):
     """Build the lazy archive Dataset for an sf dir's pages table.
 
@@ -46,10 +46,21 @@ def archive_pages(
     ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
-    kwargs = {"concurrency": extract_concurrency} if extract_concurrency else {}
-    ds = ds.map_batches(extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, **kwargs)
+    # autoscaling (1, N) pools: never let a full pool reserve every CPU and
+    # starve the read stage (deadlocks a small ray.init; wastes slots at scale)
+    ds = ds.map_batches(
+        extract.ExtractStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, extract_concurrency),
+    )
     if with_report:
-        ds = ds.map_batches(fmt.HtmlReportStage, batch_format="pyarrow", batch_size=batch_size)
+        ds = ds.map_batches(
+            fmt.HtmlReportStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=(1, extract_concurrency),
+        )
     return ds
 
 

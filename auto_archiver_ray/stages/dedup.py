@@ -49,7 +49,8 @@ def exact_dedup(ds, key_col: str, id_col: str):
     first: ``groupby(key).map_groups``."""
 
     def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        return group.nsmallest(1, id_col)
+        # sort not nsmallest: works for string ids too
+        return group.sort_values(id_col, kind="mergesort").head(1)
 
     return ds.groupby(key_col).map_groups(keep_min, batch_format="pandas")
 

@@ -1,0 +1,116 @@
+"""Frontier tests: Bloom filter, shard actors, Dataset integration,
+politeness plan determinism, checkpoint/resume identity."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from auto_archiver_ray.state.bloom import BloomFilter
+
+
+def test_bloom_basics():
+    bf = BloomFilter(10_000, 1e-4)
+    import hashlib
+
+    keys = [hashlib.sha256(f"k{i}".encode()).digest() for i in range(1000)]
+    assert bf.add_batch(keys) == [True] * 1000  # all new
+    assert bf.add_batch(keys) == [False] * 1000  # all dups
+    assert bf.count == 1000
+    others = [hashlib.sha256(f"x{i}".encode()).digest() for i in range(1000)]
+    fp = sum(1 for o in others if o in bf)
+    assert fp <= 2  # ~1e-4 fpp
+
+
+def test_bloom_roundtrip():
+    bf = BloomFilter(1000)
+    import hashlib
+
+    k = hashlib.sha256(b"abc").digest()
+    bf.add(k)
+    bf2 = BloomFilter.from_bytes(bf.to_bytes())
+    assert k in bf2 and bf2.count == 1 and bf2.num_bits == bf.num_bits
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_filter_and_resume(tmp_path):
+    import ray.data as rd
+
+    from auto_archiver_ray.stages import validate
+    from auto_archiver_ray.state.frontier import Frontier
+
+    urls1 = [{"url": f"https://h{i % 7}.example.org/p/{i}"} for i in range(100)]
+    urls_all = urls1 + [{"url": f"https://h{i % 7}.example.org/p/{i}"} for i in range(200)]
+
+    def run(frontier, items):
+        ds = rd.from_items(items).map_batches(validate.validate_batch, batch_format="pyarrow")
+        ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow")
+        df = ds.to_pandas()
+        return sorted(df["url"].tolist()) if "url" in df.columns else []
+
+    f1 = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_f1")
+    first = run(f1, urls1)
+    assert len(first) == 100
+    # re-offering the same + new → only the new 100 pass
+    second = run(f1, urls_all)
+    assert len(second) == 100 and all(u not in first for u in second)
+    stats = f1.stats()
+    assert sum(s["admitted"] for s in stats) == 200
+    assert sum(s["duplicate"] for s in stats) == 200
+
+    # checkpoint → fresh actor pool → restore → identical seen-set behavior
+    ckpt = str(tmp_path / "ck")
+    f1.checkpoint(ckpt)
+    f1.shutdown()
+    f2 = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_f2")
+    assert f2.restore(ckpt) == 4
+    third = run(f2, urls_all)  # everything already seen
+    assert third == []
+    f2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_robots():
+    import ray
+
+    from auto_archiver_ray.state.frontier import FrontierShard
+
+    s = FrontierShard.remote(0, 1000)
+    ray.get(s.set_robots.remote("h.example.org", ["/private/", "/tmp/"]))
+    allowed = ray.get(
+        s.robots_allowed.remote(
+            ["h.example.org", "h.example.org", "other.org"],
+            ["/private/x", "/public/x", "/private/x"],
+        )
+    )
+    assert allowed == [False, True, True]
+    ray.kill(s)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_epoch_plan_deterministic():
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import assign_crawl_epochs
+
+    rows = []
+    for i in range(60):
+        rows.append(
+            {
+                "host": f"h{i % 3}.org",
+                "url_canon": f"https://h{i % 3}.org/p/{i:03d}",
+                "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+            }
+        )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out1 = assign_crawl_epochs(ds, per_host_budget=5).to_pandas().sort_values("url_canon").reset_index(drop=True)
+    out2 = assign_crawl_epochs(ds, per_host_budget=5).to_pandas().sort_values("url_canon").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out1, out2)  # deterministic
+    # politeness: ≤ budget rows per (host, epoch)
+    counts = out1.groupby(["host", "fetch_epoch"]).size()
+    assert (counts <= 5).all()
+    # ordering: within a host, epoch is monotone in warc_ts
+    for h, g in out1.groupby("host"):
+        g = g.sort_values("warc_ts")
+        assert (g["fetch_epoch"].diff().fillna(0) >= 0).all()

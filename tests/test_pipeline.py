@@ -1,0 +1,85 @@
+"""End-to-end pipeline tests on the sf0.001 synthetic pages table."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from auto_archiver_ray.sources.pages import ensure_pages, generate_pages
+
+
+def test_pages_generation_deterministic():
+    t1 = generate_pages(100)
+    t2 = generate_pages(100)
+    assert t1.equals(t2)
+    assert t1.schema.names == ["url", "warc_ts", "html", "text", "lang"]
+    assert str(t1.schema.field("warc_ts").type) == "timestamp[us]"
+    assert str(t1.schema.field("html").type) == "binary"
+
+
+def test_pages_feature_mix():
+    t = generate_pages(300)
+    urls = t.column("url").to_pylist()
+    assert any(u.startswith("ftp://") for u in urls)
+    assert any("localhost" in u for u in urls)
+    assert any("utm_source" in u for u in urls)
+    htmls = t.column("html").to_pylist()
+    assert len(htmls) != len(set(htmls))  # exact dups exist
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_extraction_invariant_byte_identical():
+    """The north-rule correctness gate: extracted text per url must be
+    byte-identical to the stored `text` column."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.extract import ExtractStage
+
+    path = ensure_pages("/root/testdata/sf0.001")
+    ds = rd.read_parquet(path, columns=["url", "html", "text"])
+    out = ds.map_batches(ExtractStage, batch_format="pyarrow", batch_size=64, concurrency=2)
+    tbl = pa.Table.from_pandas(out.select_columns(["url", "text", "text_extracted"]).to_pandas())
+    assert tbl.num_rows == 300
+    mism = tbl.filter(pc.invert(pc.equal(tbl["text"], tbl["text_extracted"])))
+    assert mism.num_rows == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_archive_pipeline_end_to_end():
+    from auto_archiver_ray.pipelines.archive import archive_pages, archive_summary
+
+    ds = archive_pages("/root/testdata/sf0.001", with_report=True, extract_concurrency=2)
+    batch = ds.take_batch(300, batch_format="pyarrow")
+    # invalid rows filtered (~6-7% of 300)
+    assert 250 < batch.num_rows < 300
+    assert pc.all(batch.column("valid")).as_py() is True
+    # statuses are success or deletion sentinel
+    statuses = set(batch.column("status").to_pylist())
+    assert statuses <= {"generic: success", "telegram: success", "deleted_or_unavailable", "nothing archived"}
+    # content hash format parity
+    assert all(h.startswith("SHA-256:") for h in batch.column("content_hash").to_pylist())
+    # deletion rows carry indicator + source
+    del_rows = batch.filter(pc.field("deletion_detected"))
+    if del_rows.num_rows:
+        assert all(i for i in del_rows.column("deletion_indicator").to_pylist())
+        assert set(del_rows.column("status").to_pylist()) == {"deleted_or_unavailable"}
+    # report column: self-hash matches content
+    import hashlib
+
+    h0 = batch.column("report_hash").to_pylist()[0]
+    doc0 = batch.column("report_html").to_pylist()[0]
+    assert h0 == f"SHA-256:{hashlib.sha256(doc0.encode()).hexdigest()}"
+    # per-host summary aggregates
+    summ = archive_summary(archive_pages("/root/testdata/sf0.001", extract_concurrency=2)).to_pandas()
+    assert summ["n_urls"].sum() == batch.num_rows
+    assert (summ["total_bytes"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_archive_full_content_dedup():
+    from auto_archiver_ray.pipelines.archive import archive_pages_full
+
+    ds = archive_pages_full("/root/testdata/sf0.001", extract_concurrency=2)
+    df = ds.to_pandas()
+    assert df["sha256"].is_unique
+    # survivor is min url_canon per group (deterministic)
+    assert (df.groupby("sha256")["url_canon"].count() == 1).all()
