@@ -1,0 +1,132 @@
+"""Dedup family + similarity search tests over documents/embeddings."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_text(docs_ds):
+    from auto_archiver_ray.stages.dedup import add_text_sha, exact_dedup
+
+    ds = docs_ds.map_batches(add_text_sha, batch_format="pyarrow")
+    before = ds.count()
+    out = exact_dedup(ds, "text_sha", "doc_id").to_pandas()
+    assert len(out) <= before
+    assert out["text_sha"].is_unique
+    # survivors are min doc_id per group — recompute via pandas oracle
+    df = ds.to_pandas()
+    expect = df.groupby("text_sha")["doc_id"].min().sort_values().tolist()
+    assert sorted(out["doc_id"].tolist()) == sorted(expect)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_near_dup_finds_planted_pairs():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import cluster_pairs, minhash_candidate_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen green bottles "
+        "stand on the wall and the rain in spain falls mainly on the plain today"
+    )
+    rows = [{"doc_id": i, "text": f"unique document number {i} " + " ".join(f"w{i}x{j}" for j in range(30))} for i in range(50)]
+    rows.append({"doc_id": 100, "text": base})
+    rows.append({"doc_id": 101, "text": base + " extra"})
+    rows.append({"doc_id": 102, "text": base.replace("dog", "cat")})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = minhash_candidate_pairs(ds, threshold=0.5).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (100, 101) in found
+    assert (100, 102) in found
+    # no false positives among the unique docs
+    assert all(a >= 100 and b >= 100 for a, b in found)
+    clusters = cluster_pairs(minhash_candidate_pairs(ds, threshold=0.5))
+    assert clusters[100] == clusters[101] == clusters[102] == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_near_dup():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import simhash_candidate_pairs
+
+    base = " ".join(f"word{i}" for i in range(120))
+    rows = [{"doc_id": i, "text": " ".join(f"t{i}u{j}" for j in range(60))} for i in range(30)]
+    rows.append({"doc_id": 200, "text": base})
+    rows.append({"doc_id": 201, "text": base.replace("word5 ", "changed ")})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = simhash_candidate_pairs(ds, max_hamming=8).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (200, 201) in found
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_exact_verify():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import ngram_jaccard_pairs
+
+    base = " ".join(f"alpha{i}" for i in range(50))
+    rows = [{"doc_id": i, "text": " ".join(f"b{i}c{j}" for j in range(40))} for i in range(20)]
+    rows.append({"doc_id": 300, "text": base})
+    rows.append({"doc_id": 301, "text": base + " tail"})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    pairs = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    assert len(pairs) == 1
+    assert (int(pairs["id_a"][0]), int(pairs["id_b"][0])) == (300, 301)
+    assert pairs["jaccard"][0] >= 0.8  # exact, not estimated
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_neardup_and_knn():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import embedding_neardup_pairs
+    from auto_archiver_ray.stages.similarity import knn_brute_force, knn_ivf, train_ivf_centroids
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    df = emb.to_pandas()
+    vecs = np.asarray(df["embedding"].tolist(), dtype=np.float32)
+
+    # plant a near-duplicate of vec 0
+    dup = vecs[0] + 0.001
+    df2 = pd.concat(
+        [df, pd.DataFrame({"vec_id": [9999], "embedding": [dup.tolist()], "label": [0]})],
+        ignore_index=True,
+    )
+    ds2 = rd.from_pandas(df2)
+    pairs = embedding_neardup_pairs(ds2, threshold=0.999).to_pandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 9999) in found
+
+    # knn vs numpy oracle
+    q = vecs[:3]
+    out = knn_brute_force(emb, q, k=5)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = qn @ vn.T
+    for qi in range(3):
+        expect = set(np.argsort(-sims[qi])[:5].tolist())
+        got = set(out[out.query_id == qi]["vec_id"].tolist())
+        # allow tie-boundary wiggle: top-5 overlap ≥ 4
+        assert len(expect & {int(df.iloc[i]["vec_id"]) for i in expect} | expect) >= 0
+        assert len(got & expect) >= 4
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+
+    # IVF returns mostly the same neighbors as brute force
+    cent = train_ivf_centroids(emb, nlist=8)
+    ivf = knn_ivf(emb, q, cent, k=5, nprobe=4)
+    for qi in range(3):
+        bf_set = set(out[out.query_id == qi]["vec_id"].tolist())
+        ivf_set = set(ivf[ivf.query_id == qi]["vec_id"].tolist())
+        assert len(bf_set & ivf_set) >= 3  # recall ≥ 0.6 at nprobe=half

@@ -1,0 +1,124 @@
+"""Stage-level tests: textstats, media plane, formatters, multimodal stubs."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from auto_archiver_ray.stages import media, multimodal, textstats
+from auto_archiver_ray.stages.format import HtmlReportStage, json_format
+
+
+def test_token_stats_batch():
+    batch = pa.table({"text": ["a b c", "", "one two three four"]})
+    out = textstats.token_stats(batch)
+    assert out.column("n_tokens").to_pylist() == [3, 0, 4]
+    assert out.column("n_chars_computed").to_pylist() == [5, 0, 18]
+
+
+def test_lang_quality_fingerprint_batches():
+    batch = pa.table(
+        {"text": ["the cat and the dog went to the market", "la casa de la madre es muy grande y no lo se"]}
+    )
+    out = textstats.lang_id_stage(batch)
+    assert out.column("lang_guess").to_pylist() == ["en", "es"]
+    q = textstats.quality_stage(batch)
+    assert all(0 <= s <= 1 for s in q.column("quality_score").to_pylist())
+    f = textstats.fingerprint_stage(batch)
+    assert len(f.column("fingerprint").to_pylist()[0]) > 0
+    assert len(f.column("fingerprint_key").to_pylist()[0]) == 16
+
+
+def test_explode_media_and_keys():
+    batch = pa.table(
+        {
+            "url": ["https://a.com/post"],
+            "media_links": [
+                [
+                    "https://a.com/img-1280x720.jpg",
+                    "https://a.com/favicon.ico",  # filtered
+                    "https://pbs.twimg.com/media/x.jpg?name=small",
+                ]
+            ],
+        }
+    )
+    out = media.explode_media(batch)
+    assert out.num_rows == 2
+    assert out.column("media_url_best").to_pylist() == [
+        "https://a.com/img.jpg",
+        "https://pbs.twimg.com/media/x.jpg?name=orig",
+    ]
+    assert out.column("media_ext").to_pylist() == [".jpg", ".jpg"]
+    keyed = media.add_storage_keys(out, path_generator="flat", filename_generator="static")
+    keys = keyed.column("storage_key").to_pylist()
+    assert all(k.endswith(".jpg") and len(k) == 28 for k in keys)
+    # deterministic
+    assert media.add_storage_keys(out).column("storage_key").to_pylist() == media.add_storage_keys(out).column("storage_key").to_pylist()
+
+
+def test_json_format_column():
+    batch = pa.table({"url": ["https://x.com/1"], "html": [b"zz"], "n": [3]})
+    out = json_format(batch)
+    doc = json.loads(out.column("metadata_json").to_pylist()[0])
+    assert doc == {"url": "https://x.com/1", "n": 3}  # html excluded
+
+
+def test_html_report_stage():
+    st = HtmlReportStage()
+    batch = pa.table({"url": ["https://x.com/1"], "title": ["T<i>"], "status": ["ok"]})
+    out = st(batch)
+    doc = out.column("report_html").to_pylist()[0]
+    assert "T&lt;i&gt;" in doc and doc.startswith("<!DOCTYPE html>")
+    assert out.column("report_hash").to_pylist()[0].startswith("SHA-256:")
+
+
+def test_image_stub_stages():
+    payloads = [b"fakeimagebytes1", b"fakeimagebytes2", None]
+    batch = pa.table(
+        {
+            "media_id": ["a", "b", "c"],
+            "kind": ["image"] * 3,
+            "mimetype": ["image/jpeg"] * 3,
+            "payload": pa.array(payloads, pa.binary()),
+            "props_json": ["{}"] * 3,
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    dec = multimodal.ImageDecodeStage()(batch)
+    assert dec.column("decode_ok").to_pylist()[:2] == [True, True]
+    assert dec.column("decode_ok").to_pylist()[2] is False
+    feat = multimodal.ImageFeatureStage(dim=16)(batch)
+    v = feat.column("feature").to_pylist()[0]
+    assert len(v) == 16 and abs(np.linalg.norm(v) - 1.0) < 1e-5
+    # determinism: same payload → same feature
+    assert feat.column("feature").to_pylist()[0] == multimodal.ImageFeatureStage(dim=16)(batch).column("feature").to_pylist()[0]
+
+
+def test_frame_sample_math_parity():
+    # num = int(min(max(1, d/60*per_min), max)); ts = d/(num+1)*i
+    times = multimodal.FrameSampleStage.frame_times(120.0, 1, 16)
+    assert len(times) == 2
+    assert times == [40.0, 80.0]
+    assert multimodal.FrameSampleStage.frame_times(10.0, 1, 16) == [5.0]
+    assert len(multimodal.FrameSampleStage.frame_times(36000.0, 1, 16)) == 16
+
+
+def test_frame_sample_stage_rows():
+    batch = pa.table(
+        {
+            "media_id": ["v1", "v2"],
+            "kind": ["video"] * 2,
+            "mimetype": ["video/mp4"] * 2,
+            "payload": pa.array([b"x", b"y"], pa.binary()),
+            "props_json": [json.dumps({"duration": 120.0}), json.dumps({})],
+        },
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    out = multimodal.FrameSampleStage()(batch)
+    assert out.column("media_id").to_pylist() == ["v1", "v1"]
+    assert out.column("frame_ts").to_pylist() == [40.0, 80.0]
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        multimodal.FrameSampleStage(decode=True)(batch)
