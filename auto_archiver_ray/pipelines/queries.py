@@ -1,0 +1,813 @@
+"""Named query pipelines + their DuckDB oracle SQL.
+
+Each ``QUERIES[name]`` is a callable ``(sf_dir) -> Dataset|DataFrame`` and
+``ORACLES[name]`` (when present) is ANSI SQL DuckDB runs over the same
+parquet (views region nation customer supplier part orders lineitem events
+documents embeddings pre-registered by the driver; the synthetic pages table
+is referenced by absolute parquet path). Column names and dtypes match
+between both sides.
+
+Float-exactness strategy: every money/value aggregate is summed as exact
+*cent integers* (the synthetic data is 2-decimal) and divided by 100 only at
+the end, so Ray's distributed summation and DuckDB's sequential summation
+produce bit-identical doubles. (int64 cents overflow at ~9e16 cents — fine
+for any per-group sum below a petadollar; swap to decimal128 beyond.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textkit
+from ..sources.pages import ensure_pages, pages_path
+from ..stages import enrich, textstats, validate
+from ..stages.extract import ExtractStage
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
+
+
+def _sum_aggs(*cols: str):
+    from ray.data.aggregate import Sum
+
+    return [Sum(c, alias_name=c) for c in cols]
+
+
+# the synthetic-pages "valid URL" predicate in SQL form: the generator's only
+# invalid classes are non-http schemes, localhost, and 192.168.* literals
+# (sources/pages.py), so this is exactly check_url on this corpus.
+_VALID_SQL = (
+    "url LIKE 'http%' AND url NOT LIKE 'https://localhost%' AND url NOT LIKE 'https://192.168.%'"
+)
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary; partial aggregation per batch before
+    the (tiny) groupby shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_tax",
+            "l_shipdate",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-09-02"))))
+        e = _cents(batch["l_extendedprice"])
+        d = _cents(batch["l_discount"])  # discount% in cents of a unit = e2
+        t = _cents(batch["l_tax"])
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        disc_e4 = pc.multiply(e, pc.subtract(pa.scalar(100, pa.int64()), d))
+        charge_e6 = pc.multiply(disc_e4, pc.add(pa.scalar(100, pa.int64()), t))
+        disc_sum = d
+        tmp = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": q,
+                "base_c": e,
+                "disc_e4": disc_e4,
+                "charge_e6": charge_e6,
+                "disc_c": disc_sum,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_e4", "sum"), ("charge_e6", "sum"), ("disc_c", "sum"), ("n", "sum")]
+        ).rename_columns(["l_returnflag", "l_linestatus", "qty", "base_c", "disc_e4", "charge_e6", "disc_c", "n"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        *_sum_aggs("qty", "base_c", "disc_e4", "charge_e6", "disc_c", "n")
+    )
+    df = agg.to_pandas()
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": df["qty"].astype("int64"),
+            "sum_base_price": df["base_c"].astype("int64") / 100,
+            "sum_disc_price": df["disc_e4"].astype("int64") / 10000,
+            "sum_charge": df["charge_e6"].astype("int64") / 1000000,
+            "avg_qty": df["qty"].astype("float64") / df["n"].astype("float64"),
+            "avg_price": (df["base_c"].astype("int64") / 100) / df["n"].astype("float64"),
+            "avg_disc": (df["disc_c"].astype("int64") / 100) / df["n"].astype("float64"),
+            "count_order": df["n"].astype("int64"),
+        }
+    )
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*(100 - CAST(ROUND(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)*(100 - CAST(ROUND(l_discount*100) AS BIGINT))*(100 + CAST(ROUND(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE)/COUNT(*) AS avg_qty,
+       (CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100)/COUNT(*) AS avg_price,
+       (CAST(SUM(CAST(ROUND(l_discount*100) AS BIGINT)) AS DOUBLE)/100)/COUNT(*) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(sf_dir: str):
+    """Orders⋈customer revenue top-10 — broadcast join (customer is the
+    small side; read once on the driver, shipped via ray.put once, looked up
+    per batch — no shuffle join)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    name_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
+    ref = ray.put(name_map)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "rev_c": _cents(batch["o_totalprice"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("c_custkey").aggregate([("rev_c", "sum"), ("n", "sum")]).rename_columns(
+            ["c_custkey", "rev_c", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_custkey")
+        .aggregate(*_sum_aggs("rev_c", "n"))
+        .to_pandas()
+    )
+    names = ray.get(ref)
+    agg["c_name"] = agg["c_custkey"].map(names)
+    agg["revenue"] = agg["rev_c"].astype("int64") / 100
+    agg["n_orders"] = agg["n"].astype("int64")
+    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
+    return out[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c.c_custkey, c.c_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 10
+"""
+
+
+def q_supplier_nation(sf_dir: str):
+    """3-way dimension join via broadcast maps (nation/region are tiny)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    r_names = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n_to_r = {
+        nk: r_names[rk]
+        for nk, rk in zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist())
+    }
+    ref = ray.put(n_to_r)
+
+    ds = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        lookup = _ray.get(ref)
+        rname = [lookup[k] for k in batch["s_nationkey"].to_pylist()]
+        t = pa.table(
+            {
+                "r_name": pa.array(rname, pa.string()),
+                "bal_c": _cents(batch["s_acctbal"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("r_name").aggregate([("bal_c", "sum"), ("n", "sum")]).rename_columns(
+            ["r_name", "bal_c", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("r_name")
+        .aggregate(*_sum_aggs("bal_c", "n"))
+        .to_pandas()
+    )
+    agg["n_suppliers"] = agg["n"].astype("int64")
+    agg["total_acctbal"] = agg["bal_c"].astype("int64") / 100
+    return agg[["r_name", "n_suppliers", "total_acctbal"]].sort_values("r_name").reset_index(drop=True)
+
+
+SQL_SUPPLIER_NATION = """
+SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(SUM(CAST(ROUND(s.s_acctbal*100) AS BIGINT)) AS DOUBLE)/100 AS total_acctbal
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name ORDER BY r.r_name
+"""
+
+
+def q_orders_priority(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    out = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ORDERS_PRIORITY = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders WHERE o_orderstatus = 'F'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q_part_topk(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_retailprice"])
+    return ds.sort(["p_retailprice", "p_partkey"], descending=[True, False]).limit(20)
+
+
+SQL_PART_TOPK = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+"""
+
+
+def q_distinct_event_types(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate (stream-shaped op in batch form)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(
+            hour=batch["ts"].dt.floor("h"),
+            val_c=np.round(batch["value"] * 100).astype("int64"),
+            n=np.ones(len(batch), dtype="int64"),
+        )
+        return (
+            batch.groupby(["event_type", "hour"], as_index=False)[["val_c", "n"]].sum()
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(*_sum_aggs("val_c", "n"))
+        .to_pandas()
+    )
+    agg["n_events"] = agg["n"].astype("int64")
+    agg["total_value"] = agg["val_c"].astype("int64") / 100
+    return (
+        agg[["event_type", "hour", "n_events", "total_value"]]
+        .sort_values(["event_type", "hour"])
+        .reset_index(drop=True)
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+ORDER BY event_type, hour
+"""
+
+
+def q_events_topusers(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "user_id": batch["user_id"],
+                "val_c": _cents(batch["value"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("user_id").aggregate([("val_c", "sum"), ("n", "sum")]).rename_columns(
+            ["user_id", "val_c", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("user_id")
+        .aggregate(*_sum_aggs("val_c", "n"))
+        .to_pandas()
+    )
+    agg["total_value"] = agg["val_c"].astype("int64") / 100
+    agg["n_events"] = agg["n"].astype("int64")
+    out = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
+    return out[["user_id", "total_value", "n_events"]].reset_index(drop=True)
+
+
+SQL_EVENTS_TOPUSERS = """
+SELECT user_id,
+       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS DOUBLE)/100 AS total_value,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value DESC, user_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents queries
+# ---------------------------------------------------------------------------
+
+
+def q_doc_token_stats(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = textstats.token_stats(batch)
+        t = pa.table(
+            {
+                "lang": out["lang"],
+                "tok": out["n_tokens"],
+                "chars": out["n_chars_computed"],
+                "n": pa.array(np.ones(out.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate([("tok", "sum"), ("chars", "sum"), ("n", "sum")]).rename_columns(
+            ["lang", "tok", "chars", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
+        .groupby("lang")
+        .aggregate(*_sum_aggs("tok", "chars", "n"))
+        .to_pandas()
+    )
+    agg["n_docs"] = agg["n"].astype("int64")
+    agg["total_tokens"] = agg["tok"].astype("int64")
+    agg["total_chars"] = agg["chars"].astype("int64")
+    return agg[["lang", "n_docs", "total_tokens", "total_chars"]].sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_STATS = r"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_doc_exact_dedup(sf_dir: str):
+    rd = _rd()
+    from ..stages.dedup import add_text_sha, exact_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(add_text_sha, batch_format="pyarrow", batch_size=8192)
+    out = exact_dedup(ds.select_columns(["text_sha", "doc_id"]), "text_sha", "doc_id")
+    return out
+
+
+SQL_DOC_EXACT_DEDUP = """
+SELECT sha256(text) AS text_sha, CAST(MIN(doc_id) AS BIGINT) AS doc_id
+FROM documents GROUP BY sha256(text) ORDER BY text_sha
+"""
+
+
+def q_doc_quality(sf_dir: str):
+    """Quality-score aggregates by lang (heuristic kernel → rows-only check)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = ds.map_batches(textstats.quality_stage, batch_format="pyarrow", batch_size=8192)
+    from ray.data.aggregate import Count, Mean
+
+    return (
+        ds.groupby("lang")
+        .aggregate(Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality"))
+        .sort("lang")
+    )
+
+
+def q_doc_langid(sf_dir: str):
+    """Language-ID heuristic vs the labeled lang column (rows-only)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+    ds = ds.map_batches(textstats.lang_id_stage, batch_format="pyarrow", batch_size=8192)
+    from ray.data.aggregate import Count
+
+    return ds.groupby(["lang", "lang_guess"]).aggregate(Count(alias_name="n")).sort(["lang", "lang_guess"])
+
+
+def q_doc_fingerprint(sf_dir: str):
+    """Winnowing fingerprints (rows-only): docs grouped by rolled-up
+    fingerprint key."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(textstats.fingerprint_stage, batch_format="pyarrow", batch_size=8192)
+    from ray.data.aggregate import Count
+
+    return ds.groupby("fingerprint_key").aggregate(Count(alias_name="n_docs"))
+
+
+def q_doc_minhash_pairs(sf_dir: str):
+    from ..stages.dedup import minhash_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_candidate_pairs(ds, threshold=0.7)
+
+
+def q_doc_simhash_pairs(sf_dir: str):
+    from ..stages.dedup import simhash_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_candidate_pairs(ds, max_hamming=3)
+
+
+def q_doc_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# pages queries (synthetic input_hint table; oracle reads the parquet path)
+# ---------------------------------------------------------------------------
+
+
+def q_pages_extract_text(sf_dir: str):
+    """THE byte-identical invariant: extracted text per url vs stored text."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    out = ds.map_batches(ExtractStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return out.select_columns(["url", "text_extracted"])
+
+
+def _sql_pages(sf_dir: str, body: str) -> str:
+    return body.replace("__PAGES__", f"read_parquet('{pages_path(sf_dir)}')")
+
+
+SQL_PAGES_EXTRACT_TEXT = "SELECT url, text AS text_extracted FROM __PAGES__"
+
+
+def q_pages_hosts(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "bytes": pc.cast(pc.binary_length(batch["html"]), pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("host").aggregate([("bytes", "sum"), ("n", "sum")]).rename_columns(
+            ["host", "bytes", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
+        .groupby("host")
+        .aggregate(*_sum_aggs("bytes", "n"))
+        .to_pandas()
+    )
+    agg["n_pages"] = agg["n"].astype("int64")
+    agg["total_bytes"] = agg["bytes"].astype("int64")
+    return agg[["host", "n_pages", "total_bytes"]].sort_values("host").reset_index(drop=True)
+
+
+SQL_PAGES_HOSTS = f"""
+SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(octet_length(html)) AS BIGINT) AS total_bytes
+FROM __PAGES__ WHERE {_VALID_SQL}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_pages_dedup(sf_dir: str):
+    """Global content dedup (S3 no-dups semantics): one survivor per payload
+    sha256, min url."""
+    rd = _rd()
+    from ..stages.dedup import exact_dedup
+
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=1024)
+    return exact_dedup(ds.select_columns(["sha256", "url"]), "sha256", "url")
+
+
+# decode(BLOB)→VARCHAR: the html payloads are UTF-8, so sha256 over the
+# decoded string hashes the same bytes hashlib sees
+SQL_PAGES_DEDUP = """
+SELECT sha256(decode(html)) AS sha256, MIN(url) AS url
+FROM __PAGES__ GROUP BY sha256(decode(html)) ORDER BY sha256
+"""
+
+
+def q_pages_trackers(sf_dir: str):
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+
+    def count_changed(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(batch["valid"], pc.invert(pc.equal(batch["url"], batch["url_clean"])))
+        return pa.table({"n": pa.array([pc.sum(mask).as_py() or 0], pa.int64())})
+
+    total = sum(
+        b["n"][0].as_py()
+        for b in ds.map_batches(count_changed, batch_format="pyarrow").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        )
+    )
+    return pd.DataFrame({"n_tracker_urls": pd.array([total], dtype="int64")})
+
+
+SQL_PAGES_TRACKERS = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_tracker_urls
+FROM __PAGES__
+WHERE ({_VALID_SQL})
+  AND (url LIKE '%utm\\_%' ESCAPE '\\' OR url LIKE '%fbclid=%' OR url LIKE '%gclid=%')
+"""
+
+
+def q_pages_deletion(sf_dir: str):
+    """Deletion-indicator scan per platform over valid pages."""
+    from ..pipelines.archive import archive_pages
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.field("deletion_detected")), batch_format="pyarrow"
+    )
+    from ray.data.aggregate import Count
+
+    out = ds.groupby("platform").aggregate(Count(alias_name="n_deleted")).to_pandas()
+    out["n_deleted"] = out["n_deleted"].astype("int64")
+    return out.sort_values("platform").reset_index(drop=True)
+
+
+def _sql_pages_deletion() -> str:
+    """Generate the oracle from the same indicator tables (data parity by
+    construction)."""
+
+    def contains_any(indicators: list[str]) -> str:
+        parts = [
+            "contains(lower(text), '" + ind.lower().replace("'", "''") + "')" for ind in indicators
+        ]
+        return "(" + " OR ".join(parts) + ")"
+
+    platform_case = (
+        "CASE "
+        "WHEN contains(url, 'twitter.com') OR contains(url, 'x.com') THEN 'twitter' "
+        "WHEN contains(url, 'facebook.com') OR contains(url, 'fb.com') THEN 'facebook' "
+        "WHEN contains(url, 'instagram.com') THEN 'instagram' "
+        "WHEN contains(url, 'tiktok.com') THEN 'tiktok' "
+        "WHEN contains(url, 'youtube.com') OR contains(url, 'youtu.be') THEN 'youtube' "
+        "WHEN contains(url, 'reddit.com') THEN 'reddit' "
+        "WHEN contains(url, 'vk.com') THEN 'vk' "
+        "WHEN contains(url, 't.me') THEN 'telegram' "
+        "ELSE 'unknown' END"
+    )
+    deleted_case = "CASE "
+    for plat, inds in textkit.DELETION_INDICATORS.items():
+        deleted_case += f"WHEN platform = '{plat}' THEN " + contains_any(
+            inds + textkit.GENERIC_DELETION_INDICATORS
+        ) + " "
+    deleted_case += "ELSE " + contains_any(textkit.GENERIC_DELETION_INDICATORS) + " END"
+    return f"""
+SELECT platform, CAST(COUNT(*) AS BIGINT) AS n_deleted FROM (
+  SELECT {platform_case} AS platform, text FROM __PAGES__ WHERE {_VALID_SQL}
+) WHERE {deleted_case}
+GROUP BY platform ORDER BY platform
+"""
+
+
+def q_pages_media_plan(sf_dir: str):
+    """Media plane (rows-only): discovered links → relevance filter →
+    best-quality → dedup by media url hash → storage keys."""
+    from ..pipelines.archive import archive_pages
+    from ..stages.dedup import exact_dedup
+    from ..stages.media import add_storage_keys, explode_media
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    m = exact_dedup(m, "media_url_hash", "page_url")
+    return m.map_batches(add_storage_keys, batch_format="pyarrow", batch_size=4096)
+
+
+def q_archive_stats(sf_dir: str):
+    """Flagship pipeline status/size rollup (rows-only)."""
+    from ..pipelines.archive import archive_pages
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    from ray.data.aggregate import Count, Sum
+
+    return (
+        ds.groupby("status")
+        .aggregate(Count(alias_name="n"), Sum("size_bytes", alias_name="total_bytes"))
+        .sort("status")
+    )
+
+
+def q_crawl_plan(sf_dir: str):
+    """Politeness epoch plan summary per host (rows-only): deterministic
+    crawl ordering under per-host budget."""
+    from ..state.frontier import assign_crawl_epochs
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+    planned = assign_crawl_epochs(ds.select_columns(["host", "url_canon", "warc_ts"]), per_host_budget=10)
+    from ray.data.aggregate import Count, Max
+
+    return (
+        planned.groupby("host")
+        .aggregate(Count(alias_name="n_urls"), Max("fetch_epoch", alias_name="last_epoch"))
+        .sort("host")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embeddings queries
+# ---------------------------------------------------------------------------
+
+
+def _load_queries(sf_dir: str, n: int = 3) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = t.to_pandas().set_index("vec_id").sort_index()
+    return np.asarray(df.loc[range(n), "embedding"].tolist(), dtype=np.float64)
+
+
+def q_knn(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors = embeddings 0..2.
+
+    The compared output is (query_id, vec_id, rank) — the cosine value
+    itself is dropped because a float summed in different orders (numpy
+    pairwise vs DuckDB sequential) can land on either side of any rounding
+    boundary; the *ranking* is stable for random embeddings."""
+    from ..stages.similarity import knn_brute_force
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = knn_brute_force(ds, _load_queries(sf_dir), k=10)
+    out = out.drop(columns=["cosine"])
+    out["query_id"] = out["query_id"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["rank"] = out["rank"].astype("int64")
+    return out
+
+
+SQL_KNN = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rank
+FROM r WHERE rk <= 10 ORDER BY query_id, rank
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN variant (rows-only; approximate by design)."""
+    from ..stages.similarity import knn_ivf, train_ivf_centroids
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds, nlist=16)
+    return knn_ivf(ds, _load_queries(sf_dir), cent, k=10, nprobe=4)
+
+
+def q_embed_neardup(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only). Threshold 0.35 because
+    the synthetic embeddings are near-orthogonal random vectors (max pair
+    cosine ≈ 0.51 at sf0.01) — production near-dup would use ≥0.9."""
+    from ..stages.dedup import embedding_neardup_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    df = embedding_neardup_pairs(ds, threshold=0.35, num_planes=6).to_pandas()
+    return df.reindex(columns=["id_a", "id_b", "cosine"])
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "q_lineitem_pricing": q_lineitem_pricing,
+    "q_top_customers": q_top_customers,
+    "q_supplier_nation": q_supplier_nation,
+    "q_orders_priority": q_orders_priority,
+    "q_part_topk": q_part_topk,
+    "q_distinct_event_types": q_distinct_event_types,
+    "q_events_hourly": q_events_hourly,
+    "q_events_topusers": q_events_topusers,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_minhash_pairs": q_doc_minhash_pairs,
+    "q_doc_simhash_pairs": q_doc_simhash_pairs,
+    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_pages_extract_text": q_pages_extract_text,
+    "q_pages_hosts": q_pages_hosts,
+    "q_pages_dedup": q_pages_dedup,
+    "q_pages_trackers": q_pages_trackers,
+    "q_pages_deletion": q_pages_deletion,
+    "q_pages_media_plan": q_pages_media_plan,
+    "q_archive_stats": q_archive_stats,
+    "q_crawl_plan": q_crawl_plan,
+    "q_knn": q_knn,
+    "q_knn_ivf": q_knn_ivf,
+    "q_embed_neardup": q_embed_neardup,
+}
+
+
+def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    """Oracle SQL per query name (pages-based oracles embed the absolute
+    parquet path of the sf0.01 synthetic pages table, generated on call)."""
+    ensure_pages(sf_dir)
+    return {
+        "q_lineitem_pricing": SQL_LINEITEM_PRICING,
+        "q_top_customers": SQL_TOP_CUSTOMERS,
+        "q_supplier_nation": SQL_SUPPLIER_NATION,
+        "q_orders_priority": SQL_ORDERS_PRIORITY,
+        "q_part_topk": SQL_PART_TOPK,
+        "q_distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
+        "q_events_hourly": SQL_EVENTS_HOURLY,
+        "q_events_topusers": SQL_EVENTS_TOPUSERS,
+        "q_doc_token_stats": SQL_DOC_TOKEN_STATS,
+        "q_doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
+        "q_pages_extract_text": _sql_pages(sf_dir, SQL_PAGES_EXTRACT_TEXT),
+        "q_pages_hosts": _sql_pages(sf_dir, SQL_PAGES_HOSTS),
+        "q_pages_dedup": _sql_pages(sf_dir, SQL_PAGES_DEDUP),
+        "q_pages_trackers": _sql_pages(sf_dir, SQL_PAGES_TRACKERS),
+        "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
+        "q_knn": SQL_KNN,
+    }

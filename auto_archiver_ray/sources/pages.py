@@ -179,7 +179,7 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
 
 
 # rows per sf directory name (keyed by basename of the testdata dir)
-SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 30000}
+SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000}
 
 
 def pages_path(sf_dir: str) -> str:

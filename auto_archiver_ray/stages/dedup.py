@@ -28,7 +28,20 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+
 from ..functions import textkit
+
+
+def _empty_pairs(third_col: str, dtype: str) -> pd.DataFrame:
+    """Typed empty pair frame — keeps the output schema stable when a bucket
+    (or the whole dataset) yields no candidate pairs."""
+    return pd.DataFrame(
+        {
+            "id_a": pd.Series(dtype="int64"),
+            "id_b": pd.Series(dtype="int64"),
+            third_col: pd.Series(dtype=dtype),
+        }
+    )
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -43,16 +56,54 @@ def add_text_sha(batch: pa.Table, text_col: str = "text", out_col: str = "text_s
     return batch.append_column(out_col, pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, key_col: str, id_col: str):
+def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
     """Keep exactly one row per ``key_col`` value — the row with the minimum
-    ``id_col`` (deterministic, retry-stable). Hash-partition + per-group
-    first: ``groupby(key).map_groups``."""
+    ``id_col`` (deterministic, retry-stable).
 
-    def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-        # sort not nsmallest: works for string ids too
-        return group.sort_values(id_col, kind="mergesort").head(1)
+    strategy="broadcast" (default): two-phase winner selection that never
+    shuffles full rows — (1) per-batch (key,id) dedup, then a native
+    ``groupby(key).aggregate(Min(id))`` over the *two-column* projection;
+    (2) winners broadcast via ``ray.put`` once, rows filtered per batch by
+    (key,id) membership. Payload columns stay in place; only key+id cross
+    the shuffle. The winner set is one row per distinct key — fits driver
+    memory up to ~10^8 keys; beyond that use strategy="shuffle".
 
-    return ds.groupby(key_col).map_groups(keep_min, batch_format="pandas")
+    strategy="shuffle": classic hash-partition + per-group head(1) via
+    ``groupby(key).map_groups`` — full-row shuffle, no driver state; slower
+    when groups are tiny but unbounded in key cardinality.
+    """
+    if strategy == "shuffle":
+
+        def keep_min(group: pd.DataFrame) -> pd.DataFrame:
+            return group.sort_values(id_col, kind="mergesort").head(1)
+
+        return ds.groupby(key_col).map_groups(keep_min, batch_format="pandas")
+
+    import ray
+    from ray.data.aggregate import Min
+
+    def batch_min(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, id_col]).to_pandas()
+        df = df.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[key_col], keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    winners = (
+        ds.map_batches(batch_min, batch_format="pyarrow", batch_size=65536)
+        .groupby(key_col)
+        .aggregate(Min(id_col, alias_name=id_col))
+        .to_pandas()
+    )
+    winner_set = set(zip(winners[key_col].tolist(), winners[id_col].tolist()))
+    ref = ray.put(winner_set)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        keys = batch.column(key_col).to_pylist()
+        ids = batch.column(id_col).to_pylist()
+        mask = [(k, i) in w for k, i in zip(keys, ids)]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow", batch_size=65536)
 
 
 # ---------------------------------------------------------------------------
@@ -123,26 +174,40 @@ def minhash_candidate_pairs(
         lambda b: _explode_bands(b, id_col, num_bands), batch_format="pyarrow", batch_size=2048
     )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["minhash_sig"]])
+    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        """One call per *coarse* bucket (band_key % COARSE) — inner pandas
+        groupby finds the true bands. Avoids Ray's per-group overhead on
+        millions of tiny LSH buckets."""
         out_a, out_b, out_j = [], [], []
-        cap = min(len(ids), 64)  # bucket blowup guard; giant buckets ≈ exact dups anyway
-        for i in range(cap):
-            eq = (mat[i + 1 : cap] == mat[i]).mean(axis=1)
-            hit = np.nonzero(eq >= threshold)[0]
-            for h in hit:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_j.append(float(eq[h]))
+        for _, g in group.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["minhash_sig"]])
+            cap = min(len(ids), 64)  # bucket blowup guard; giant buckets ≈ exact dups anyway
+            for i in range(cap):
+                eq = (mat[i + 1 : cap] == mat[i]).mean(axis=1)
+                for h in np.nonzero(eq >= threshold)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_j.append(float(eq[h]))
+        if not out_a:
+            return _empty_pairs("est_jaccard", "float64")
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
 
-    pairs = bands.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    # same pair can surface from multiple bands → keep one
-    return exact_dedup(pairs.add_column("pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"), "pair_key", "id_a").drop_columns(["pair_key"])
+    bands = bands.add_column(
+        "coarse", lambda df: (df["band_key"].astype("uint64") % 2048).astype("int64"), batch_format="pandas"
+    )
+    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
+    # same pair can surface from multiple bands → dedup (pairs are tiny
+    # relative to the corpus, so the full-row shuffle strategy is fine here)
+    pairs = pairs.add_column(
+        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
+    )
+    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
 
 
 def cluster_pairs(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b") -> dict[int, int]:
@@ -201,29 +266,40 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text", 
 
     bands = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = group.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        codes = g["simhash"].to_numpy().astype(np.uint64)
+    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
-        cap = min(len(ids), 256)
-        for i in range(cap):
-            x = codes[i + 1 : cap] ^ codes[i]
-            dist = np.vectorize(lambda v: bin(int(v)).count("1"))(x) if x.size else x
-            for h in np.nonzero(dist <= max_hamming)[0]:
-                out_a.append(ids[i])
-                out_b.append(ids[i + 1 + h])
-                out_h.append(int(dist[h]))
+        for _, g in group.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            codes = g["simhash"].to_numpy().astype(np.uint64)
+            cap = min(len(ids), 256)
+            for i in range(cap):
+                x = codes[i + 1 : cap] ^ codes[i]
+                if not x.size:
+                    continue
+                dist = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.asarray(
+                    [bin(int(v)).count("1") for v in x]
+                )
+                for h in np.nonzero(dist <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_h.append(int(dist[h]))
+        if not out_a:
+            return _empty_pairs("hamming", "int64")
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
 
-    pairs = bands.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    return exact_dedup(
-        pairs.add_column("pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"),
-        "pair_key",
-        "id_a",
-    ).drop_columns(["pair_key"])
+    bands = bands.add_column(
+        "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"
+    )
+    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
+    pairs = pairs.add_column(
+        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
+    )
+    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +342,9 @@ def ngram_jaccard_pairs(
             if i in w:
                 keep_ids.append(i)
                 keep_sh.append(textkit.word_shingles(t or "", shingle_n).tobytes())
-        return pa.table({id_col: pa.array(keep_ids), "shingles": pa.array(keep_sh, pa.binary())})
+        return pa.table(
+            {id_col: pa.array(keep_ids, pa.int64()), "shingles": pa.array(keep_sh, pa.binary())}
+        )
 
     sh_map: dict[int, np.ndarray] = {}
     for b in ds.map_batches(collect_shingles, batch_format="pyarrow").iter_batches(
@@ -332,7 +410,7 @@ def embedding_neardup_pairs(
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            return _empty_pairs("cosine", "float64")
         g = group.sort_values(id_col)
         ids = g[id_col].to_numpy()
         mat = np.asarray(g[vec_col].tolist(), dtype=np.float32)
