@@ -98,10 +98,11 @@ def archive_summary(ds):
     partials = ds.select_columns(["host", "size_bytes", "url", "deletion_detected"]).map_batches(
         partial, batch_format="pyarrow", batch_size=8192
     )
-    from ray.data.aggregate import Sum
+    from ..stages.agg import driver_reduce
 
-    return partials.groupby("host").aggregate(
-        Sum("bytes_partial", alias_name="total_bytes"),
-        Sum("urls_partial", alias_name="n_urls"),
-        Sum("deleted_partial", alias_name="n_deleted"),
+    out = driver_reduce(
+        partials, ["host"], {"bytes_partial": "sum", "urls_partial": "sum", "deleted_partial": "sum"}
+    )
+    return out.rename(
+        columns={"bytes_partial": "total_bytes", "urls_partial": "n_urls", "deleted_partial": "n_deleted"}
     )

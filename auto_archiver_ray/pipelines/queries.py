@@ -22,6 +22,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import textkit
+from ..stages.agg import driver_reduce
 from ..sources.pages import ensure_pages, pages_path
 from ..stages import enrich, textstats, validate
 from ..stages.extract import ExtractStage
@@ -103,10 +104,11 @@ def q_lineitem_pricing(sf_dir: str):
         ).rename_columns(["l_returnflag", "l_linestatus", "qty", "base_c", "disc_e4", "charge_e6", "disc_c", "n"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        *_sum_aggs("qty", "base_c", "disc_e4", "charge_e6", "disc_c", "n")
+    df = driver_reduce(
+        partials,
+        ["l_returnflag", "l_linestatus"],
+        {c: "sum" for c in ("qty", "base_c", "disc_e4", "charge_e6", "disc_c", "n")},
     )
-    df = agg.to_pandas()
     out = pd.DataFrame(
         {
             "l_returnflag": df["l_returnflag"],
@@ -167,11 +169,10 @@ def q_top_customers(sf_dir: str):
             ["c_custkey", "rev_c", "n"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("c_custkey")
-        .aggregate(*_sum_aggs("rev_c", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["c_custkey"],
+        {"rev_c": "sum", "n": "sum"},
     )
     names = ray.get(ref)
     agg["c_name"] = agg["c_custkey"].map(names)
@@ -225,11 +226,10 @@ def q_supplier_nation(sf_dir: str):
             ["r_name", "bal_c", "n"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("r_name")
-        .aggregate(*_sum_aggs("bal_c", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["r_name"],
+        {"bal_c": "sum", "n": "sum"},
     )
     agg["n_suppliers"] = agg["n"].astype("int64")
     agg["total_acctbal"] = agg["bal_c"].astype("int64") / 100
@@ -248,12 +248,23 @@ GROUP BY r.r_name ORDER BY r.r_name
 def q_orders_priority(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_orderpriority"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t["o_orderstatus"], pa.scalar("F"))), batch_format="pyarrow"
-    )
-    from ray.data.aggregate import Count
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["o_orderstatus"], pa.scalar("F")))
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "n_orders": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate([("n_orders", "sum")]).rename_columns(
+            ["o_orderpriority", "n_orders"]
+        )
 
-    out = ds.groupby("o_orderpriority").aggregate(Count(alias_name="n_orders")).to_pandas()
+    out = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_orderpriority"],
+        {"n_orders": "sum"},
+    )
     out["n_orders"] = out["n_orders"].astype("int64")
     return out.sort_values("o_orderpriority").reset_index(drop=True)
 
@@ -302,11 +313,10 @@ def q_events_hourly(sf_dir: str):
             batch.groupby(["event_type", "hour"], as_index=False)[["val_c", "n"]].sum()
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
-        .groupby(["event_type", "hour"])
-        .aggregate(*_sum_aggs("val_c", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ["event_type", "hour"],
+        {"val_c": "sum", "n": "sum"},
     )
     agg["n_events"] = agg["n"].astype("int64")
     agg["total_value"] = agg["val_c"].astype("int64") / 100
@@ -342,11 +352,10 @@ def q_events_topusers(sf_dir: str):
             ["user_id", "val_c", "n"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("user_id")
-        .aggregate(*_sum_aggs("val_c", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id"],
+        {"val_c": "sum", "n": "sum"},
     )
     agg["total_value"] = agg["val_c"].astype("int64") / 100
     agg["n_events"] = agg["n"].astype("int64")
@@ -386,11 +395,10 @@ def q_doc_token_stats(sf_dir: str):
             ["lang", "tok", "chars", "n"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192)
-        .groupby("lang")
-        .aggregate(*_sum_aggs("tok", "chars", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["lang"],
+        {"tok": "sum", "chars": "sum", "n": "sum"},
     )
     agg["n_docs"] = agg["n"].astype("int64")
     agg["total_tokens"] = agg["tok"].astype("int64")
@@ -519,11 +527,10 @@ def q_pages_hosts(sf_dir: str):
             ["host", "bytes", "n"]
         )
 
-    agg = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096)
-        .groupby("host")
-        .aggregate(*_sum_aggs("bytes", "n"))
-        .to_pandas()
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"bytes": "sum", "n": "sum"},
     )
     agg["n_pages"] = agg["n"].astype("int64")
     agg["total_bytes"] = agg["bytes"].astype("int64")

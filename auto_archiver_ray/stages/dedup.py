@@ -80,18 +80,21 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
         return ds.groupby(key_col).map_groups(keep_min, batch_format="pandas")
 
     import ray
-    from ray.data.aggregate import Min
+
+    from .agg import driver_reduce
 
     def batch_min(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, id_col]).to_pandas()
         df = df.sort_values(id_col, kind="mergesort").drop_duplicates(subset=[key_col], keep="first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    winners = (
-        ds.map_batches(batch_min, batch_format="pyarrow", batch_size=65536)
-        .groupby(key_col)
-        .aggregate(Min(id_col, alias_name=id_col))
-        .to_pandas()
+    # final min-reduce on the driver — the winner set must fit there anyway
+    # for the broadcast step, and Ray's all-to-all Aggregate costs ~10s of
+    # fixed overhead that would dwarf this reduction
+    winners = driver_reduce(
+        ds.map_batches(batch_min, batch_format="pyarrow", batch_size=65536),
+        [key_col],
+        {id_col: "min"},
     )
     winner_set = set(zip(winners[key_col].tolist(), winners[id_col].tolist()))
     ref = ray.put(winner_set)

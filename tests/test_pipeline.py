@@ -69,7 +69,7 @@ def test_archive_pipeline_end_to_end():
     doc0 = batch.column("report_html").to_pylist()[0]
     assert h0 == f"SHA-256:{hashlib.sha256(doc0.encode()).hexdigest()}"
     # per-host summary aggregates
-    summ = archive_summary(archive_pages("/root/testdata/sf0.001", extract_concurrency=2)).to_pandas()
+    summ = archive_summary(archive_pages("/root/testdata/sf0.001", extract_concurrency=2))
     assert summ["n_urls"].sum() == batch.num_rows
     assert (summ["total_bytes"] > 0).all()
 
