@@ -30,6 +30,7 @@ def archive_pages(
     with_report: bool = False,
     batch_size: int = 256,
     extract_concurrency=4,
+    dedup_content: bool = False,
 ):
     """Build the lazy archive Dataset for an sf dir's pages table.
 
@@ -37,6 +38,14 @@ def archive_pages(
     url_clean/url_canon/host/url_hash/platform/auth_wall, content_hash,
     sha256, size_bytes/human, pdq_hash, status, title, text_extracted,
     timestamp, media_links, deletion_* (+ report_html/report_hash).
+
+    ``dedup_content=True`` inserts the global content dedup (one survivor
+    per payload sha256, min url_canon — the S3 no-dups semantics,
+    ref:modules/s3_storage/s3_storage.py:50-73) *before* extraction: a
+    cheap hash-only winner pass over (url, html) picks survivors, then the
+    expensive extract chain runs only on them — the Ray-native analogue of
+    the reference's cache-hit short-circuit before archiving
+    (ref:core/orchestrator.py:617-630).
     """
     ds = read_pages(sf_dir, columns=["url", "warc_ts", "html", "lang"])
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
@@ -44,6 +53,10 @@ def archive_pages(
     if frontier is not None:
         ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    if dedup_content:
+        from ..stages.dedup import exact_dedup
+
+        ds = exact_dedup(ds, "sha256", "url_canon")
     ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
     # autoscaling (1, N) pools: never let a full pool reserve every CPU and
@@ -71,10 +84,7 @@ def archive_pages_full(sf_dir: str, out_dir: str | None = None, **kwargs):
     (ref:modules/s3_storage/s3_storage.py:50-73): one survivor per sha256
     (minimum url_canon — deterministic), via hash-partition groupby.
     """
-    from ..stages.dedup import exact_dedup
-
-    ds = archive_pages(sf_dir, **kwargs)
-    ds = exact_dedup(ds.drop_columns(["media_links"]), "sha256", "url_canon")
+    ds = archive_pages(sf_dir, dedup_content=True, **kwargs).drop_columns(["media_links"])
     if out_dir:
         ds.write_parquet(out_dir, partition_cols=None)
         return out_dir

@@ -32,6 +32,13 @@ import pyarrow as pa
 from ..functions import textkit
 
 
+def _pair_hash64(key, ident) -> int:
+    import hashlib
+
+    blob = f"{key}\x1f{ident}".encode("utf-8")
+    return int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(), "little")
+
+
 def _empty_pairs(third_col: str, dtype: str) -> pd.DataFrame:
     """Typed empty pair frame — keeps the output schema stable when a bucket
     (or the whole dataset) yields no candidate pairs."""
@@ -92,21 +99,41 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
     # for the broadcast step, and Ray's all-to-all Aggregate costs ~10s of
     # fixed overhead that would dwarf this reduction
     winners = driver_reduce(
-        ds.map_batches(batch_min, batch_format="pyarrow", batch_size=65536),
+        # batch_size=None → per-block batches; a large fixed batch_size would
+        # coalesce the upstream into a couple of giant serial tasks
+        ds.map_batches(batch_min, batch_format="pyarrow"),
         [key_col],
         {id_col: "min"},
     )
-    winner_set = set(zip(winners[key_col].tolist(), winners[id_col].tolist()))
-    ref = ray.put(winner_set)
+    # Broadcast as a *sorted uint64 pair-hash array*, not a Python set: a
+    # numpy array comes out of the object store zero-copy, while a set of
+    # tuples would be re-unpickled by every stateless task (measured ~30s of
+    # pure deserialization on a 184-task stage). 64-bit pair hashes give a
+    # ~n²/2⁶⁴ false-keep probability (≈1e-9 at 10⁵ winners; switch to a
+    # two-word digest beyond ~10⁹ rows).
+    win_hash = np.sort(
+        np.fromiter(
+            (_pair_hash64(k, i) for k, i in zip(winners[key_col], winners[id_col])),
+            dtype=np.uint64,
+            count=len(winners),
+        )
+    )
+    ref = ray.put(win_hash)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
         w = ray.get(ref)
         keys = batch.column(key_col).to_pylist()
         ids = batch.column(id_col).to_pylist()
-        mask = [(k, i) in w for k, i in zip(keys, ids)]
+        n = len(keys)
+        if n == 0:
+            return batch
+        h = np.fromiter((_pair_hash64(k, i) for k, i in zip(keys, ids)), dtype=np.uint64, count=n)
+        pos = np.searchsorted(w, h)
+        pos[pos >= len(w)] = len(w) - 1 if len(w) else 0
+        mask = (w[pos] == h) if len(w) else np.zeros(n, dtype=bool)
         return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep_winners, batch_format="pyarrow", batch_size=65536)
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -44,7 +44,6 @@ def run_bench() -> dict:
     from auto_archiver_ray.pipelines import queries as Q
     from auto_archiver_ray.pipelines.archive import archive_pages
     from auto_archiver_ray.sources.pages import ensure_pages
-    from auto_archiver_ray.stages.dedup import exact_dedup
 
     pages_path = ensure_pages(SF_DIR)
     # warm the OS page cache so the timed run measures compute + shuffle
@@ -54,8 +53,12 @@ def run_bench() -> dict:
 
     out_dir = f"/tmp/aar_bench_out_{os.getpid()}"
     t0 = time.time()
-    ds = archive_pages(SF_DIR, batch_size=512, extract_concurrency=max(2, NUM_CPUS - 4))
-    ds = exact_dedup(ds.drop_columns(["media_links"]), "sha256", "url_canon")
+    ds = archive_pages(
+        SF_DIR,
+        batch_size=512,
+        extract_concurrency=max(2, NUM_CPUS - 4),
+        dedup_content=True,
+    ).drop_columns(["media_links"])
     ds.write_parquet(out_dir)
     headline = time.time() - t0
     shutil.rmtree(out_dir, ignore_errors=True)
