@@ -59,21 +59,18 @@ def archive_pages(
         ds = exact_dedup(ds, "sha256", "url_canon")
     ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
-    # autoscaling (1, N) pools: never let a full pool reserve every CPU and
-    # starve the read stage (deadlocks a small ray.init; wastes slots at scale)
+    # int → autoscaling (1, N) pool: never let a full pool reserve every CPU
+    # and starve the read stage (deadlocks a small ray.init). A tuple passes
+    # through — bench uses (A, A) fixed pools spawned during warmup.
+    conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
     ds = ds.map_batches(
         extract.ExtractStage,
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=(1, extract_concurrency),
+        concurrency=conc,
     )
     if with_report:
-        ds = ds.map_batches(
-            fmt.HtmlReportStage,
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=(1, extract_concurrency),
-        )
+        ds = ds.map_batches(fmt.html_report_batch, batch_format="pyarrow", batch_size=batch_size)
     return ds
 
 

@@ -23,7 +23,7 @@ import pyarrow.compute as pc
 
 from ..functions import textkit
 from ..stages.agg import driver_reduce
-from ..sources.pages import ensure_pages, pages_path
+from ..sources.pages import ensure_pages, pages_glob
 from ..stages import enrich, textstats, validate
 from ..stages.extract import ExtractStage
 
@@ -503,7 +503,7 @@ def q_pages_extract_text(sf_dir: str):
 
 
 def _sql_pages(sf_dir: str, body: str) -> str:
-    return body.replace("__PAGES__", f"read_parquet('{pages_path(sf_dir)}')")
+    return body.replace("__PAGES__", f"read_parquet('{pages_glob(sf_dir)}')")
 
 
 SQL_PAGES_EXTRACT_TEXT = "SELECT url, text AS text_extracted FROM __PAGES__"

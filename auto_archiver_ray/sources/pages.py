@@ -179,30 +179,51 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
 
 
 # rows per sf directory name (keyed by basename of the testdata dir)
-SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000}
+SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000, "bench": 1_200_000}
+
+
+# rows per output file — many files so Ray's read parallelizes per file
+# (a single parquet file is decoded by ONE read task regardless of row
+# groups; measured as the serial floor of the whole pipeline)
+ROWS_PER_FILE = 12_500
 
 
 def pages_path(sf_dir: str) -> str:
+    """Directory holding the sf's pages part files."""
     sf = os.path.basename(os.path.normpath(sf_dir))
     rows = SF_ROWS.get(sf, 3000)
-    return f"/tmp/aar_pages/{sf}_r{rows}/pages.parquet"
+    return f"/tmp/aar_pages/{sf}_r{rows}_v2"
+
+
+def pages_glob(sf_dir: str) -> str:
+    """Glob usable inside DuckDB's read_parquet(...)."""
+    return f"{pages_path(sf_dir)}/*.parquet"
 
 
 def ensure_pages(sf_dir: str) -> str:
-    """Idempotently materialize the pages table for an sf dir; returns path.
-
-    Atomic write (tmp + rename) so concurrent callers are safe.
+    """Idempotently materialize the pages table for an sf dir; returns the
+    directory path. Atomic (build in tmp dir + rename) for concurrent callers.
     """
     path = pages_path(sf_dir)
-    if os.path.exists(path):
+    if os.path.isdir(path):
         return path
     sf = os.path.basename(os.path.normpath(sf_dir))
     rows = SF_ROWS.get(sf, 3000)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     tbl = generate_pages(rows)
     tmp = f"{path}.tmp.{os.getpid()}"
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, path)
+    os.makedirs(tmp, exist_ok=True)
+    num_files = max(1, (rows + ROWS_PER_FILE - 1) // ROWS_PER_FILE)
+    step = (rows + num_files - 1) // num_files
+    for i in range(num_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, f"{tmp}/part-{i:05d}.parquet", row_group_size=4096)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # concurrent builder won the race
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 

@@ -67,3 +67,17 @@ class HtmlReportStage:
         return batch.append_column("report_html", pa.array(htmls, pa.string())).append_column(
             "report_hash", pa.array(hashes, pa.string())
         )
+
+
+_RENDERER: HtmlReportStage | None = None
+
+
+def html_report_batch(batch: pa.Table) -> pa.Table:
+    """Task-based formatter stage: renderer cached at module level per
+    worker process (the once-per-worker init the reference gets from its
+    setup() Jinja env, ref:modules/html_formatter/html_formatter.py:21-33) —
+    no actor pool needed, so the stage scales elastically with free CPUs."""
+    global _RENDERER
+    if _RENDERER is None:
+        _RENDERER = HtmlReportStage()
+    return _RENDERER(batch)
