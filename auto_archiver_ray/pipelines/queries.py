@@ -761,6 +761,109 @@ def q_embed_neardup(sf_dir: str):
     return df.reindex(columns=["id_a", "id_b", "cosine"])
 
 
+
+
+# ---------------------------------------------------------------------------
+# stream-shaped queries (as-of join, session windows)
+# ---------------------------------------------------------------------------
+
+
+def q_events_asof(sf_dir: str):
+    """As-of join within the events log: for each purchase, the user's most
+    recent prior (<=) view timestamp. Partition by user_id (the one
+    shuffle), merge_asof per group."""
+    from ..stages.window import asof_join_groups
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "event_type", "ts"])
+    out = asof_join_groups(
+        ds,
+        key_col="user_id",
+        ts_col="ts",
+        left_filter=lambda g: g["event_type"] == "purchase",
+        right_filter=lambda g: g["event_type"] == "view",
+        out_col="last_view_ts",
+    )
+    df = out.to_pandas()[["event_id", "last_view_ts"]].sort_values("event_id").reset_index(drop=True)
+    df["event_id"] = df["event_id"].astype("int64")
+    return df
+
+
+SQL_EVENTS_ASOF = """
+SELECT e1.event_id,
+       (SELECT max(e2.ts) FROM events e2
+        WHERE e2.user_id = e1.user_id AND e2.event_type = 'view' AND e2.ts <= e1.ts) AS last_view_ts
+FROM events e1 WHERE e1.event_type = 'purchase'
+ORDER BY e1.event_id
+"""
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows per user (gap > 1800 s starts a session)."""
+    from ..stages.window import session_windows
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    out = session_windows(ds, key_col="user_id", ts_col="ts", gap_seconds=1800.0)
+    df = out.to_pandas().sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    df["user_id"] = df["user_id"].astype("int64")
+    df["session_id"] = df["session_id"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    return df
+
+
+SQL_EVENTS_SESSIONS = """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 1800 SECOND
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+"""
+
+
+def q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): discovered media rows → opaque fake
+    payloads → decode-stub → unit-norm feature vectors. Exercises the
+    media-table schema and actor-pool stage signatures end to end."""
+    import hashlib
+
+    from ..stages.multimodal import ImageDecodeStage, ImageFeatureStage
+    from ..pipelines.archive import archive_pages
+    from ..stages.media import explode_media
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+
+    def to_media_rows(batch: pa.Table) -> pa.Table:
+        urls = batch.column("media_url_best").to_pylist()
+        hashes = batch.column("media_url_hash").to_pylist()
+        payloads = [hashlib.sha256(u.encode()).digest() * 4 for u in urls]  # fake opaque bytes
+        return pa.table(
+            {
+                "media_id": pa.array(hashes, pa.string()),
+                "kind": pa.array(["image"] * len(urls), pa.string()),
+                "mimetype": pa.array(["image/jpeg"] * len(urls), pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "props_json": pa.array(["{}"] * len(urls), pa.string()),
+            }
+        )
+
+    media = m.map_batches(to_media_rows, batch_format="pyarrow", batch_size=1024)
+    media = media.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    media = media.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    return media.select_columns(["media_id", "width", "height", "decode_ok", "feature"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -774,6 +877,9 @@ QUERIES = {
     "q_distinct_event_types": q_distinct_event_types,
     "q_events_hourly": q_events_hourly,
     "q_events_topusers": q_events_topusers,
+    "q_events_asof": q_events_asof,
+    "q_events_sessions": q_events_sessions,
+    "q_media_features": q_media_features,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_quality": q_doc_quality,
@@ -809,6 +915,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_events_topusers": SQL_EVENTS_TOPUSERS,
+        "q_events_asof": SQL_EVENTS_ASOF,
+        "q_events_sessions": SQL_EVENTS_SESSIONS,
         "q_doc_token_stats": SQL_DOC_TOKEN_STATS,
         "q_doc_exact_dedup": SQL_DOC_EXACT_DEDUP,
         "q_pages_extract_text": _sql_pages(sf_dir, SQL_PAGES_EXTRACT_TEXT),
