@@ -65,11 +65,69 @@ def telegram_parser(url: str, html: bytes) -> dict:
     return out
 
 
+def twitter_parser(url: str, html: bytes) -> dict:
+    """Twitter dropin stand-in: generic parse + media links rewritten to
+    best quality (``name=orig``), mirroring the twitter dropin's
+    choose-best-variant behavior (ref:modules/generic_extractor/twitter.py +
+    ref:utils/url.py:141-153)."""
+    out = generic_parser(url, html)
+    out["media_links"] = [urlkit.best_quality_url(u) for u in out["media_links"]]
+    if out["media_links"] or out["text"]:
+        out["status"] = "twitter: success"
+    return out
+
+
+_DURATION_RE = None
+
+
+def youtube_parser(url: str, html: bytes) -> dict:
+    """YouTube-shaped parse: generic extraction + video duration from the
+    page's <time> element content (m:ss → seconds — the telegram
+    extractor's duration math, ref:modules/telegram_extractor/
+    telegram_extractor.py:63-70, applied as the generic duration kernel)."""
+    import re
+
+    global _DURATION_RE
+    if _DURATION_RE is None:
+        _DURATION_RE = re.compile(r"<time\b[^>]*>([0-9:.]+)</time\s*>", re.IGNORECASE)
+    out = generic_parser(url, html)
+    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    m = _DURATION_RE.search(text)
+    if m:
+        raw = m.group(1)
+        try:
+            if ":" in raw:
+                mins, secs = raw.split(":", 1)
+                out["duration"] = float(mins) * 60 + float(secs)
+            else:
+                out["duration"] = float(raw)
+        except ValueError:
+            pass
+    out["status"] = "youtube: success" if (out["text"] or out["media_links"]) else ""
+    return out
+
+
 PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
-    # platform → ordered extractor chain (first success wins).
+    # platform → ordered extractor chain (first success wins) — the
+    # suitable()-routing + config-order fallback of
+    # ref:core/extractor.py:52-62 / ref:core/orchestrator.py:632-640.
     "telegram": (telegram_parser, generic_parser),
+    "twitter": (twitter_parser, generic_parser),
+    "youtube": (youtube_parser, generic_parser),
     "default": (generic_parser,),
 }
+
+
+def register_parser(platform: str, parser: Parser, prepend: bool = True) -> None:
+    """Dropin registration surface (the GenericDropin loader,
+    ref:modules/generic_extractor/dropin.py:7-77 +
+    generic_extractor.py:421-461): add a parser to a platform's chain."""
+    chain = list(PARSER_CHAINS.get(platform, PARSER_CHAINS["default"]))
+    if prepend:
+        chain.insert(0, parser)
+    else:
+        chain.append(parser)
+    PARSER_CHAINS[platform] = tuple(chain)
 
 
 def extract_one(url: str, platform: str, html: bytes) -> dict:
@@ -79,7 +137,7 @@ def extract_one(url: str, platform: str, html: bytes) -> dict:
     from ..functions.mergekit import is_success, merge_results
 
     acc: dict = {"status": "no archiver", "metadata": {}, "media": []}
-    fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": []}
+    fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": [], "duration": None}
     for parser in PARSER_CHAINS.get(platform, PARSER_CHAINS["default"]):
         try:
             res = parser(url, html)
@@ -91,8 +149,8 @@ def extract_one(url: str, platform: str, html: bytes) -> dict:
             for k in fields:
                 v = res.get(k)
                 if isinstance(v, list):
-                    fields[k] = fields[k] + v
-                elif v:
+                    fields[k] = (fields[k] or []) + v
+                elif v is not None and v != "":
                     fields[k] = v
         if is_success(acc["status"]):
             break
@@ -123,6 +181,7 @@ class ExtractStage:
         text = [""] * n
         tstamp = [""] * n
         links: list[list[str]] = [[] for _ in range(n)]
+        duration: list[float | None] = [None] * n
         deleted = [False] * n
         del_ind = [""] * n
         del_src = [""] * n
@@ -134,6 +193,7 @@ class ExtractStage:
             text[i] = res["text"]
             tstamp[i] = res["timestamp"]
             links[i] = res["media_links"]
+            duration[i] = res.get("duration")
             d, ind, src = textkit.detect_deletion(res["text"], res["title"], None, platforms[i])
             if d:  # ref:utils/deletion_detection.py:253-266
                 deleted[i], del_ind[i], del_src[i] = True, ind, src
@@ -145,6 +205,7 @@ class ExtractStage:
             .append_column("text_extracted", pa.array(text, pa.string()))
             .append_column("timestamp", pa.array(tstamp, pa.string()))
             .append_column("media_links", pa.array(links, pa.list_(pa.string())))
+            .append_column("duration", pa.array(duration, pa.float64()))
             .append_column("deletion_detected", pa.array(deleted, pa.bool_()))
             .append_column("deletion_indicator", pa.array(del_ind, pa.string()))
             .append_column("deletion_source", pa.array(del_src, pa.string()))
