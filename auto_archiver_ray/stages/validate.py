@@ -16,6 +16,12 @@ from ..functions import urlkit
 
 
 def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    import hashlib
+    from ipaddress import ip_address
+    from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
+
+    from ..functions.urlkit import _PLATFORM_DOMAIN_RULES, _TRACKER_PARAMS
+
     urls = batch.column(url_col).to_pylist()
     n = len(urls)
     valid = [False] * n
@@ -26,17 +32,66 @@ def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     url_hash = [""] * n
     platform = [""] * n
     auth_wall = [False] * n
+    # single-parse fast path: one urlparse per row instead of the five the
+    # naive composition of urlkit functions would make — behavior pinned
+    # equal to urlkit.{check_url,clean_url,canonicalize,...} by the urlkit
+    # unit tests and the q_pages_* oracles
     for i, u in enumerate(urls):
-        ok, why = urlkit.check_url(u)
-        valid[i], reason[i] = ok, why
-        if ok:
-            c = urlkit.clean_url(u)
-            cleaned[i] = c
-            canon[i] = urlkit.canonicalize(u)
-            host[i] = urlkit.domain_for_url(canon[i])
-            url_hash[i] = urlkit.url_seen_hex(canon[i])
-            platform[i] = urlkit.platform_for_url(u)
-            auth_wall[i] = urlkit.is_auth_wall(u)
+        if not (u.startswith("http://") or u.startswith("https://")):
+            reason[i] = "bad_scheme"
+            continue
+        parts = urlparse(u)
+        h = parts.hostname
+        if not h:
+            reason[i] = "no_hostname"
+            continue
+        if h == "localhost":
+            reason[i] = "localhost"
+            continue
+        try:
+            ip = ip_address(h)
+        except ValueError:
+            pass
+        else:
+            if not ip.is_global:
+                reason[i] = "ip_not_global"
+                continue
+            if ip.is_reserved:
+                reason[i] = "ip_reserved"
+                continue
+            if ip.is_link_local:
+                reason[i] = "ip_link_local"
+                continue
+            if ip.is_private:
+                reason[i] = "ip_private"
+                continue
+        valid[i] = True
+        if parts.query:
+            kept = [(k, v) for k, v in parse_qsl(parts.query) if k not in _TRACKER_PARAMS]
+            clean_q = urlencode(kept)
+        else:
+            clean_q = parts.query
+        cleaned[i] = parts._replace(query=clean_q).geturl()
+        hostport = h.lower()
+        port = parts.port
+        if port is not None and not (
+            (parts.scheme == "http" and port == 80) or (parts.scheme == "https" and port == 443)
+        ):
+            hostport = f"{hostport}:{port}"
+        c = urlunparse(
+            (parts.scheme.lower(), hostport, parts.path or "/", parts.params, clean_q, "")
+        )
+        canon[i] = c
+        host[i] = hostport
+        url_hash[i] = hashlib.sha256(c.encode("utf-8")).hexdigest()
+        netloc = parts.netloc
+        for needles, name in _PLATFORM_DOMAIN_RULES:
+            if any(x in netloc for x in needles):
+                platform[i] = name
+                break
+        else:
+            platform[i] = "unknown"
+        auth_wall[i] = urlkit.is_auth_wall(u)
     return (
         batch.append_column("valid", pa.array(valid, pa.bool_()))
         .append_column("invalid_reason", pa.array(reason, pa.string()))

@@ -1,0 +1,91 @@
+"""External-job, per-host enrich, and blob-storage pattern tests."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_external_job_pattern():
+    import ray
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.externaljob import (
+        JobServiceActor,
+        join_results_stage,
+        poll_until_done,
+        submit_stage,
+    )
+
+    svc = JobServiceActor.remote(polls_to_done=2)
+    ds = rd.from_pandas(pd.DataFrame({"url_hash": [f"h{i}" for i in range(20)]}))
+    submitted = ds.map_batches(submit_stage(svc), batch_format="pyarrow").materialize()
+    job_ids = submitted.to_pandas()["job_id"].tolist()
+    assert len(set(job_ids)) == 20
+
+    artifacts = poll_until_done(svc, job_ids, timeout_s=10)
+    assert all(a.startswith("https://archive.example/") for a in artifacts.values())
+
+    out = submitted.map_batches(join_results_stage(artifacts), batch_format="pyarrow").to_pandas()
+    assert (out["external_url"] != "").all()
+    stats = ray.get(svc.stats.remote())
+    assert stats["submitted"] == 20 and stats["done"] == 20
+    ray.kill(svc)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_external_job_timeout_leaves_blank():
+    import ray
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.externaljob import JobServiceActor, poll_until_done, submit_stage
+
+    svc = JobServiceActor.remote(polls_to_done=10_000)
+    ds = rd.from_pandas(pd.DataFrame({"url_hash": ["a"]}))
+    jid = ds.map_batches(submit_stage(svc), batch_format="pyarrow").to_pandas()["job_id"][0]
+    artifacts = poll_until_done(svc, [jid], timeout_s=0.3)
+    assert artifacts[jid] == ""
+    ray.kill(svc)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_per_host_enrich_once():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.hostops import per_host_enrich
+
+    calls = []
+
+    def fetch(host):
+        calls.append(host)
+        return f"cert-of-{host}"
+
+    df = pd.DataFrame({"host": ["a.com", "b.com", "a.com", "a.com", "b.com"]})
+    out = per_host_enrich(rd.from_pandas(df), fetch=fetch).to_pandas()
+    assert sorted(calls) == ["a.com", "b.com"]  # once per host, not per row
+    assert (out[out.host == "a.com"]["ssl_cert"] == "cert-of-a.com").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_media_dedup_and_write(tmp_path):
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.storage import store_media
+
+    rows = pd.DataFrame(
+        {
+            "storage_key": ["k1.jpg", "k1.jpg", "k2.jpg"],
+            "media_url_hash": ["u1", "u2", "u3"],
+            "payload": [b"abc", b"abc", b"defg"],
+        }
+    )
+    manifest = store_media(rd.from_pandas(rows), str(tmp_path)).to_pandas()
+    # k1 deduped: 2 rows → 1 upload
+    assert len(manifest) == 2
+    assert sorted(manifest["storage_key"]) == ["k1.jpg", "k2.jpg"]
+    for _, r in manifest.iterrows():
+        assert os.path.exists(r["blob_path"])
+        assert r["cdn_url"].startswith("file://")
+    assert open(tmp_path / "k2.jpg", "rb").read() == b"defg"
