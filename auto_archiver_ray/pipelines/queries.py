@@ -864,6 +864,96 @@ def q_media_features(sf_dir: str):
     return media.select_columns(["media_id", "width", "height", "decode_ok", "feature"])
 
 
+
+
+def q_pages_wayback(sf_dir: str):
+    """External-archive job pattern (rows-only): submit every valid page to
+    the (stubbed) save-page service, poll to completion, join archive URLs
+    back — the Wayback/Whisper async-job shape
+    (ref:modules/wayback_extractor_enricher/wayback_extractor_enricher.py:25-110)."""
+    import ray
+
+    from ..stages.externaljob import (
+        JobServiceActor,
+        join_results_stage,
+        poll_until_done,
+        submit_stage,
+    )
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+    svc = JobServiceActor.remote(polls_to_done=1)
+    submitted = ds.select_columns(["url", "url_hash"]).map_batches(
+        submit_stage(svc), batch_format="pyarrow", batch_size=1024
+    ).materialize()
+    job_ids = [r["job_id"] for r in submitted.select_columns(["job_id"]).take_all()]
+    artifacts = poll_until_done(svc, job_ids, timeout_s=60)
+    out = submitted.map_batches(join_results_stage(artifacts), batch_format="pyarrow")
+    df = out.select_columns(["url", "external_url"]).to_pandas()
+    ray.kill(svc)
+    return df
+
+
+def q_media_store(sf_dir: str):
+    """Media storage plane (rows-only): discovered media → storage keys →
+    content-dedup → parallel blob write manifest (S3 no-dups + LocalStorage
+    semantics with fake payloads)."""
+    import hashlib
+    import tempfile
+
+    from ..pipelines.archive import archive_pages
+    from ..stages.media import add_storage_keys, explode_media
+    from ..stages.storage import store_media
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    m = m.map_batches(add_storage_keys, batch_format="pyarrow", batch_size=4096)
+
+    def fake_payloads(batch: pa.Table) -> pa.Table:
+        urls = batch.column("media_url_best").to_pylist()
+        return batch.append_column(
+            "payload",
+            pa.array([hashlib.sha256(u.encode()).digest() for u in urls], pa.binary()),
+        )
+
+    m = m.map_batches(fake_payloads, batch_format="pyarrow", batch_size=4096)
+    root = tempfile.mkdtemp(prefix="aar_media_store_")
+    manifest = store_media(m, root).to_pandas()
+    return manifest[["storage_key", "n_bytes"]].sort_values("storage_key").reset_index(drop=True)
+
+
+_CRAWL_SEQ = [0]
+
+
+def q_crawl_epochs(sf_dir: str):
+    """Full frontier crawl (rows-only): seeds → sharded bloom frontier →
+    politeness epochs → per-epoch archive partitions; returns per-epoch row
+    counts (deterministic function of the seed list + budget)."""
+    import os
+    import tempfile
+
+    from ..pipelines.crawl import crawl
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    _CRAWL_SEQ[0] += 1
+    prefix = f"qcrawl_{os.getpid()}_{_CRAWL_SEQ[0]}"
+    src = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts", "html", "lang"])
+    f = Frontier(num_shards=4, capacity_per_shard=1_000_000, name_prefix=prefix)
+    out_root = tempfile.mkdtemp(prefix="aar_crawl_")
+    writer, stats = crawl(src, out_root, frontier=f, per_host_budget=100, extract_concurrency=4)
+    f.shutdown()
+    rows = [
+        {"partition": part, "n_rows": int(rec["rows"])}
+        for part, rec in sorted(writer.completed().items())
+    ]
+    return pd.DataFrame(rows, columns=["partition", "n_rows"])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -880,6 +970,9 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     "q_media_features": q_media_features,
+    "q_media_store": q_media_store,
+    "q_pages_wayback": q_pages_wayback,
+    "q_crawl_epochs": q_crawl_epochs,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_quality": q_doc_quality,
