@@ -1,9 +1,9 @@
 """Benchmark harness.
 
-Headline: the flagship archive pipeline (validate → content-dedup winner
-pass → enrich → extract → parquet sink) over a 600k-row synthetic pages
-table (the BASELINE.json input_hint shape), reported as wall seconds +
-URLs/sec. Per-query timings run at $GRAFT_SF_DIR (default sf0.1).
+Headline: the flagship archive pipeline (validate → enrich → extract →
+parquet sink) over a 1.2M-row synthetic pages table (the BASELINE.json
+input_hint shape), reported as wall seconds + URLs/sec. Per-query timings
+run at $GRAFT_SF_DIR (default sf0.1).
 
 An untimed warmup pipeline runs first so Ray worker processes and actor
 pools are already forked when the timed run starts — the timed number
@@ -11,8 +11,8 @@ measures compute + shuffle, not interpreter spawn.
 
 Usage:
     python bench.py                 # one JSON line, honoring $RAY_GRAFT_CPUS
-    python bench.py --scaling       # 8 vs 32 CPUs in fresh processes;
-                                    # prints throughputs + scaling efficiency
+    python bench.py --scaling       # 4 vs 16 CPUs (N vs 4N) in fresh
+                                    # processes; prints throughputs + efficiency
 """
 
 from __future__ import annotations
@@ -25,7 +25,7 @@ import sys
 import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
-BENCH_PAGES = os.environ.get("GRAFT_BENCH_PAGES", "bench")  # 600k-row pages profile
+BENCH_PAGES = os.environ.get("GRAFT_BENCH_PAGES", "bench")  # 1.2M-row pages profile
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
@@ -96,7 +96,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             per_query[name] = round(time.time() - t0, 3)
 
     result = {
-        "metric": "archive_pipeline_600k_wall_sec",
+        "metric": "archive_pipeline_wall_sec",
         "value": round(headline, 3),
         "unit": "sec",
         "urls_per_sec": round(n_pages / headline, 1),
