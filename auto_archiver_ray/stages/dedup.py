@@ -240,6 +240,78 @@ def minhash_candidate_pairs(
     return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
 
 
+def label_propagate(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b", max_iters: int = 10):
+    """Distributed connected components over the pair graph: iterative
+    min-label propagation with NO driver-side state — the 100 TB path for
+    cluster assignment (:func:`cluster_pairs`'s union-find is preferred
+    while the pair set fits one machine).
+
+    Each round is two hash-partitioned groupbys:
+    1. union(labels, edges) grouped by node → every node emits its current
+       label to itself and to each neighbor (message rows keyed by dst);
+    2. messages grouped by dst → new label = min received.
+    Converges in O(cluster diameter) rounds (near-dup clusters are tiny, so
+    2-4 in practice); stops early when the global min-label sum is stable
+    (a cheap scalar aggregate, not a label download).
+
+    Returns a Dataset of (node, label) where label = min node id of the
+    component.
+    """
+
+    def seed_edges(batch: pa.Table) -> pa.Table:
+        a = batch.column(id_col_a).to_pylist()
+        b = batch.column(id_col_b).to_pylist()
+        return pa.table(
+            {
+                "node": pa.array(a + b, pa.int64()),
+                "peer": pa.array(b + a, pa.int64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(seed_edges, batch_format="pyarrow").materialize()
+
+    def init_labels(g: pd.DataFrame) -> pa.Table:
+        n = int(g["node"].iloc[0])
+        # return Arrow so every block in the union shares one block type
+        return pa.table({"node": pa.array([n], pa.int64()), "peer": pa.array([-1], pa.int64()), "label": pa.array([n], pa.int64())})
+
+    labels = edges.groupby("node").map_groups(init_labels, batch_format="pandas").materialize()
+    prev_sum = None
+
+    for _ in range(max_iters):
+        # edges carry label=-1 sentinel; labels carry peer=-1 sentinel
+        tagged = labels.union(
+            edges.map_batches(
+                lambda t: t.append_column("label", pa.array([-1] * t.num_rows, pa.int64())),
+                batch_format="pyarrow",
+            )
+        )
+
+        def emit_messages(g: pd.DataFrame) -> pa.Table:
+            node = int(g["node"].iloc[0])
+            lab = int(g.loc[g["peer"] == -1, "label"].min())
+            dsts = [node] + [int(p) for p in g.loc[g["peer"] != -1, "peer"]]
+            return pa.table({"dst": pa.array(dsts, pa.int64()), "cand": pa.array([lab] * len(dsts), pa.int64())})
+
+        messages = tagged.groupby("node").map_groups(emit_messages, batch_format="pandas")
+
+        def reduce_min(g: pd.DataFrame) -> pa.Table:
+            return pa.table(
+                {
+                    "node": pa.array([int(g["dst"].iloc[0])], pa.int64()),
+                    "peer": pa.array([-1], pa.int64()),
+                    "label": pa.array([int(g["cand"].min())], pa.int64()),
+                }
+            )
+
+        labels = messages.groupby("dst").map_groups(reduce_min, batch_format="pandas").materialize()
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.drop_columns(["peer"])
+
+
 def cluster_pairs(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b") -> dict[int, int]:
     """Union-find over the (small) pair dataset, streamed via iter_batches.
     Returns {doc_id: cluster_root} for every id appearing in a pair."""

@@ -130,3 +130,23 @@ def test_embedding_neardup_and_knn():
         bf_set = set(out[out.query_id == qi]["vec_id"].tolist())
         ivf_set = set(ivf[ivf.query_id == qi]["vec_id"].tolist())
         assert len(bf_set & ivf_set) >= 3  # recall ≥ 0.6 at nprobe=half
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagate_matches_union_find():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import cluster_pairs, label_propagate
+
+    # two chains and a triangle: {1-2-3-4}, {10-11}, {20-21-22 triangle}
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 2, 3, 10, 20, 20, 21],
+            "id_b": [2, 3, 4, 11, 21, 22, 22],
+        }
+    )
+    ds = rd.from_pandas(pairs)
+    labels = label_propagate(ds).to_pandas().set_index("node")["label"].to_dict()
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    uf = cluster_pairs(rd.from_pandas(pairs))
+    assert {n: uf[n] for n in labels} == labels
