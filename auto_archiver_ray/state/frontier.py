@@ -176,6 +176,49 @@ class Frontier:
 
         return fn
 
+    def set_robots(self, rules: dict[str, list[str]]) -> None:
+        """Route each host's disallow-prefix list to the shard that owns the
+        host (same partitioning as the seen-filter — one owner per host)."""
+        per_shard: dict[int, dict[str, list[str]]] = {}
+        for host, prefixes in rules.items():
+            per_shard.setdefault(shard_for_host(host, self.num_shards), {})[host] = prefixes
+        futs = []
+        for sid, hostmap in per_shard.items():
+            for host, prefixes in hostmap.items():
+                futs.append(self.shards[sid].set_robots.remote(host, prefixes))
+        ray.get(futs)
+
+    def robots_filter_stage(self):
+        """map_batches callable: drops rows whose url_canon path is
+        disallowed by the owning shard's robots cache. Requires ``host`` and
+        ``url_canon`` columns."""
+        from urllib.parse import urlparse
+
+        shards = self.shards
+        num_shards = self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            hosts = batch.column("host").to_pylist()
+            canons = batch.column("url_canon").to_pylist()
+            n = len(hosts)
+            if n == 0:
+                return batch
+            paths = [urlparse(c).path for c in canons]
+            shard_ids = np.asarray([shard_for_host(h, num_shards) for h in hosts])
+            keep = np.zeros(n, dtype=bool)
+            futures, index_lists = [], []
+            for s in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == s)[0]
+                futures.append(
+                    shards[s].robots_allowed.remote([hosts[i] for i in idx], [paths[i] for i in idx])
+                )
+                index_lists.append(idx)
+            for fut, idx in zip(ray.get(futures), index_lists):
+                keep[idx] = fut
+            return batch.filter(pa.array(keep))
+
+        return fn
+
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 

@@ -83,3 +83,26 @@ def test_partition_skip_on_partial_resume(tmp_path):
     assert [c for c in ep0.columns if c != "part"] == ["sentinel"]
     assert len(writer2.completed()) >= 2
     f.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_respects_robots(tmp_path):
+    """URLs under a disallowed prefix never enter the frontier or output."""
+    import ray.data as rd
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+    src = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    f = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="crawl_rob")
+    rules = {"site00.example.org": ["/p/"]}  # ban the whole path space of the hottest host
+    writer, stats = crawl(
+        src,
+        str(tmp_path / "out"),
+        frontier=f,
+        per_host_budget=50,
+        extract_concurrency=2,
+        robots_rules=rules,
+    )
+    out = writer.read_all().to_pandas()
+    assert "site00.example.org" not in set(out["host"])
+    assert len(out) > 0
+    f.shutdown()

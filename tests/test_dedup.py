@@ -150,3 +150,22 @@ def test_label_propagate_matches_union_find():
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
     uf = cluster_pairs(rd.from_pandas(pairs))
     assert {n: uf[n] for n in labels} == labels
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_cached_results_groupby():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.mergeops import merge_cached_results
+
+    rows = pd.DataFrame(
+        {
+            "url_hash": ["u1", "u1", "u2", "u2"],
+            "attempt": [0, 1, 0, 1],
+            "n_media": [1, 2, 3, 3],
+            "n_meta": [5, 1, 2, 9],
+        }
+    )
+    out = merge_cached_results(rd.from_pandas(rows)).to_pandas().set_index("url_hash")
+    assert out.loc["u1", "attempt"] == 1  # more media wins
+    assert out.loc["u2", "attempt"] == 1  # media tie → more metadata wins

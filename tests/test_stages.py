@@ -122,3 +122,36 @@ def test_frame_sample_stage_rows():
 
     with _pytest.raises(NotImplementedError):
         multimodal.FrameSampleStage(decode=True)(batch)
+
+
+def test_best_variant_parity():
+    from auto_archiver_ray.stages.mergeops import best_variant
+
+    variants = [
+        {"content_type": "image/jpeg", "url": "i"},
+        {"content_type": "video/mp4", "bit_rate": 320, "url": "a"},
+        {"content_type": "video/mp4", "bit_rate": 832, "url": "b"},
+        {"content_type": "video/mp4", "bit_rate": 832, "url": "c"},  # tie → first wins
+    ]
+    assert best_variant(variants)["url"] == "b"
+    assert best_variant([{"content_type": "image/jpeg", "url": "i"}])["url"] == "i"
+    assert best_variant([]) is None
+
+
+def test_best_variant_stage():
+    import json
+    import pyarrow as pa
+
+    from auto_archiver_ray.stages.mergeops import best_variant_stage
+
+    batch = pa.table(
+        {
+            "variants_json": [
+                json.dumps([{"content_type": "video/mp4", "bit_rate": 1, "url": "x"}]),
+                "not json",
+                "[]",
+            ]
+        }
+    )
+    out = best_variant_stage(batch)
+    assert out.column("best_variant_url").to_pylist() == ["x", "", ""]
