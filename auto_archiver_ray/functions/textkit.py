@@ -211,6 +211,20 @@ def indicators_for_platform(platform: str) -> list[str]:
     return GENERIC_DELETION_INDICATORS
 
 
+# (indicators, lowered) per platform, built once — detect_deletion runs per
+# row in the hot extract stage
+_INDICATOR_CACHE: dict[str, tuple[list[str], list[str]]] = {}
+
+
+def _indicator_pairs(platform: str) -> tuple[list[str], list[str]]:
+    pair = _INDICATOR_CACHE.get(platform)
+    if pair is None:
+        inds = indicators_for_platform(platform)
+        pair = (inds, [i.lower() for i in inds])
+        _INDICATOR_CACHE[platform] = pair
+    return pair
+
+
 def detect_deletion(
     html_text: str | None,
     page_title: str | None,
@@ -221,8 +235,7 @@ def detect_deletion(
     html then title then error, first match wins.
     Parity: ref:utils/deletion_detection.py:142-226 (video-metadata branch
     omitted: no yt-dlp in this engine's data plane)."""
-    indicators = indicators_for_platform(platform)
-    lowered = [i.lower() for i in indicators]
+    indicators, lowered = _indicator_pairs(platform)
     for source, blob in (
         ("html_content", html_text),
         ("page_title", page_title),
