@@ -83,3 +83,20 @@ def test_archive_full_content_dedup():
     assert df["sha256"].is_unique
     # survivor is min url_canon per group (deterministic)
     assert (df.groupby("sha256")["url_canon"].count() == 1).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pipeline_deterministic_across_runs():
+    """Re-executing the flagship pipeline yields identical rows (no
+    wall-clock / random dependence anywhere — the retry/lineage guarantee)."""
+    from auto_archiver_ray.pipelines.archive import archive_pages
+
+    def snapshot():
+        df = archive_pages("/root/testdata/sf0.001", extract_concurrency=2).to_pandas()
+        df["media_links"] = df["media_links"].map(lambda x: tuple(x))
+        return df.sort_values("url").reset_index(drop=True)
+
+    a, b = snapshot(), snapshot()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
