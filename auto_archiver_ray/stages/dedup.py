@@ -164,6 +164,11 @@ class MinHashStage:
 
 
 def _explode_bands(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
+    """Band rows carry the full signature (num_bands copies per doc) so the
+    per-bucket verifier can estimate Jaccard without a second join. At
+    10⁹-doc scale swap to shuffling (id, band_key) only and re-joining
+    signatures per bucket by id — trades one extra shuffle for num_bands×
+    less shuffle payload."""
     ids = batch.column(id_col).to_pylist()
     sigs = batch.column("minhash_sig").to_pylist()
     out_id, out_band = [], []
