@@ -372,6 +372,244 @@ ORDER BY total_value DESC, user_id LIMIT 10
 """
 
 
+
+
+def q_lineitem_brand(sf_dir: str):
+    """lineitem ⋈ part (broadcast small side) → per-brand quantity/revenue."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
+    brand_map = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
+    ref = ray.put(brand_map)
+
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        bm = _ray.get(ref)
+        brands = [bm.get(k, "") for k in batch["l_partkey"].to_pylist()]
+        t = pa.table(
+            {
+                "p_brand": pa.array(brands, pa.string()),
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "rev_c": _cents(batch["l_extendedprice"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("p_brand").aggregate([("qty", "sum"), ("rev_c", "sum"), ("n", "sum")]).rename_columns(
+            ["p_brand", "qty", "rev_c", "n"]
+        )
+
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["p_brand"],
+        {"qty": "sum", "rev_c": "sum", "n": "sum"},
+    )
+    agg["sum_qty"] = agg["qty"].astype("int64")
+    agg["revenue"] = agg["rev_c"].astype("int64") / 100
+    agg["n_items"] = agg["n"].astype("int64")
+    return agg[["p_brand", "sum_qty", "revenue", "n_items"]].sort_values("p_brand").reset_index(drop=True)
+
+
+SQL_LINEITEM_BRAND = """
+SELECT p.p_brand,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY p.p_brand ORDER BY p.p_brand
+"""
+
+
+def q_customer_nation(sf_dir: str):
+    """Multi-hop broadcast join orders→customer→nation → per-nation rollup."""
+    import pyarrow.parquet as pq
+    import ray
+
+    rd = _rd()
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    n_names = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
+    cust_nation = {
+        ck: n_names[nk]
+        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
+    }
+    ref = ray.put(cust_nation)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        cn = _ray.get(ref)
+        names = [cn.get(k, "") for k in batch["o_custkey"].to_pylist()]
+        t = pa.table(
+            {
+                "n_name": pa.array(names, pa.string()),
+                "rev_c": _cents(batch["o_totalprice"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("n_name").aggregate([("rev_c", "sum"), ("n", "sum")]).rename_columns(
+            ["n_name", "rev_c", "n"]
+        )
+
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["n_name"],
+        {"rev_c": "sum", "n": "sum"},
+    )
+    agg["total_revenue"] = agg["rev_c"].astype("int64") / 100
+    agg["n_orders"] = agg["n"].astype("int64")
+    return agg[["n_name", "total_revenue", "n_orders"]].sort_values("n_name").reset_index(drop=True)
+
+
+SQL_CUSTOMER_NATION = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS DOUBLE)/100 AS total_revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def q_events_minmax(sf_dir: str):
+    """Min/Max aggregates (exact on 2dp doubles — no accumulation error)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby("event_type", as_index=False).agg(
+            first_ts=("ts", "min"), last_ts=("ts", "max"), min_value=("value", "min"), max_value=("value", "max")
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    frames = list(parts.iter_batches(batch_size=65536, batch_format="pandas"))
+    df = pd.concat(frames, ignore_index=True)
+    out = df.groupby("event_type", as_index=False).agg(
+        first_ts=("first_ts", "min"), last_ts=("last_ts", "max"), min_value=("min_value", "min"), max_value=("max_value", "max")
+    )
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+SQL_EVENTS_MINMAX = """
+SELECT event_type, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       MIN(value) AS min_value, MAX(value) AS max_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_region_nation_union(sf_dir: str):
+    """Set op: union-all of region and nation names (Dataset.union)."""
+    rd = _rd()
+    r = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    n = rd.read_parquet(f"{sf_dir}/nation.parquet", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return r.union(n)
+
+
+SQL_REGION_NATION_UNION = """
+SELECT r_name AS name FROM region UNION ALL SELECT n_name AS name FROM nation
+"""
+
+
+def q_top_orders_per_customer(sf_dir: str):
+    """Top-2 orders per customer by totalprice (grouped top-k:
+    groupby(custkey).map_groups sort+head — the per-group window-function
+    shape; exact cents keep the ranking identical to SQL)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return batch.append_column("price_c", _cents(batch["o_totalprice"])).drop_columns(["o_totalprice"])
+
+    ds = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=65536)
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["price_c", "o_orderkey"], ascending=[False, True], kind="mergesort").head(2)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    out = ds.groupby("o_custkey").map_groups(top2, batch_format="pandas").to_pandas()
+    out["o_totalprice"] = out["price_c"].astype("int64") / 100
+    out = out[["o_custkey", "o_orderkey", "o_totalprice", "rank"]]
+    return out.sort_values(["o_custkey", "rank"]).reset_index(drop=True)
+
+
+SQL_TOP_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey,
+       CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100 AS o_totalprice,
+       CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS BIGINT) AS rank
+FROM orders
+QUALIFY rank <= 2
+ORDER BY o_custkey, rank
+"""
+
+
+def q_lineitem_pushdown(sf_dir: str):
+    """Row-group predicate pushdown at the read: shipdate range filter
+    passed to read_parquet, then an exact-cents rollup."""
+    import pyarrow.compute as pc2
+    import pyarrow.dataset as pads
+
+    rd = _rd()
+    expr = (pads.field("l_shipdate") >= pa.scalar(pd.Timestamp("1997-01-01"))) & (
+        pads.field("l_shipdate") < pa.scalar(pd.Timestamp("1998-01-01"))
+    )
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_shipdate"],
+        filter=expr,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # residual filter (pushdown prunes row groups; rows inside a kept
+        # group still need the predicate applied)
+        m = pc2.and_(
+            pc2.greater_equal(batch["l_shipdate"], pa.scalar(pd.Timestamp("1997-01-01"))),
+            pc2.less(batch["l_shipdate"], pa.scalar(pd.Timestamp("1998-01-01"))),
+        )
+        batch = batch.filter(m)
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pc2.cast(batch["l_quantity"], pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("l_returnflag").aggregate([("qty", "sum"), ("n", "sum")]).rename_columns(
+            ["l_returnflag", "qty", "n"]
+        )
+
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["l_returnflag"],
+        {"qty": "sum", "n": "sum"},
+    )
+    agg["sum_qty"] = agg["qty"].astype("int64")
+    agg["n_items"] = agg["n"].astype("int64")
+    return agg[["l_returnflag", "sum_qty", "n_items"]].sort_values("l_returnflag").reset_index(drop=True)
+
+
+SQL_LINEITEM_PUSHDOWN = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents queries
 # ---------------------------------------------------------------------------
@@ -967,6 +1205,12 @@ QUERIES = {
     "q_distinct_event_types": q_distinct_event_types,
     "q_events_hourly": q_events_hourly,
     "q_events_topusers": q_events_topusers,
+    "q_events_minmax": q_events_minmax,
+    "q_lineitem_brand": q_lineitem_brand,
+    "q_customer_nation": q_customer_nation,
+    "q_region_nation_union": q_region_nation_union,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_lineitem_pushdown": q_lineitem_pushdown,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     "q_media_features": q_media_features,
@@ -1008,6 +1252,12 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_distinct_event_types": SQL_DISTINCT_EVENT_TYPES,
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_events_topusers": SQL_EVENTS_TOPUSERS,
+        "q_events_minmax": SQL_EVENTS_MINMAX,
+        "q_lineitem_brand": SQL_LINEITEM_BRAND,
+        "q_customer_nation": SQL_CUSTOMER_NATION,
+        "q_region_nation_union": SQL_REGION_NATION_UNION,
+        "q_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
+        "q_lineitem_pushdown": SQL_LINEITEM_PUSHDOWN,
         "q_events_asof": SQL_EVENTS_ASOF,
         "q_events_sessions": SQL_EVENTS_SESSIONS,
         "q_doc_token_stats": SQL_DOC_TOKEN_STATS,
