@@ -610,6 +610,52 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+
+
+def q_events_sliding(sf_dir: str):
+    """Sliding-window aggregate: 1-hour windows sliding every 15 min per
+    event_type. Explode per row into its 4 containing windows (shuffle-free
+    kernel), then a bounded-group rollup. Window key = epoch seconds
+    (int64) to keep both engines' timestamp semantics out of the compare."""
+    from functools import partial as _partial
+
+    from ..stages.window import sliding_window_explode
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    exploded = ds.map_batches(
+        _partial(sliding_window_explode, ts_col="ts", window_s=3600, slide_s=900),
+        batch_format="pandas",
+        batch_size=65536,
+    )
+
+    def partial_agg(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.assign(n=np.ones(len(batch), dtype="int64"))
+        return batch.groupby(["event_type", "win_start_s"], as_index=False)[["n"]].sum()
+
+    agg = driver_reduce(
+        exploded.map_batches(partial_agg, batch_format="pandas", batch_size=65536),
+        ["event_type", "win_start_s"],
+        {"n": "sum"},
+    )
+    agg["win_start_s"] = agg["win_start_s"].astype("int64")
+    agg["n_events"] = agg["n"].astype("int64")
+    return agg[["event_type", "win_start_s", "n_events"]].sort_values(
+        ["event_type", "win_start_s"]
+    ).reset_index(drop=True)
+
+
+# each event belongs to windows floor(epoch/900)*900 - k*900 for k in 0..3
+SQL_EVENTS_SLIDING = """
+SELECT event_type,
+       CAST((CAST(floor(epoch(ts)/900) AS BIGINT) - k.k)*900 AS BIGINT) AS win_start_s,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events CROSS JOIN (SELECT range AS k FROM range(0, 4)) k
+GROUP BY event_type, win_start_s
+ORDER BY event_type, win_start_s
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents queries
 # ---------------------------------------------------------------------------
@@ -1206,6 +1252,7 @@ QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_events_topusers": q_events_topusers,
     "q_events_minmax": q_events_minmax,
+    "q_events_sliding": q_events_sliding,
     "q_lineitem_brand": q_lineitem_brand,
     "q_customer_nation": q_customer_nation,
     "q_region_nation_union": q_region_nation_union,
@@ -1253,6 +1300,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_events_hourly": SQL_EVENTS_HOURLY,
         "q_events_topusers": SQL_EVENTS_TOPUSERS,
         "q_events_minmax": SQL_EVENTS_MINMAX,
+        "q_events_sliding": SQL_EVENTS_SLIDING,
         "q_lineitem_brand": SQL_LINEITEM_BRAND,
         "q_customer_nation": SQL_CUSTOMER_NATION,
         "q_region_nation_union": SQL_REGION_NATION_UNION,

@@ -83,6 +83,31 @@ def session_windows(
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
 
+def sliding_window_explode(
+    batch: pd.DataFrame,
+    ts_col: str,
+    window_s: int = 3600,
+    slide_s: int = 900,
+    out_col: str = "win_start_s",
+) -> pd.DataFrame:
+    """Shuffle-free sliding-window assignment: each row explodes into the
+    ``window_s / slide_s`` windows that contain it, keyed by epoch-second
+    window start (int64 — timestamp-typed keys invite tz/precision drift
+    between engines). Follow with a bounded-group rollup on
+    (key..., win_start_s)."""
+    k = window_s // slide_s
+    # cast through datetime64[s] so the int64 is epoch seconds regardless of
+    # the column's stored resolution (us vs ns)
+    epoch = batch[ts_col].astype("datetime64[s]").astype("int64")
+    base = (epoch // slide_s) * slide_s
+    frames = []
+    for i in range(k):
+        f = batch.copy()
+        f[out_col] = base - i * slide_s
+        frames.append(f)
+    return pd.concat(frames, ignore_index=True)
+
+
 def tumbling_window_column(batch: pd.DataFrame, ts_col: str, freq: str = "h", out_col: str = "window") -> pd.DataFrame:
     """Shuffle-free tumbling-window assignment: floor the timestamp. The
     subsequent aggregate is a bounded-group rollup (see q_events_hourly)."""

@@ -89,3 +89,23 @@ def test_store_media_dedup_and_write(tmp_path):
         assert os.path.exists(r["blob_path"])
         assert r["cdn_url"].startswith("file://")
     assert open(tmp_path / "k2.jpg", "rb").read() == b"defg"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_compact_output(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.compact import compact
+
+    d = str(tmp_path / "many")
+    import os
+
+    os.makedirs(d)
+    for i in range(12):
+        pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}), f"{d}/f{i}.parquet")
+    info = compact(d, target_rows_per_file=60)
+    assert info == {"files_before": 12, "files_after": 2, "rows": 120}
+    vals = sorted(rd.read_parquet(d).to_pandas()["x"].tolist())
+    assert vals == list(range(120))
