@@ -114,3 +114,28 @@ def test_crawl_epoch_plan_deterministic():
     for h, g in out1.groupby("host"):
         g = g.sort_values("warc_ts")
         assert (g["fetch_epoch"].diff().fillna(0) >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_epoch_priority_ordering():
+    """Higher-priority URLs land in earlier epochs within their host."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import assign_crawl_epochs
+
+    rows = []
+    for i in range(20):
+        rows.append(
+            {
+                "host": "h.org",
+                "url_canon": f"https://h.org/p/{i:03d}",
+                "warc_ts": pd.Timestamp("2024-01-01"),
+                "priority": 1 if i < 10 else 9,  # later urls are high-priority
+            }
+        )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = assign_crawl_epochs(ds, per_host_budget=5, priority_col="priority").to_pandas()
+    first_epoch = set(out[out.fetch_epoch == 0]["url_canon"])
+    # epoch 0 = the five highest-priority urls (desc priority, then ts, url)
+    assert first_epoch == {f"https://h.org/p/{i:03d}" for i in range(10, 15)}
