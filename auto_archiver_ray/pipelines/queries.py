@@ -656,6 +656,54 @@ ORDER BY event_type, win_start_s
 """
 
 
+
+
+def q_orders_lineitem_join(sf_dir: str):
+    """Large-large hash join: lineitem ⋈ orders on orderkey via the native
+    hash-partitioned ``Dataset.join`` (both sides shuffle), then an
+    exact-cents rollup per order priority. The portable explicit variant
+    (tag+union+groupby+merge with hot-key salting) is
+    stages/join.bucketed_hash_join, tested equivalent."""
+    from ..stages.join import dataset_join
+
+    rd = _rd()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]).map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]), batch_format="pyarrow"
+    )
+    joined = dataset_join(li, orders, on="l_orderkey", num_partitions=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("o_orderpriority").aggregate([("qty", "sum"), ("n", "sum")]).rename_columns(
+            ["o_orderpriority", "qty", "n"]
+        )
+
+    agg = driver_reduce(
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        ["o_orderpriority"],
+        {"qty": "sum", "n": "sum"},
+    )
+    agg["sum_qty"] = agg["qty"].astype("int64")
+    agg["n_items"] = agg["n"].astype("int64")
+    return agg[["o_orderpriority", "sum_qty", "n_items"]].sort_values("o_orderpriority").reset_index(drop=True)
+
+
+SQL_ORDERS_LINEITEM_JOIN = """
+SELECT o.o_orderpriority,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents queries
 # ---------------------------------------------------------------------------
@@ -1258,6 +1306,7 @@ QUERIES = {
     "q_region_nation_union": q_region_nation_union,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_lineitem_pushdown": q_lineitem_pushdown,
+    "q_orders_lineitem_join": q_orders_lineitem_join,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     "q_media_features": q_media_features,
@@ -1306,6 +1355,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_region_nation_union": SQL_REGION_NATION_UNION,
         "q_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "q_lineitem_pushdown": SQL_LINEITEM_PUSHDOWN,
+        "q_orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
         "q_events_asof": SQL_EVENTS_ASOF,
         "q_events_sessions": SQL_EVENTS_SESSIONS,
         "q_doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -109,3 +109,41 @@ def test_compact_output(tmp_path):
     assert info == {"files_before": 12, "files_after": 2, "rows": 120}
     vals = sorted(rd.read_parquet(d).to_pandas()["x"].tolist())
     assert vals == list(range(120))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bucketed_hash_join_matches_pandas():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.join import bucketed_hash_join, dataset_join
+
+    left = pd.DataFrame({"k": [1, 1, 2, 3, 5], "lv": ["a", "b", "c", "d", "e"]})
+    right = pd.DataFrame({"k": [1, 2, 2, 4], "rv": [10, 20, 21, 40]})
+    expect = left.merge(right, on="k").sort_values(["k", "lv", "rv"]).reset_index(drop=True)
+
+    out = (
+        bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    # dtype check off: null-padding the union schema upcasts ints to float
+    pd.testing.assert_frame_equal(out, expect, check_dtype=False)
+
+    # salted variant gives identical rows
+    out_s = (
+        bucketed_hash_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_buckets=4, salt=3)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    pd.testing.assert_frame_equal(out_s, expect, check_dtype=False)
+
+    # native Dataset.join agrees
+    nat = (
+        dataset_join(rd.from_pandas(left), rd.from_pandas(right), on="k", num_partitions=4)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    pd.testing.assert_frame_equal(nat, expect)
