@@ -704,6 +704,20 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 """
 
 
+
+
+def q_events_distinct_users_approx(sf_dir: str):
+    """Approximate distinct users via mergeable HyperLogLog sketches (one
+    sketch per batch, driver merge — no distinct shuffle). Rows-only:
+    approximate by design; accuracy (±1%) pinned by tests/test_sketch.py."""
+    from ..functions.sketch import approx_distinct
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": pd.array([int(round(est))], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # documents queries
 # ---------------------------------------------------------------------------
@@ -1301,6 +1315,7 @@ QUERIES = {
     "q_events_topusers": q_events_topusers,
     "q_events_minmax": q_events_minmax,
     "q_events_sliding": q_events_sliding,
+    "q_events_distinct_users_approx": q_events_distinct_users_approx,
     "q_lineitem_brand": q_lineitem_brand,
     "q_customer_nation": q_customer_nation,
     "q_region_nation_union": q_region_nation_union,
