@@ -718,6 +718,52 @@ def q_events_distinct_users_approx(sf_dir: str):
     return pd.DataFrame({"approx_distinct_users": pd.array([int(round(est))], dtype="int64")})
 
 
+
+
+def q_orders_without_lineitems(sf_dir: str):
+    """Anti join: orders with no lineitems (broadcast key-membership filter
+    — the cache/already-archived anti-join shape; 257 hits at sf0.01)."""
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
+        lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
+    )
+    out = anti_join(orders, li, on="o_orderkey").to_pandas()
+    out = out.reindex(columns=["o_orderkey", "o_orderstatus"])  # stable schema when empty
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+SQL_ORDERS_WITHOUT_LINEITEMS = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q_pages_sample(sf_dir: str):
+    """Deterministic hash-based 5% sample of valid pages — reproducible by
+    any engine (md5-bucket predicate; DuckDB's md5_number_lower matches the
+    Python digest byte-for-byte)."""
+    from ..stages.sample import deterministic_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+    out = deterministic_sample(ds.select_columns(["url"]), "url", permille=50).to_pandas()
+    return out.sort_values("url").reset_index(drop=True)
+
+
+SQL_PAGES_SAMPLE = f"""
+SELECT url FROM __PAGES__
+WHERE ({_VALID_SQL}) AND md5_number_lower(url) % 1000 < 50
+ORDER BY url
+"""
+
+
 # ---------------------------------------------------------------------------
 # documents queries
 # ---------------------------------------------------------------------------
@@ -1322,6 +1368,8 @@ QUERIES = {
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_lineitem_pushdown": q_lineitem_pushdown,
     "q_orders_lineitem_join": q_orders_lineitem_join,
+    "q_orders_without_lineitems": q_orders_without_lineitems,
+    "q_pages_sample": q_pages_sample,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     "q_media_features": q_media_features,
@@ -1371,6 +1419,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_top_orders_per_customer": SQL_TOP_ORDERS_PER_CUSTOMER,
         "q_lineitem_pushdown": SQL_LINEITEM_PUSHDOWN,
         "q_orders_lineitem_join": SQL_ORDERS_LINEITEM_JOIN,
+        "q_orders_without_lineitems": SQL_ORDERS_WITHOUT_LINEITEMS,
+        "q_pages_sample": _sql_pages(sf_dir, SQL_PAGES_SAMPLE),
         "q_events_asof": SQL_EVENTS_ASOF,
         "q_events_sessions": SQL_EVENTS_SESSIONS,
         "q_doc_token_stats": SQL_DOC_TOKEN_STATS,

@@ -109,3 +109,51 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
         return lrows.merge(rrows, on=on, how="inner")
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# semi / anti joins (broadcast key membership — the cache anti-join shape,
+# ref:core/orchestrator.py:617-630 / SURVEY.md §2.H)
+# ---------------------------------------------------------------------------
+
+
+def _broadcast_keys(keys_ds, on: str):
+    import ray
+
+    vals = set()
+    for b in keys_ds.select_columns([on]).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        vals.update(b.column(on).to_pylist())
+    arr = np.sort(np.asarray([_key_hash([v], 1 << 62)[0] for v in vals], dtype=np.int64))
+    return ray.put(arr)
+
+
+def _membership_filter(ds, keys_ds, on: str, keep_members: bool):
+    """Filter ``ds`` by membership of ``on`` in ``keys_ds`` — the key set is
+    broadcast once as a sorted int64 hash array (zero-copy per task).
+    64-bit hashing: false-member probability ~n²/2⁶² (swap in exact string
+    broadcast below ~10⁴ keys if that ever matters)."""
+    import ray
+
+    ref = _broadcast_keys(keys_ds, on)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        keys = batch.column(on).to_pylist()
+        h = _key_hash(keys, 1 << 62)
+        pos = np.searchsorted(w, h)
+        pos[pos >= len(w)] = max(0, len(w) - 1)
+        member = (w[pos] == h) if len(w) else np.zeros(len(keys), dtype=bool)
+        return batch.filter(pa.array(member if keep_members else ~member))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def semi_join(ds, keys_ds, on: str):
+    """Rows of ds whose key appears in keys_ds."""
+    return _membership_filter(ds, keys_ds, on, keep_members=True)
+
+
+def anti_join(ds, keys_ds, on: str):
+    """Rows of ds whose key does NOT appear in keys_ds (the frontier's
+    already-archived filter in Dataset form)."""
+    return _membership_filter(ds, keys_ds, on, keep_members=False)

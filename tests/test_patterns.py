@@ -147,3 +147,28 @@ def test_bucketed_hash_join_matches_pandas():
         .reset_index(drop=True)[["k", "lv", "rv"]]
     )
     pd.testing.assert_frame_equal(nat, expect)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semi_anti_join():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.join import anti_join, semi_join
+
+    data = pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")})
+    keys = pd.DataFrame({"k": [2, 4, 9]})
+    semi = semi_join(rd.from_pandas(data), rd.from_pandas(keys), "k").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = anti_join(rd.from_pandas(data), rd.from_pandas(keys), "k").to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_deterministic_sample_bucket_matches_duckdb():
+    import duckdb
+
+    from auto_archiver_ray.stages.sample import md5_bucket
+
+    con = duckdb.connect()
+    for v in ["https://a.com/1", "xyz", "äöü", ""]:
+        sql = con.execute("SELECT md5_number_lower(?) % 1000", [v]).fetchone()[0]
+        assert md5_bucket(v, 1000) == int(sql)
