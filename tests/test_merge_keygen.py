@@ -101,3 +101,26 @@ def test_timekit():
     assert timekit.parse_datetime("01/02/2024").day == 1  # dayfirst=True
     assert timekit.parse_datetime("2024-01-02", fmt="%Y-%m-%d").month == 1
     assert timekit.parse_datetime("garbage") is None
+
+
+def test_auth_registry_www_variants():
+    from auto_archiver_ray.functions.auth import AuthRegistry
+
+    reg = AuthRegistry({"example.com": {"api_key": "k1"}, "www.other.org": {"cookie": "c"}})
+    assert reg.get("example.com") == {"api_key": "k1"}
+    assert reg.get("www.example.com") == {"api_key": "k1"}  # www variant
+    assert reg.get("other.org") == {"cookie": "c"}  # registered with www
+    assert reg.get("api.example.com") == {"api_key": "k1"}  # parent-domain walk
+    assert reg.get("unknown.net") == {}
+    assert reg.get("unknown.net", {"d": 1}) == {"d": 1}
+
+
+def test_token_ring_rotation():
+    import pytest as _pytest
+
+    from auto_archiver_ray.functions.auth import TokenRing
+
+    ring = TokenRing(["a", "b", "c"])
+    assert [ring.acquire() for _ in range(7)] == ["a", "b", "c", "a", "b", "c", "a"]
+    with _pytest.raises(ValueError):
+        TokenRing([])
