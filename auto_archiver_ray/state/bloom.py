@@ -49,9 +49,45 @@ class BloomFilter:
     def __contains__(self, digest: bytes) -> bool:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(digest))
 
+    # ------------------------------------------------------------ vectorized
+    def _pos_matrix(self, digests: list[bytes]) -> np.ndarray:
+        """(n, k) probe positions from the digest bytes — no per-key Python
+        hashing (the frontier hot path; ~10⁶+ keys/s per shard)."""
+        n = len(digests)
+        arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
+        u32 = arr[:, : 4 * self.num_hashes].copy().view("<u4").reshape(n, self.num_hashes)
+        return (u32 % np.uint32(self.num_bits)).astype(np.int64)
+
+    def contains_batch(self, digests: list[bytes]) -> np.ndarray:
+        if not digests:
+            return np.zeros(0, dtype=bool)
+        pos = self._pos_matrix(digests)
+        byte_idx = pos >> 3
+        masks = np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+        return ((self.bits[byte_idx] & masks) == masks).all(axis=1)
+
     def add_batch(self, digests: list[bytes]) -> list[bool]:
-        """Vector add; returns is_new per digest (inverse of `add`)."""
-        return [not self.add(d) for d in digests]
+        """Vectorized test-and-insert; returns is_new per digest. Within-batch
+        repeats of the same digest: the first occurrence is new, the rest are
+        duplicates (identical to sequential `add` calls)."""
+        n = len(digests)
+        if n == 0:
+            return []
+        raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
+        _, first_idx, inverse = np.unique(raw, axis=0, return_index=True, return_inverse=True)
+        uniq_digests = [digests[i] for i in first_idx]
+        present = self.contains_batch(uniq_digests)
+        new_uniq = ~present
+        if new_uniq.any():
+            pos = self._pos_matrix([d for d, nw in zip(uniq_digests, new_uniq) if nw])
+            byte_idx = pos >> 3
+            masks = np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
+            np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())
+            self.count += int(new_uniq.sum())
+        # row is new iff it is the FIRST occurrence of a newly-inserted digest
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        return (is_first & new_uniq[inverse]).tolist()
 
     # ------------------------------------------------------------------ io
     def to_bytes(self) -> bytes:

@@ -62,18 +62,17 @@ class FrontierShard:
         self.epoch = 0
 
     def check_and_add(self, digests: list[bytes], hosts: list[str]) -> list[bool]:
-        """Membership-test-and-insert; True = first sighting (admit)."""
-        out = []
-        for d, h in zip(digests, hosts):
-            dup = self.bloom.add(d)
-            out.append(not dup)
-            self.counters["offered"] += 1
-            if dup:
-                self.counters["duplicate"] += 1
-            else:
-                self.counters["admitted"] += 1
+        """Membership-test-and-insert (vectorized); True = first sighting."""
+        is_new = self.bloom.add_batch(digests)
+        n = len(is_new)
+        admitted = sum(is_new)
+        self.counters["offered"] += n
+        self.counters["admitted"] += admitted
+        self.counters["duplicate"] += n - admitted
+        for h, nw in zip(hosts, is_new):
+            if nw:
                 self.host_counts[h] = self.host_counts.get(h, 0) + 1
-        return out
+        return is_new
 
     def peek(self, digests: list[bytes]) -> list[bool]:
         return [d in self.bloom for d in digests]

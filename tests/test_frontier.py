@@ -139,3 +139,32 @@ def test_crawl_epoch_priority_ordering():
     first_epoch = set(out[out.fetch_epoch == 0]["url_canon"])
     # epoch 0 = the five highest-priority urls (desc priority, then ts, url)
     assert first_epoch == {f"https://h.org/p/{i:03d}" for i in range(10, 15)}
+
+
+def test_bloom_vectorized_matches_scalar():
+    import hashlib
+
+    a, b = BloomFilter(50_000), BloomFilter(50_000)
+    keys = [hashlib.sha256(f"k{i % 700}".encode()).digest() for i in range(1000)]  # repeats
+    scalar = [not a.add(k) for k in keys]
+    vec = b.add_batch(keys)
+    assert vec == scalar
+    assert a.count == b.count
+    assert (a.bits == b.bits).all()
+    # contains_batch agrees with __contains__
+    probe = keys[:50] + [hashlib.sha256(f"z{i}".encode()).digest() for i in range(50)]
+    assert b.contains_batch(probe).tolist() == [k in a for k in probe]
+
+
+def test_bloom_batch_throughput_sane():
+    import hashlib
+    import time
+
+    bf = BloomFilter(2_000_000)
+    keys = [hashlib.sha256(i.to_bytes(8, "little")).digest() for i in range(200_000)]
+    t0 = time.time()
+    out = bf.add_batch(keys)
+    dt = time.time() - t0
+    assert sum(out) == 200_000
+    # sanity, not a benchmark: vectorized path clears 200k keys well under 5s
+    assert dt < 5.0
