@@ -47,6 +47,24 @@ def is_success(status: str) -> bool:
     return "success" in status
 
 
+# bookkeeping keys ignored by the emptiness test (ref:core/metadata.py:98-102)
+_BOOKKEEPING_KEYS = frozenset(
+    ["_processed_at", "url", "original_url", "total_bytes", "total_size", "archive_duration_seconds"]
+)
+
+
+def is_empty(result: dict) -> bool:
+    """True when a result archived nothing meaningful: not a success, no
+    media, and no metadata keys beyond bookkeeping.
+    Parity: ref:core/metadata.py:98-102."""
+    meaningful = set(result.get("metadata", {})) - _BOOKKEEPING_KEYS
+    return (
+        not is_success(result.get("status", ""))
+        and len(result.get("media", [])) == 0
+        and len(meaningful) == 0
+    )
+
+
 def choose_most_complete(results: list[dict[str, Any]]) -> dict[str, Any] | None:
     if not results:
         return None

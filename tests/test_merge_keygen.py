@@ -124,3 +124,11 @@ def test_token_ring_rotation():
     assert [ring.acquire() for _ in range(7)] == ["a", "b", "c", "a", "b", "c", "a"]
     with _pytest.raises(ValueError):
         TokenRing([])
+
+
+def test_is_empty_parity():
+    empty = {"status": "no archiver", "metadata": {"url": "u", "_processed_at": 1, "total_bytes": 5}, "media": []}
+    assert mergekit.is_empty(empty)
+    assert not mergekit.is_empty({**empty, "status": "x: success"})
+    assert not mergekit.is_empty({**empty, "media": [{"m": 1}]})
+    assert not mergekit.is_empty({**empty, "metadata": {**empty["metadata"], "title": "t"}})
