@@ -50,6 +50,7 @@ def crawl(
     checkpoint_dir: str | None = None,
     robots_rules: dict[str, list[str]] | None = None,
     pages_source_factory=None,
+    bucketed: bool = False,
 ):
     """Run the crawl over a pages Dataset (columns url, warc_ts, html, lang).
 
@@ -85,39 +86,96 @@ def crawl(
         num_epochs = min(num_epochs, max_epochs)
 
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
+
+    # ``bucketed``: one extra pass writes every epoch's rows into a
+    # hive-partitioned staging dir (partition_cols=["fetch_epoch"]) so each
+    # epoch then reads ONLY its own bucket — 2 source reads + 1 staged write
+    # total, vs 1 + num_epochs source reads in streaming mode. Worth it once
+    # num_epochs is more than a handful.
+    bucket_dir = None
+    if bucketed and num_epochs:
+        import shutil
+        import tempfile
+
+        import ray
+
+        hashes, epochs = [], []
+        for b in planned.select_columns(["url_hash", "fetch_epoch"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            hashes.extend(b.column("url_hash").to_pylist())
+            epochs.extend(b.column("fetch_epoch").to_pylist())
+        hs = _hash_hex_to_u64(hashes)
+        order = np.argsort(hs)
+        plan_keys = hs[order]
+        plan_epochs = np.asarray(epochs, dtype=np.int64)[order]
+        plan_ref = ray.put((plan_keys, plan_epochs))
+
+        def attach_epoch(batch: pa.Table) -> pa.Table:
+            keys, eps = ray.get(plan_ref)
+            hx = batch.column("url_hash").to_pylist()
+            if not hx:
+                return batch.append_column("fetch_epoch", pa.array([], pa.int64()))
+            h = _hash_hex_to_u64(hx)
+            pos = np.searchsorted(keys, h)
+            pos[pos >= len(keys)] = max(0, len(keys) - 1)
+            member = (keys[pos] == h) if len(keys) else np.zeros(len(hx), dtype=bool)
+            ep = np.where(member, eps[pos] if len(keys) else -1, -1)
+            out = batch.append_column("fetch_epoch", pa.array(ep.astype(np.int64)))
+            return out.filter(pa.array(member))
+
+        staged = source_factory()
+        staged = staged.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+        staged = staged.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+        staged = staged.map_batches(attach_epoch, batch_format="pyarrow", batch_size=batch_size)
+        bucket_dir = tempfile.mkdtemp(prefix="aar_crawl_buckets_")
+        staged.write_parquet(bucket_dir, partition_cols=["fetch_epoch"])
+
     for epoch in range(num_epochs):
         part = f"epoch{epoch:05d}"
         if writer.is_done(part):
             continue
-        epoch_keys = planned.filter(expr=f"fetch_epoch == {epoch}")
-        hashes = [
-            h
-            for b in epoch_keys.select_columns(["url_hash"]).iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-            for h in b.column("url_hash").to_pylist()
-        ]
-        member = np.sort(_hash_hex_to_u64(hashes))
-        import ray
+        if bucket_dir is None:
+            epoch_keys = planned.filter(expr=f"fetch_epoch == {epoch}")
+            hashes = [
+                h
+                for b in epoch_keys.select_columns(["url_hash"]).iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+                for h in b.column("url_hash").to_pylist()
+            ]
+            member = np.sort(_hash_hex_to_u64(hashes))
+            import ray
 
-        member_ref = ray.put(member)
+            member_ref = ray.put(member)
 
-        def keep_epoch(batch: pa.Table) -> pa.Table:
-            w = ray.get(member_ref)
-            hx = batch.column("url_hash").to_pylist()
-            if not hx:
-                return batch
-            h = _hash_hex_to_u64(hx)
-            pos = np.searchsorted(w, h)
-            pos[pos >= len(w)] = max(0, len(w) - 1)
-            mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
-            return batch.filter(pa.array(mask))
+            def keep_epoch(batch: pa.Table) -> pa.Table:
+                w = ray.get(member_ref)
+                hx = batch.column("url_hash").to_pylist()
+                if not hx:
+                    return batch
+                h = _hash_hex_to_u64(hx)
+                pos = np.searchsorted(w, h)
+                pos[pos >= len(w)] = max(0, len(w) - 1)
+                mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
+                return batch.filter(pa.array(mask))
 
-        # fetch phase: fresh streaming read; html goes straight to extract
-        epoch_ds = source_factory()
-        epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
-        epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
-        epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
+        # fetch phase: staged epoch bucket, or fresh streaming read with a
+        # broadcast membership filter; html goes straight to extract
+        if bucket_dir is not None:
+            import glob as _glob
+
+            import ray.data as rd
+
+            files = sorted(_glob.glob(f"{bucket_dir}/fetch_epoch={epoch}/*.parquet"))
+            if not files:
+                continue
+            epoch_ds = rd.read_parquet(files)
+        else:
+            epoch_ds = source_factory()
+            epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(
@@ -130,4 +188,8 @@ def crawl(
         if checkpoint_dir:
             frontier.checkpoint(checkpoint_dir)
 
+    if bucket_dir is not None:
+        import shutil
+
+        shutil.rmtree(bucket_dir, ignore_errors=True)
     return writer, frontier.stats()

@@ -715,7 +715,7 @@ def q_events_distinct_users_approx(sf_dir: str):
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
     est = approx_distinct(ds, "user_id")
-    return pd.DataFrame({"approx_distinct_users": pd.array([int(round(est))], dtype="int64")})
+    return pd.DataFrame({"approx_distinct_users": np.array([int(round(est))], dtype="int64")})
 
 
 
@@ -972,7 +972,7 @@ def q_pages_trackers(sf_dir: str):
             batch_size=1024, batch_format="pyarrow"
         )
     )
-    return pd.DataFrame({"n_tracker_urls": pd.array([total], dtype="int64")})
+    return pd.DataFrame({"n_tracker_urls": np.array([total], dtype="int64")})
 
 
 SQL_PAGES_TRACKERS = f"""

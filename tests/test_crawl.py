@@ -106,3 +106,29 @@ def test_crawl_respects_robots(tmp_path):
     assert "site00.example.org" not in set(out["host"])
     assert len(out) > 0
     f.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_bucketed_matches_streaming(tmp_path):
+    """bucketed=True (staged epoch partitions) produces the same output rows
+    as the streaming per-epoch re-read."""
+    import ray.data as rd
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+
+    def run(mode_dir, name, bucketed):
+        src = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+        f = Frontier(num_shards=2, capacity_per_shard=100_000, name_prefix=name)
+        writer, _ = crawl(
+            src, mode_dir, frontier=f, per_host_budget=40, extract_concurrency=2, bucketed=bucketed
+        )
+        df = writer.read_all().to_pandas()
+        f.shutdown()
+        cols = ["url", "sha256", "status", "text_extracted", "fetch_epoch", "host"]
+        return df[cols].sort_values("url").reset_index(drop=True)
+
+    a = run(str(tmp_path / "stream"), "cb_s", False)
+    b = run(str(tmp_path / "bucket"), "cb_b", True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b)
