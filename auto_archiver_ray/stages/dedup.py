@@ -77,16 +77,37 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
     the shuffle. The winner set is one row per distinct key — fits driver
     memory up to ~10^8 keys; beyond that use strategy="shuffle".
 
-    strategy="shuffle": classic hash-partition + per-group head(1) via
-    ``groupby(key).map_groups`` — full-row shuffle, no driver state; slower
-    when groups are tiny but unbounded in key cardinality.
+    strategy="shuffle": hash-partition + per-partition winner selection —
+    full-row shuffle, no driver state, unbounded key cardinality. The
+    partition key is a COARSE hash bucket (hash(key) % 4096), not the key
+    itself: Ray's map_groups pays fixed overhead per group, so shuffling to
+    ~4k buckets and deduping inside each with a vectorized pandas
+    drop_duplicates is orders faster than one group per distinct key while
+    producing identical winners (all rows of a key land in one bucket).
     """
     if strategy == "shuffle":
+        import hashlib as _hashlib
 
-        def keep_min(group: pd.DataFrame) -> pd.DataFrame:
-            return group.sort_values(id_col, kind="mergesort").head(1)
+        def add_coarse(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            coarse = [
+                int.from_bytes(
+                    _hashlib.blake2b(str(k).encode(), digest_size=4).digest(), "little"
+                )
+                % 4096
+                for k in keys
+            ]
+            return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
 
-        return ds.groupby(key_col).map_groups(keep_min, batch_format="pandas")
+        def keep_min_per_key(group: pd.DataFrame) -> pd.DataFrame:
+            g = group.sort_values([key_col, id_col], kind="mergesort")
+            return g.drop_duplicates(subset=[key_col], keep="first").drop(columns=["__coarse"])
+
+        return (
+            ds.map_batches(add_coarse, batch_format="pyarrow")
+            .groupby("__coarse")
+            .map_groups(keep_min_per_key, batch_format="pandas")
+        )
 
     import ray
 

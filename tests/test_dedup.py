@@ -169,3 +169,25 @@ def test_merge_cached_results_groupby():
     out = merge_cached_results(rd.from_pandas(rows)).to_pandas().set_index("url_hash")
     assert out.loc["u1", "attempt"] == 1  # more media wins
     assert out.loc["u2", "attempt"] == 1  # media tie → more metadata wins
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_dedup_shuffle_strategy_matches_broadcast():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import exact_dedup
+
+    df = pd.DataFrame(
+        {
+            "key": [f"k{i % 37}" for i in range(500)],
+            "id": [f"id{i:04d}" for i in range(500)],
+            "val": range(500),
+        }
+    )
+    ds = rd.from_pandas(df)
+    a = exact_dedup(ds, "key", "id", strategy="broadcast").to_pandas().sort_values("key").reset_index(drop=True)
+    b = exact_dedup(ds, "key", "id", strategy="shuffle").to_pandas().sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+    # winners really are min-id per key
+    expect = df.sort_values("id").drop_duplicates("key").sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b[["key", "id", "val"]], expect[["key", "id", "val"]])
