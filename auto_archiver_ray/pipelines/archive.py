@@ -95,12 +95,17 @@ def archive_summary(ds):
     import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc2
-
         tbl = batch.group_by("host").aggregate(
             [("size_bytes", "sum"), ("url", "count"), ("deletion_detected", "sum")]
         )
-        return tbl.rename_columns(["host", "bytes_partial", "urls_partial", "deleted_partial"])
+        # rename by SOURCE name, not position — pyarrow has moved the group key
+        # column between first and last across releases
+        ren = {
+            "size_bytes_sum": "bytes_partial",
+            "url_count": "urls_partial",
+            "deletion_detected_sum": "deleted_partial",
+        }
+        return tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
 
     partials = ds.select_columns(["host", "size_bytes", "url", "deletion_detected"]).map_batches(
         partial, batch_format="pyarrow", batch_size=8192

@@ -1,6 +1,7 @@
 """The frontier-driven crawl pipeline — the north rule end to end.
 
-    seeds → validate/canonicalize → [robots filter] → frontier seen-filter
+    seeds → validate/canonicalize → [robots filter] → deterministic
+      snapshot dedup (min warc_ts per url_hash) → frontier seen-filter
       (sharded actors) → deterministic politeness epochs (per-host budget,
       planned over KEY COLUMNS ONLY — the html payload never enters the
       plan shuffle) → per-epoch fetch/extract/enrich → per-epoch
@@ -14,19 +15,33 @@ sorted-hash membership filter (~8 bytes per admitted URL), so the binary
 never crosses a shuffle or a materialization (SURVEY.md §7.5 "wide binary
 rows"; measured 6× faster than planning over full rows at 1.2M pages).
 
+Epoch membership is keyed on the COMBINED (url_hash, warc_ts) hash of the
+planned row, so when the source holds several snapshots of one URL exactly
+the planned snapshot (min warc_ts — deterministic) is fetched: duplicates
+cannot re-enter the epoch and per-host politeness budgets hold.
+
 Resume contract: killed after epoch k ⇒ a new run with the same seed list
-restores the frontier snapshot, finds epochs 0..k in the output manifest,
-and continues at k+1 producing identical partitions (the plan is a pure
-function of (seed list, politeness budget) — state.frontier.
-assign_crawl_epochs). This reproduces the reference's ledger-resume
-semantics (ref:modules/gsheet_feeder_db/gsheet_feeder_db.py:70-79) with
-in-engine state.
+and checkpoint_dir finds epochs 0..k in the output manifest and continues
+at k+1 producing identical partitions. The epoch plan is a pure function
+of (seed list, politeness budget): on a resumed run it is computed with an
+EPHEMERAL seen-filter — the restored bloom already contains every planned
+URL and would otherwise empty the plan — while the restored persistent
+frontier keeps the cross-run URL-seen set and counters. For a later run
+that ADDS seeds, pass ``incremental=True``: the restored bloom then admits
+only genuinely new URLs and their epochs are written under a fresh
+``runNNN_epochNNNNN`` partition prefix (prior partitions untouched).
+This reproduces the reference's ledger-resume semantics
+(ref:modules/gsheet_feeder_db/gsheet_feeder_db.py:70-79) with in-engine
+state.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages import enrich, extract, validate
 from ..state.checkpoint import PartitionedWriter
@@ -34,9 +49,46 @@ from ..state.frontier import Frontier, assign_crawl_epochs
 
 PLAN_COLUMNS = ["host", "url_canon", "url_hash", "warc_ts"]
 
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_PLAN_SEQ = [0]
+
 
 def _hash_hex_to_u64(hexes: list[str]) -> np.ndarray:
     return np.asarray([int(h[:16], 16) for h in hexes], dtype=np.uint64)
+
+
+def _ts_us(col) -> np.ndarray:
+    """warc_ts column → int64 microseconds regardless of source unit (the
+    plan side round-trips through pandas and may come back as ns)."""
+    return np.asarray(
+        pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64()).to_pylist(), dtype=np.int64
+    )
+
+
+def _snapshot_key_u64(url_hashes: list[str], ts_us: np.ndarray) -> np.ndarray:
+    """Combined (url_hash, warc_ts) 64-bit key — identifies one SNAPSHOT of a
+    URL, so epoch membership admits exactly the planned row even when the
+    source carries several rows for one canonical URL."""
+    h = _hash_hex_to_u64(url_hashes)
+    return (h * _GOLD) ^ ts_us.view(np.uint64)
+
+
+def _plan_member_arrays(planned_subset) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted snapshot keys, epochs aligned to them) from plan key columns."""
+    keys_parts, ep_parts = [], []
+    for b in planned_subset.select_columns(["url_hash", "warc_ts", "fetch_epoch"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        keys_parts.append(
+            _snapshot_key_u64(b.column("url_hash").to_pylist(), _ts_us(b.column("warc_ts")))
+        )
+        ep_parts.append(np.asarray(b.column("fetch_epoch").to_pylist(), dtype=np.int64))
+    if not keys_parts:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    keys = np.concatenate(keys_parts)
+    eps = np.concatenate(ep_parts)
+    order = np.argsort(keys)
+    return keys[order], eps[order]
 
 
 def crawl(
@@ -51,6 +103,7 @@ def crawl(
     robots_rules: dict[str, list[str]] | None = None,
     pages_source_factory=None,
     bucketed: bool = False,
+    incremental: bool = False,
 ):
     """Run the crawl over a pages Dataset (columns url, warc_ts, html, lang).
 
@@ -63,21 +116,49 @@ def crawl(
     are skipped (resume).
     """
     frontier = frontier or Frontier(num_shards=8)
-    if checkpoint_dir:
-        frontier.restore(checkpoint_dir)
+    restored = frontier.restore(checkpoint_dir) if checkpoint_dir else 0
     if robots_rules:
         frontier.set_robots(robots_rules)
     writer = PartitionedWriter(out_root)
     source_factory = pages_source_factory or (lambda: pages_source)
 
     # ---- plan phase: keys only, payload projected away before any shuffle
+    from ..stages.dedup import exact_dedup
+
     keyed = pages_source.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
     keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
     if robots_rules:
         keyed = keyed.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=batch_size)
-    keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
     keyed = keyed.select_columns(PLAN_COLUMNS)
+    # deterministic snapshot choice: one plan row per canonical URL, the
+    # min-warc_ts snapshot — never "whichever block arrived first" (a pure
+    # function of the seed list, required for identical resume partitions)
+    keyed = exact_dedup(keyed, "url_hash", "warc_ts", strategy="shuffle")
+
+    part_prefix = ""
+    if incremental and restored:
+        # restored bloom admits only genuinely NEW seeds; their epochs get a
+        # fresh partition prefix so prior runs' partitions stay untouched
+        prior_runs = {p.split("_", 1)[0] for p in writer.completed() if p.startswith("run")}
+        part_prefix = f"run{len(prior_runs) + 1:03d}_"
+        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+        plan_frontier = None
+    elif restored:
+        # resumed run, same seed list: the restored bloom already contains
+        # every planned URL and would empty the plan (the ADVICE bug) — plan
+        # with an ephemeral filter; the manifest skips finished epochs
+        _PLAN_SEQ[0] += 1
+        plan_frontier = Frontier(
+            num_shards=frontier.num_shards, name_prefix=f"planf_{os.getpid()}_{_PLAN_SEQ[0]}"
+        )
+        keyed = keyed.map_batches(plan_frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+    else:
+        plan_frontier = frontier
+        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+
     planned = assign_crawl_epochs(keyed, per_host_budget=per_host_budget).materialize()
+    if plan_frontier is not None and plan_frontier is not frontier:
+        plan_frontier.shutdown()
 
     num_epochs = 0
     if planned.count():
@@ -94,21 +175,11 @@ def crawl(
     # num_epochs is more than a handful.
     bucket_dir = None
     if bucketed and num_epochs:
-        import shutil
         import tempfile
 
         import ray
 
-        hashes, epochs = [], []
-        for b in planned.select_columns(["url_hash", "fetch_epoch"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            hashes.extend(b.column("url_hash").to_pylist())
-            epochs.extend(b.column("fetch_epoch").to_pylist())
-        hs = _hash_hex_to_u64(hashes)
-        order = np.argsort(hs)
-        plan_keys = hs[order]
-        plan_epochs = np.asarray(epochs, dtype=np.int64)[order]
+        plan_keys, plan_epochs = _plan_member_arrays(planned)
         plan_ref = ray.put((plan_keys, plan_epochs))
 
         def attach_epoch(batch: pa.Table) -> pa.Table:
@@ -116,7 +187,7 @@ def crawl(
             hx = batch.column("url_hash").to_pylist()
             if not hx:
                 return batch.append_column("fetch_epoch", pa.array([], pa.int64()))
-            h = _hash_hex_to_u64(hx)
+            h = _snapshot_key_u64(hx, _ts_us(batch.column("warc_ts")))
             pos = np.searchsorted(keys, h)
             pos[pos >= len(keys)] = max(0, len(keys) - 1)
             member = (keys[pos] == h) if len(keys) else np.zeros(len(hx), dtype=bool)
@@ -132,19 +203,12 @@ def crawl(
         staged.write_parquet(bucket_dir, partition_cols=["fetch_epoch"])
 
     for epoch in range(num_epochs):
-        part = f"epoch{epoch:05d}"
+        part = f"{part_prefix}epoch{epoch:05d}"
         if writer.is_done(part):
             continue
         if bucket_dir is None:
             epoch_keys = planned.filter(expr=f"fetch_epoch == {epoch}")
-            hashes = [
-                h
-                for b in epoch_keys.select_columns(["url_hash"]).iter_batches(
-                    batch_size=65536, batch_format="pyarrow"
-                )
-                for h in b.column("url_hash").to_pylist()
-            ]
-            member = np.sort(_hash_hex_to_u64(hashes))
+            member, _ = _plan_member_arrays(epoch_keys)
             import ray
 
             member_ref = ray.put(member)
@@ -154,7 +218,7 @@ def crawl(
                 hx = batch.column("url_hash").to_pylist()
                 if not hx:
                     return batch
-                h = _hash_hex_to_u64(hx)
+                h = _snapshot_key_u64(hx, _ts_us(batch.column("warc_ts")))
                 pos = np.searchsorted(w, h)
                 pos[pos >= len(w)] = max(0, len(w) - 1)
                 mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)

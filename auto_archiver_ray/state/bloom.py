@@ -75,6 +75,9 @@ class BloomFilter:
             return []
         raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
         _, first_idx, inverse = np.unique(raw, axis=0, return_index=True, return_inverse=True)
+        # numpy 2.0.x returns the inverse shaped (n,1); flatten before fancy
+        # indexing or new_uniq[inverse] silently broadcasts to (n,n)
+        inverse = np.asarray(inverse).reshape(-1)
         uniq_digests = [digests[i] for i in first_idx]
         present = self.contains_batch(uniq_digests)
         new_uniq = ~present

@@ -236,7 +236,9 @@ class Frontier:
 # Deterministic politeness / crawl-ordering plan (Dataset-native)
 # ---------------------------------------------------------------------------
 
-def assign_crawl_epochs(ds, per_host_budget: int = 10, priority_col: str | None = None):
+def assign_crawl_epochs(
+    ds, per_host_budget: int = 10, priority_col: str | None = None, num_buckets: int = 1024
+):
     """Assign each row a deterministic fetch epoch honoring the per-host
     politeness budget: rows are ranked within host by (priority desc,
     warc_ts, url_canon) and epoch = rank // budget.
@@ -245,7 +247,13 @@ def assign_crawl_epochs(ds, per_host_budget: int = 10, priority_col: str | None 
     contains at most ``per_host_budget`` URLs of any host, and the ordering
     is a pure function of the input — a resumed run reproduces it (north
     rule: "matching the reference's crawl ordering under the same seed list
-    + politeness budget"). Shuffle key = host (the frontier partition key).
+    + politeness budget").
+
+    Shuffle key = COARSE host bucket (hash(host) % num_buckets), not host:
+    one Ray group per host would make a mega-host a single giant group and
+    pay per-group overhead for millions of small ones. All rows of a host
+    land in one bucket (co-location preserved); inside the bucket the
+    per-host ranking is a vectorized sort + groupby(host).cumcount().
     """
     import pandas as pd
 
@@ -255,10 +263,23 @@ def assign_crawl_epochs(ds, per_host_budget: int = 10, priority_col: str | None 
         sort_cols = [priority_col] + sort_cols
         ascending = [False] + ascending
 
-    def plan(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(sort_cols, ascending=ascending, kind="mergesort").reset_index(drop=True)
-        g["host_rank"] = np.arange(len(g), dtype=np.int64)
-        g["fetch_epoch"] = g["host_rank"] // per_host_budget
-        return g
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        # pd.util.hash_array: vectorized keyed siphash with a fixed key —
+        # deterministic across processes (never the salted builtin hash)
+        hb = (pd.util.hash_array(hosts) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__hb", pa.array(hb))
 
-    return ds.groupby("host").map_groups(plan, batch_format="pandas")
+    def plan(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["host"] + sort_cols, ascending=[True] + ascending, kind="mergesort"
+        ).reset_index(drop=True)
+        g["host_rank"] = g.groupby("host", sort=False).cumcount().astype("int64")
+        g["fetch_epoch"] = g["host_rank"] // per_host_budget
+        return g.drop(columns=["__hb"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__hb")
+        .map_groups(plan, batch_format="pandas")
+    )

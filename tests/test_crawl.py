@@ -132,3 +132,93 @@ def test_crawl_bucketed_matches_streaming(tmp_path):
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_midcrawl_resume_continues_at_k_plus_1(tmp_path):
+    """ADVICE high: a run killed after epoch 0 must, on resume with the same
+    seeds + checkpoint, produce the REMAINING epochs — not an empty plan."""
+    import ray.data as rd
+
+    pages = ensure_pages("/root/testdata/sf0.001")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    # simulate the kill: run only epoch 0, checkpointing the frontier
+    src = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    f1 = Frontier(num_shards=2, capacity_per_shard=100_000, name_prefix="mid_a")
+    w1, _ = crawl(
+        src, out, frontier=f1, per_host_budget=30, extract_concurrency=2,
+        checkpoint_dir=ck, max_epochs=1,
+    )
+    f1.shutdown()
+    assert list(w1.completed()) == ["epoch00000"]
+
+    # resume: restored bloom contains every planned URL; the plan must still
+    # cover all epochs and continue at epoch 1
+    src2 = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    f2 = Frontier(num_shards=2, capacity_per_shard=100_000, name_prefix="mid_b")
+    w2, _ = crawl(
+        src2, out, frontier=f2, per_host_budget=30, extract_concurrency=2,
+        checkpoint_dir=ck,
+    )
+    f2.shutdown()
+    parts = sorted(w2.completed())
+    assert parts[0] == "epoch00000"
+    assert len(parts) >= 2, "resume dropped the unfinished epochs"
+
+    # and the combined output equals a fresh uninterrupted run's
+    src3 = rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+    f3 = Frontier(num_shards=2, capacity_per_shard=100_000, name_prefix="mid_c")
+    w3, _ = crawl(src3, str(tmp_path / "fresh"), frontier=f3, per_host_budget=30, extract_concurrency=2)
+    f3.shutdown()
+    cols = ["url", "fetch_epoch", "host"]
+    a = w2.read_all().to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    b = w3.read_all().to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicate_snapshots_admit_one_row(tmp_path):
+    """ADVICE medium: several source snapshots of one URL (same url, several
+    warc_ts) must yield exactly ONE output row — the min-warc_ts snapshot —
+    in both streaming and bucketed modes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def make_src():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        ["https://a.example.org/p/1"] * 3 + ["https://a.example.org/p/2"]
+                    ),
+                    "warc_ts": pa.array(
+                        pd.to_datetime(
+                            ["2024-01-03", "2024-01-01", "2024-01-02", "2024-01-01"]
+                        ),
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array(
+                        [b"<html><body><p>v3</p></body></html>",
+                         b"<html><body><p>v1</p></body></html>",
+                         b"<html><body><p>v2</p></body></html>",
+                         b"<html><body><p>other</p></body></html>"],
+                        pa.binary(),
+                    ),
+                    "lang": pa.array(["en"] * 4),
+                }
+            )
+        )
+
+    for mode, bucketed in (("stream", False), ("bucket", True)):
+        f = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix=f"dup_{mode}")
+        w, _ = crawl(
+            make_src(), str(tmp_path / mode), frontier=f, per_host_budget=10,
+            extract_concurrency=2, bucketed=bucketed,
+        )
+        f.shutdown()
+        out = w.read_all().to_pandas().sort_values("url").reset_index(drop=True)
+        assert len(out) == 2, f"{mode}: duplicate snapshots re-admitted"
+        row = out[out["url"] == "https://a.example.org/p/1"].iloc[0]
+        assert "v1" in row["text_extracted"], f"{mode}: not the min-warc_ts snapshot"
