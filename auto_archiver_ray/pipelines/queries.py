@@ -144,17 +144,17 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_top_customers(sf_dir: str):
-    """Orders⋈customer revenue top-10 — broadcast join (customer is the
-    small side; read once on the driver, shipped via ray.put once, looked up
-    per batch — no shuffle join)."""
+    """Orders→per-customer revenue top-10. Customer cardinality grows with
+    the data, so no driver-side reduce and no full-customer broadcast:
+    per-batch partials → coarse-bucket distributed final sum + local top-k
+    (stages.agg.grouped_topk) → the 10 winners' names fetched with a keyed
+    parquet row filter (10 rows, not the table)."""
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
-    import ray
+
+    from ..stages.agg import grouped_topk
 
     rd = _rd()
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    name_map = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
-    ref = ray.put(name_map)
-
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -169,17 +169,25 @@ def q_top_customers(sf_dir: str):
             ["c_custkey", "rev_c", "n"]
         )
 
-    agg = driver_reduce(
+    agg = grouped_topk(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["c_custkey"],
         {"rev_c": "sum", "n": "sum"},
+        k=10,
+        sort_by=["rev_c", "c_custkey"],
+        ascending=[False, True],
     )
-    names = ray.get(ref)
+    winners = agg["c_custkey"].astype("int64").tolist()
+    cust = pq.read_table(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name"],
+        filters=pads.field("c_custkey").isin(winners),
+    )
+    names = dict(zip(cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist()))
     agg["c_name"] = agg["c_custkey"].map(names)
     agg["revenue"] = agg["rev_c"].astype("int64") / 100
     agg["n_orders"] = agg["n"].astype("int64")
-    out = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
-    return out[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+    return agg[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
 SQL_TOP_CUSTOMERS = """
@@ -337,6 +345,10 @@ ORDER BY event_type, hour
 
 
 def q_events_topusers(sf_dir: str):
+    """Per-user rollup top-10 — user_id cardinality is unbounded, so the
+    final reduce is the distributed coarse-bucket top-k, not a driver concat."""
+    from ..stages.agg import grouped_topk
+
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
 
@@ -352,15 +364,17 @@ def q_events_topusers(sf_dir: str):
             ["user_id", "val_c", "n"]
         )
 
-    agg = driver_reduce(
+    agg = grouped_topk(
         ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["user_id"],
         {"val_c": "sum", "n": "sum"},
+        k=10,
+        sort_by=["val_c", "user_id"],
+        ascending=[False, True],
     )
     agg["total_value"] = agg["val_c"].astype("int64") / 100
     agg["n_events"] = agg["n"].astype("int64")
-    out = agg.sort_values(["total_value", "user_id"], ascending=[False, True]).head(10)
-    return out[["user_id", "total_value", "n_events"]].reset_index(drop=True)
+    return agg[["user_id", "total_value", "n_events"]].reset_index(drop=True)
 
 
 SQL_EVENTS_TOPUSERS = """
@@ -375,25 +389,24 @@ ORDER BY total_value DESC, user_id LIMIT 10
 
 
 def q_lineitem_brand(sf_dir: str):
-    """lineitem ⋈ part (broadcast small side) → per-brand quantity/revenue."""
-    import pyarrow.parquet as pq
-    import ray
+    """lineitem ⋈ part → per-brand quantity/revenue. The part table is NOT a
+    genuinely small dimension (it grows with SF), so this routes through the
+    hash-partitioned shuffle join (stages.join.plan_join picks broadcast only
+    below the size threshold — see test_patterns broadcast≡shuffle test);
+    the post-join rollup key (brand) is bounded → partial + driver reduce."""
+    from ..stages.join import plan_join
 
     rd = _rd()
-    part = pq.read_table(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"])
-    brand_map = dict(zip(part["p_partkey"].to_pylist(), part["p_brand"].to_pylist()))
-    ref = ray.put(brand_map)
-
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]).map_batches(
+        lambda t: t.rename_columns(["l_partkey", "p_brand"]), batch_format="pyarrow"
+    )
     ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    joined = plan_join(ds, part, on="l_partkey", scales_with_data=True)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        bm = _ray.get(ref)
-        brands = [bm.get(k, "") for k in batch["l_partkey"].to_pylist()]
         t = pa.table(
             {
-                "p_brand": pa.array(brands, pa.string()),
+                "p_brand": batch["p_brand"],
                 "qty": pc.cast(batch["l_quantity"], pa.int64()),
                 "rev_c": _cents(batch["l_extendedprice"]),
                 "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
@@ -404,7 +417,7 @@ def q_lineitem_brand(sf_dir: str):
         )
 
     agg = driver_reduce(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["p_brand"],
         {"qty": "sum", "rev_c": "sum", "n": "sum"},
     )
@@ -425,27 +438,30 @@ GROUP BY p.p_brand ORDER BY p.p_brand
 
 
 def q_customer_nation(sf_dir: str):
-    """Multi-hop broadcast join orders→customer→nation → per-nation rollup."""
+    """orders ⋈ customer ⋈ nation → per-nation rollup. customer scales with
+    the data → hash-partitioned shuffle join (plan_join); nation is a true
+    constant-size dimension (25 rows) → broadcast lookup inside the partial."""
     import pyarrow.parquet as pq
     import ray
 
+    from ..stages.join import plan_join
+
     rd = _rd()
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
     n_names = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist()))
-    cust_nation = {
-        ck: n_names[nk]
-        for ck, nk in zip(cust["c_custkey"].to_pylist(), cust["c_nationkey"].to_pylist())
-    }
-    ref = ray.put(cust_nation)
+    ref = ray.put(n_names)
 
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]), batch_format="pyarrow"
+    )
     ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    joined = plan_join(ds, cust, on="o_custkey", scales_with_data=True)
 
     def partial(batch: pa.Table) -> pa.Table:
         import ray as _ray
 
-        cn = _ray.get(ref)
-        names = [cn.get(k, "") for k in batch["o_custkey"].to_pylist()]
+        nn = _ray.get(ref)
+        names = [nn.get(k, "") for k in batch["c_nationkey"].to_pylist()]
         t = pa.table(
             {
                 "n_name": pa.array(names, pa.string()),
@@ -458,7 +474,7 @@ def q_customer_nation(sf_dir: str):
         )
 
     agg = driver_reduce(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["n_name"],
         {"rev_c": "sum", "n": "sum"},
     )
@@ -730,7 +746,9 @@ def q_orders_without_lineitems(sf_dir: str):
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
         lambda t: t.rename_columns(["o_orderkey"]), batch_format="pyarrow"
     )
-    out = anti_join(orders, li, on="o_orderkey").to_pandas()
+    # lineitem is the BIG table — the sharded key-set path keeps its keys in
+    # a distributed actor pool instead of a driver set (VERDICT #1)
+    out = anti_join(orders, li, on="o_orderkey", strategy="sharded").to_pandas()
     out = out.reindex(columns=["o_orderkey", "o_orderstatus"])  # stable schema when empty
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -13,7 +13,9 @@ sums, zero shuffle. For unbounded key cardinality keep
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def driver_reduce(partials_ds, keys: list[str], agg: dict[str, str]) -> pd.DataFrame:
@@ -21,6 +23,8 @@ def driver_reduce(partials_ds, keys: list[str], agg: dict[str, str]) -> pd.DataF
 
     ``agg`` maps column → {"sum", "min", "max"}. Partial rows must already be
     one-per-(key, batch); their total size is O(num_batches × num_groups).
+    BOUNDED group count only — for unbounded keys (per-user, per-customer)
+    use :func:`grouped_topk` (top-k results) or a distributed groupby.
     """
     frames = [
         b for b in partials_ds.iter_batches(batch_size=65536, batch_format="pandas")
@@ -29,3 +33,57 @@ def driver_reduce(partials_ds, keys: list[str], agg: dict[str, str]) -> pd.DataF
         return pd.DataFrame(columns=keys + list(agg))
     df = pd.concat(frames, ignore_index=True)
     return df.groupby(keys, as_index=False).agg(agg)
+
+
+def grouped_topk(
+    partials_ds,
+    keys: list[str],
+    agg: dict[str, str],
+    k: int,
+    sort_by: list[str],
+    ascending: list[bool],
+    num_buckets: int = 1024,
+) -> pd.DataFrame:
+    """Global top-k over an UNBOUNDED-cardinality grouped aggregate with no
+    driver-side key materialization.
+
+    Partial rows (one per key per batch) are shuffled to ``hash(key) %
+    num_buckets`` coarse buckets; each bucket finishes its keys' aggregates
+    with a vectorized pandas groupby and keeps only its local top-k; the
+    driver merges ≤ num_buckets×k candidate rows. Exact: every key lives
+    wholly in one bucket, and a key outside its bucket's top-k cannot be in
+    the global top-k. This replaces ``driver_reduce`` where the key count
+    grows with the data (the per-customer / per-user rollups) — driver
+    memory is O(num_buckets×k) instead of O(keys×batches).
+
+    ``sort_by``/``ascending``: the final ranking columns (aggregated column
+    names and/or key columns).
+    """
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = batch.column(keys[0]).to_pylist()
+        if len(keys) > 1:
+            vals = [
+                "\x1f".join(str(v) for v in row)
+                for row in zip(*(batch.column(c).to_pylist() for c in keys))
+            ]
+        arr = np.asarray(vals)
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            arr = np.asarray([str(v) for v in vals], dtype=object)
+        hb = (pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__tb", pa.array(hb))
+
+    def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.drop(columns=["__tb"]).groupby(keys, as_index=False).agg(agg)
+        return out.sort_values(sort_by, ascending=ascending, kind="mergesort").head(k)
+
+    candidates = (
+        partials_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(bucket_topk, batch_format="pandas")
+    )
+    frames = list(candidates.iter_batches(batch_size=65536, batch_format="pandas"))
+    if not frames:
+        return pd.DataFrame(columns=keys + list(agg))
+    df = pd.concat(frames, ignore_index=True)
+    return df.sort_values(sort_by, ascending=ascending, kind="mergesort").head(k).reset_index(drop=True)

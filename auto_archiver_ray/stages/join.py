@@ -16,29 +16,88 @@ Broadcast joins (small dimension side) live where they're used
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+# pd.util.hash_array: vectorized keyed siphash with a FIXED key — deterministic
+# across processes and retries (never the salted builtin ``hash``), and a
+# single C call per batch instead of one hashlib object per value.
+_SALT_KEY = "aar.join.salt.16"  # 16 chars — an independent second hash family
+
+
+def _hash_u64(vals, tweak: str | None = None) -> np.ndarray:
+    arr = np.asarray(vals)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = np.asarray([str(v) for v in vals], dtype=object)
+    kwargs = {"hash_key": tweak} if tweak else {}
+    return pd.util.hash_array(arr, categorize=False, **kwargs)
+
 
 def _key_hash(vals: list, buckets: int, tweak: bytes = b"") -> np.ndarray:
-    return np.asarray(
-        [
-            int.from_bytes(
-                hashlib.blake2b(str(v).encode() + tweak, digest_size=8).digest(), "little"
-            )
-            % buckets
-            for v in vals
-        ],
-        dtype=np.int64,
-    )
+    h = _hash_u64(vals, tweak=_SALT_KEY if tweak else None)
+    return (h % np.uint64(buckets)).astype(np.int64)
 
 
 def dataset_join(left, right, on: str, num_partitions: int = 16, join_type: str = "inner"):
     """Native hash-partitioned join."""
     return left.join(right, join_type=join_type, num_partitions=num_partitions, on=(on,))
+
+
+def broadcast_join(probe, build, on: str):
+    """Inner broadcast join: the build side is streamed once to the driver,
+    shipped via ``ray.put`` once, and looked up per batch — no shuffle at
+    all. ONLY for genuinely small build sides (nation/region class); use
+    :func:`plan_join` to make that decision explicit."""
+    import ray
+
+    cols: list[str] | None = None
+    key_to_row: dict = {}
+    for b in build.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        if cols is None:
+            cols = [c for c in b.column_names if c != on]
+        keys = b.column(on).to_pylist()
+        rows = (
+            list(zip(*(b.column(c).to_pylist() for c in cols))) if cols else [()] * len(keys)
+        )
+        key_to_row.update(zip(keys, rows))
+    ref = ray.put(key_to_row)
+    build_cols = cols or []
+
+    def fn(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = batch.column(on).to_pylist()
+        hits = [m.get(k) for k in keys]
+        batch = batch.filter(pa.array([h is not None for h in hits]))
+        kept = [h for h in hits if h is not None]
+        for j, c in enumerate(build_cols):
+            batch = batch.append_column(c, pa.array([r[j] for r in kept]))
+        return batch
+
+    return probe.map_batches(fn, batch_format="pyarrow")
+
+
+def plan_join(
+    probe,
+    build,
+    on: str,
+    build_rows: int | None = None,
+    scales_with_data: bool = False,
+    broadcast_limit: int = 100_000,
+    num_partitions: int = 16,
+):
+    """Size-thresholded join planning (inner join).
+
+    Broadcast ONLY a genuinely small build side: known row count
+    (``build_rows`` — e.g. parquet footer metadata, no read needed) at or
+    under ``broadcast_limit`` AND not flagged ``scales_with_data``. A
+    dimension that grows with the dataset (customer, part) must take the
+    hash-partitioned shuffle join even when it happens to be small at test
+    scale — at 100× it is a driver OOM as a broadcast. Unknown size →
+    shuffle (the safe default)."""
+    if not scales_with_data and build_rows is not None and build_rows <= broadcast_limit:
+        return broadcast_join(probe, build, on)
+    return dataset_join(probe, build, on, num_partitions=num_partitions)
 
 
 def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 1):
@@ -112,34 +171,121 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
 
 
 # ---------------------------------------------------------------------------
-# semi / anti joins (broadcast key membership — the cache anti-join shape,
+# semi / anti joins (key membership — the cache anti-join shape,
 # ref:core/orchestrator.py:617-630 / SURVEY.md §2.H)
+#
+# Two strategies, selected by the size of the KEY side:
+# - "broadcast": stream the key side's u64 hashes to the driver once, ship a
+#   sorted numpy array via ray.put (zero-copy per task). Driver memory is
+#   8 B/key — fine to ~10⁸ keys, wrong beyond.
+# - "sharded": a pool of KeySetShard actors, each owning hash(key)%N of the
+#   key space. The key side streams INTO the shards via map_batches push
+#   tasks (no driver materialization, no full-row shuffle of either side);
+#   the probe side filters via batched per-shard membership RPCs — the same
+#   shape as the frontier's seen-filter. 8 B/key spread across the pool;
+#   this is the 100-TB path when the key side is a big table.
+# Both use 64-bit key hashes: false-member probability ~n²/2⁶⁴.
 # ---------------------------------------------------------------------------
+
+
+def _lazy_keyset_shard():
+    import ray
+
+    @ray.remote(num_cpus=0.25)
+    class KeySetShard:
+        """One partition of a distributed u64 key set."""
+
+        def __init__(self):
+            self._parts: list[np.ndarray] = []
+            self.keys: np.ndarray | None = None
+
+        def add(self, h: np.ndarray) -> int:
+            self._parts.append(np.asarray(h, dtype=np.uint64))
+            return len(h)
+
+        def seal(self) -> int:
+            if self._parts:
+                self.keys = np.unique(np.concatenate(self._parts))
+            else:
+                self.keys = np.empty(0, dtype=np.uint64)
+            self._parts = []
+            return len(self.keys)
+
+        def contains(self, h: np.ndarray) -> np.ndarray:
+            w = self.keys if self.keys is not None else np.empty(0, dtype=np.uint64)
+            if not len(w):
+                return np.zeros(len(h), dtype=bool)
+            pos = np.searchsorted(w, h)
+            pos[pos >= len(w)] = len(w) - 1
+            return w[pos] == h
+
+    return KeySetShard
+
+
+def _build_keyset_shards(keys_ds, on: str, num_shards: int):
+    """Stream the key side into a sharded key-set actor pool; returns the
+    shard handles (kept alive by the probe-stage closure's references)."""
+    import ray
+
+    KeySetShard = _lazy_keyset_shard()
+    shards = [KeySetShard.remote() for _ in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        h = _hash_u64(batch.column(on).to_pylist())
+        sid = (h % np.uint64(num_shards)).astype(np.int64)
+        futs = [shards[int(s)].add.remote(h[sid == s]) for s in np.unique(sid)]
+        ray.get(futs)  # delivery barrier — rows are in shard state before the task ends
+        return pa.table({"n": pa.array([len(h)], pa.int64())})
+
+    # .sum drives execution of the push pipeline (tiny one-row-per-batch output)
+    keys_ds.select_columns([on]).map_batches(push, batch_format="pyarrow").sum("n")
+    ray.get([s.seal.remote() for s in shards])
+    return shards
 
 
 def _broadcast_keys(keys_ds, on: str):
     import ray
 
-    vals = set()
-    for b in keys_ds.select_columns([on]).iter_batches(batch_size=65536, batch_format="pyarrow"):
-        vals.update(b.column(on).to_pylist())
-    arr = np.sort(np.asarray([_key_hash([v], 1 << 62)[0] for v in vals], dtype=np.int64))
+    parts = [
+        _hash_u64(b.column(on).to_pylist())
+        for b in keys_ds.select_columns([on]).iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    arr = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
     return ray.put(arr)
 
 
-def _membership_filter(ds, keys_ds, on: str, keep_members: bool):
-    """Filter ``ds`` by membership of ``on`` in ``keys_ds`` — the key set is
-    broadcast once as a sorted int64 hash array (zero-copy per task).
-    64-bit hashing: false-member probability ~n²/2⁶² (swap in exact string
-    broadcast below ~10⁴ keys if that ever matters)."""
+def _membership_filter(
+    ds, keys_ds, on: str, keep_members: bool, strategy: str = "broadcast", num_shards: int = 16
+):
     import ray
+
+    if strategy == "sharded":
+        shards = _build_keyset_shards(keys_ds, on, num_shards)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            if n == 0:
+                return batch
+            h = _hash_u64(batch.column(on).to_pylist())
+            sid = (h % np.uint64(num_shards)).astype(np.int64)
+            member = np.zeros(n, dtype=bool)
+            futs, idxs = [], []
+            for s in np.unique(sid):
+                idx = np.nonzero(sid == s)[0]
+                futs.append(shards[int(s)].contains.remote(h[idx]))
+                idxs.append(idx)
+            for fut, idx in zip(ray.get(futs), idxs):
+                member[idx] = fut
+            return batch.filter(pa.array(member if keep_members else ~member))
+
+        return ds.map_batches(fn, batch_format="pyarrow")
 
     ref = _broadcast_keys(keys_ds, on)
 
     def fn(batch: pa.Table) -> pa.Table:
         w = ray.get(ref)
         keys = batch.column(on).to_pylist()
-        h = _key_hash(keys, 1 << 62)
+        h = _hash_u64(keys)
         pos = np.searchsorted(w, h)
         pos[pos >= len(w)] = max(0, len(w) - 1)
         member = (w[pos] == h) if len(w) else np.zeros(len(keys), dtype=bool)
@@ -148,12 +294,13 @@ def _membership_filter(ds, keys_ds, on: str, keep_members: bool):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def semi_join(ds, keys_ds, on: str):
+def semi_join(ds, keys_ds, on: str, strategy: str = "broadcast", num_shards: int = 16):
     """Rows of ds whose key appears in keys_ds."""
-    return _membership_filter(ds, keys_ds, on, keep_members=True)
+    return _membership_filter(ds, keys_ds, on, True, strategy=strategy, num_shards=num_shards)
 
 
-def anti_join(ds, keys_ds, on: str):
+def anti_join(ds, keys_ds, on: str, strategy: str = "broadcast", num_shards: int = 16):
     """Rows of ds whose key does NOT appear in keys_ds (the frontier's
-    already-archived filter in Dataset form)."""
-    return _membership_filter(ds, keys_ds, on, keep_members=False)
+    already-archived filter in Dataset form). strategy="sharded" when the
+    key side is a big table (no driver-side key materialization)."""
+    return _membership_filter(ds, keys_ds, on, False, strategy=strategy, num_shards=num_shards)

@@ -172,3 +172,86 @@ def test_deterministic_sample_bucket_matches_duckdb():
     for v in ["https://a.com/1", "xyz", "äöü", ""]:
         sql = con.execute("SELECT md5_number_lower(?) % 1000", [v]).fetchone()[0]
         assert md5_bucket(v, 1000) == int(sql)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_membership_matches_broadcast():
+    """anti/semi join strategy='sharded' (distributed key-set actors, no
+    driver materialization) ≡ 'broadcast' on the same inputs, string and
+    int keys, keys split across many batches."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.join import anti_join, semi_join
+
+    rng = np.random.default_rng(7)
+    data = pd.DataFrame({"k": rng.integers(0, 5000, size=8000), "v": np.arange(8000)})
+    keys = pd.DataFrame({"k": rng.integers(0, 5000, size=3000)})
+
+    for fn in (semi_join, anti_join):
+        a = (
+            fn(rd.from_pandas(data), rd.from_pandas(keys), "k", strategy="broadcast")
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        b = (
+            fn(rd.from_pandas(data), rd.from_pandas(keys), "k", strategy="sharded", num_shards=4)
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+    # string keys
+    sdata = pd.DataFrame({"k": [f"u{i}" for i in range(100)], "v": range(100)})
+    skeys = pd.DataFrame({"k": [f"u{i}" for i in range(0, 100, 3)]})
+    a = semi_join(rd.from_pandas(sdata), rd.from_pandas(skeys), "k", strategy="sharded", num_shards=3).to_pandas()
+    assert sorted(a["k"]) == sorted(skeys["k"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_topk_matches_driver_reduce():
+    """grouped_topk (coarse-bucket distributed final reduce + local top-k)
+    ≡ full driver_reduce + sort/head, on unbounded-cardinality keys."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.agg import driver_reduce, grouped_topk
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {"user": rng.integers(0, 2000, size=20000), "val": rng.integers(1, 100, size=20000)}
+    )
+    ds = rd.from_pandas(df)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(n=1)
+        return b.groupby("user", as_index=False)[["val", "n"]].sum()
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=1000)
+    full = driver_reduce(partials, ["user"], {"val": "sum", "n": "sum"})
+    expect = full.sort_values(["val", "user"], ascending=[False, True]).head(10).reset_index(drop=True)
+
+    got = grouped_topk(
+        partials, ["user"], {"val": "sum", "n": "sum"}, k=10,
+        sort_by=["val", "user"], ascending=[False, True], num_buckets=64,
+    )
+    pd.testing.assert_frame_equal(got, expect, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_plan_join_broadcast_matches_shuffle():
+    """plan_join routes by size/scaling flag; both paths give the same rows."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.join import plan_join
+
+    left = pd.DataFrame({"k": [1, 2, 2, 3, 5], "lv": list("abcde")})
+    right = pd.DataFrame({"k": [1, 2, 3, 4], "rv": list("wxyz")})
+    bcast = (
+        plan_join(rd.from_pandas(left), rd.from_pandas(right), on="k", build_rows=4)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    shuf = (
+        plan_join(rd.from_pandas(left), rd.from_pandas(right), on="k", build_rows=4, scales_with_data=True)
+        .to_pandas().sort_values(["k", "lv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert list(bcast["k"]) == [1, 2, 2, 3]
