@@ -41,6 +41,53 @@ def _pair_hash64(key, ident) -> int:
     return int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(), "little")
 
 
+def _coarse_u64(vals, num_buckets: int) -> np.ndarray:
+    """Vectorized deterministic coarse bucket (keyed siphash, fixed key) —
+    one C call per batch, never a per-value Python hash loop."""
+    arr = np.asarray(vals)
+    if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+        arr = np.asarray([str(v) for v in vals], dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _lazy_drop_counter():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class DropCounter:
+        """No-silent-caps ledger: buckets over the pair-search cap report how
+        many ids they dropped; the caller reads the total after execution."""
+
+        def __init__(self):
+            self.dropped = 0
+            self.buckets = 0
+
+        def add(self, n_dropped: int) -> None:
+            self.dropped += n_dropped
+            self.buckets += 1
+
+        def value(self) -> dict:
+            return {"dropped_ids": self.dropped, "truncated_buckets": self.buckets}
+
+    return DropCounter
+
+
+def truncation_counter(tag: str):
+    """Get-or-create the named truncation counter for a near-dup operator."""
+    import ray
+
+    DropCounter = _lazy_drop_counter()
+    return DropCounter.options(name=f"aar_trunc_{tag}", get_if_exists=True).remote()
+
+
+def truncation_stats(tag: str) -> dict:
+    """Read {dropped_ids, truncated_buckets} recorded by capped bucket
+    searches under this tag (0/0 when no bucket hit the cap)."""
+    import ray
+
+    return ray.get(truncation_counter(tag).value.remote())
+
+
 def _empty_pairs(third_col: str, dtype: str) -> pd.DataFrame:
     """Typed empty pair frame — keeps the output schema stable when a bucket
     (or the whole dataset) yields no candidate pairs."""
@@ -86,17 +133,9 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
     producing identical winners (all rows of a key land in one bucket).
     """
     if strategy == "shuffle":
-        import hashlib as _hashlib
 
         def add_coarse(batch: pa.Table) -> pa.Table:
-            keys = batch.column(key_col).to_pylist()
-            coarse = [
-                int.from_bytes(
-                    _hashlib.blake2b(str(k).encode(), digest_size=4).digest(), "little"
-                )
-                % 4096
-                for k in keys
-            ]
+            coarse = _coarse_u64(batch.column(key_col).to_pylist(), 4096)
             return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
 
         def keep_min_per_key(group: pd.DataFrame) -> pd.DataFrame:
@@ -184,77 +223,39 @@ class MinHashStage:
         return pa.table({self.id_col: pa.array(ids), "minhash_sig": pa.array(sigs, pa.binary())})
 
 
-def _explode_bands(batch: pa.Table, id_col: str, num_bands: int) -> pa.Table:
-    """Band rows carry the full signature (num_bands copies per doc) so the
-    per-bucket verifier can estimate Jaccard without a second join. At
-    10⁹-doc scale swap to shuffling (id, band_key) only and re-joining
-    signatures per bucket by id — trades one extra shuffle for num_bands×
-    less shuffle payload."""
-    ids = batch.column(id_col).to_pylist()
-    sigs = batch.column("minhash_sig").to_pylist()
-    out_id, out_band = [], []
-    for i, sig_bytes in zip(ids, sigs):
-        sig = np.frombuffer(sig_bytes, dtype=np.uint64)
-        for bh in textkit.minhash_bands(sig, num_bands):
-            out_id.append(i)
-            out_band.append(bh)
-    return pa.table(
-        {
-            id_col: pa.array(out_id),
-            "band_key": pa.array(np.asarray(out_band, dtype=np.uint64)),
-            "minhash_sig": pa.array([sigs[k] for k, i in enumerate(ids) for _ in range(num_bands)], pa.binary()),
-        }
-    )
+def _candidate_pairs_from_bands(bands, id_col: str, cap: int, trunc_tag: str | None):
+    """(id, band_key) rows → unique candidate pairs (id_a, id_b) — one Ray
+    group per COARSE bucket (band_key % 2048), pandas groupby finds the true
+    LSH bands inside. ``cap`` bounds the per-band pair search (giant bands ≈
+    exact dups); dropped ids are COUNTED into the named truncation counter
+    and logged — never silently discarded."""
+    import ray
 
-
-def minhash_candidate_pairs(
-    ds,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    num_perm: int = 128,
-    num_bands: int = 16,
-    threshold: float = 0.8,
-    concurrency: int | None = None,
-):
-    """Dataset of near-duplicate pairs ``(id_a, id_b, est_jaccard)`` with
-    id_a < id_b and estimated Jaccard (matching signature fraction) ≥
-    threshold. Pipeline: signature map_batches → band explode → groupby
-    band_key → pairwise verify per bucket (first-two-... all pairs within
-    bucket, capped) → global pair dedup by (id_a, id_b)."""
-
-    sigs = ds.map_batches(
-        MinHashStage(id_col, text_col, num_perm),
-        batch_format="pyarrow",
-        batch_size=2048,
-        **({"concurrency": concurrency} if concurrency else {}),
-    )
-    bands = sigs.map_batches(
-        lambda b: _explode_bands(b, id_col, num_bands), batch_format="pyarrow", batch_size=2048
-    )
+    counter = truncation_counter(trunc_tag) if trunc_tag else None
 
     def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        """One call per *coarse* bucket (band_key % COARSE) — inner pandas
-        groupby finds the true bands. Avoids Ray's per-group overhead on
-        millions of tiny LSH buckets."""
-        out_a, out_b, out_j = [], [], []
+        out_a, out_b = [], []
+        dropped = 0
         for _, g in group.groupby("band_key", sort=False):
             if len(g) < 2:
                 continue
             g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            if len(g) < 2:
+            n = len(g)
+            if n < 2:
                 continue
             ids = g[id_col].to_numpy()
-            mat = np.vstack([np.frombuffer(s, dtype=np.uint64) for s in g["minhash_sig"]])
-            cap = min(len(ids), 64)  # bucket blowup guard; giant buckets ≈ exact dups anyway
-            for i in range(cap):
-                eq = (mat[i + 1 : cap] == mat[i]).mean(axis=1)
-                for h in np.nonzero(eq >= threshold)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + h])
-                    out_j.append(float(eq[h]))
+            take = min(n, cap)
+            if n > cap:
+                dropped += n - cap
+            iu = np.triu_indices(take, k=1)
+            out_a.extend(ids[iu[0]])
+            out_b.extend(ids[iu[1]])
+        if dropped and counter is not None:
+            print(f"[dedup:{trunc_tag}] band over cap={cap}: dropped {dropped} ids from pair search")
+            counter.add.remote(dropped)
         if not out_a:
-            return _empty_pairs("est_jaccard", "float64")
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": out_j})
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.asarray(out_a), "id_b": np.asarray(out_b)})
 
     bands = bands.add_column(
         "coarse", lambda df: (df["band_key"].astype("uint64") % 2048).astype("int64"), batch_format="pandas"
@@ -268,19 +269,157 @@ def minhash_candidate_pairs(
     return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
 
 
-def label_propagate(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b", max_iters: int = 10):
+def pair_scores(pairs_ds, payload_ds, id_col: str, payload_col: str, score_fn, out_col: str, num_buckets: int = 512):
+    """Score candidate pairs against per-id binary payloads WITHOUT driver
+    state: explode each pair into two (id_a, id_b, id) slot rows, hash-join
+    the payloads by id (only candidate ids cross the shuffle), then score
+    each pair inside a coarse-bucketed map_groups. ``score_fn(bytes, bytes)
+    -> float``. This is the 100-TB verify path: neither the payload table
+    nor the pair set ever lands on the driver.
+
+    The rejoin uses the explicit bucketed hash join (groupby-based), not the
+    native ``Dataset.join``: candidate-pair sets can be tiny relative to the
+    partition count and Ray's Acero-backed join rejects partitions whose
+    left side received zero blocks."""
+    from .join import bucketed_hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        # map_groups upstream can emit schema-less EMPTY blocks for empty
+        # sort partitions; normalize them or the Acero join rejects the block
+        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
+        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
+        return pa.table(
+            {
+                "id_a": pa.array(a + a, pa.int64()),
+                "id_b": pa.array(b + b, pa.int64()),
+                id_col: pa.array(a + b, pa.int64()),
+            }
+        )
+
+    slots = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    joined = bucketed_hash_join(slots, payload_ds.select_columns([id_col, payload_col]), on=id_col)
+
+    def add_pair_bucket(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names:  # schema-less empty block guard
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    payload_col: pa.array([], pa.binary()),
+                    "__pb": pa.array([], pa.int64()),
+                }
+            )
+        a = np.asarray(batch.column("id_a").to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch.column("id_b").to_pylist(), dtype=np.uint64)
+        mix = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return batch.append_column("__pb", pa.array((mix % np.uint64(num_buckets)).astype(np.int64)))
+
+    def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_s = [], [], []
+        for (ia, ib), rows in g.groupby(["id_a", "id_b"], sort=False):
+            if len(rows) != 2:
+                continue  # payload missing for one side — cannot score
+            r = rows.sort_values(id_col)
+            pa_, pb_ = r[payload_col].iloc[0], r[payload_col].iloc[1]
+            if int(ia) != int(r[id_col].iloc[0]):
+                pa_, pb_ = pb_, pa_
+            out_a.append(int(ia))
+            out_b.append(int(ib))
+            out_s.append(float(score_fn(bytes(pa_), bytes(pb_))))
+        return pd.DataFrame(
+            {
+                "id_a": pd.Series(out_a, dtype="int64"),
+                "id_b": pd.Series(out_b, dtype="int64"),
+                out_col: pd.Series(out_s, dtype="float64"),
+            }
+        )
+
+    return (
+        joined.map_batches(add_pair_bucket, batch_format="pyarrow")
+        .groupby("__pb")
+        .map_groups(score_bucket, batch_format="pandas")
+    )
+
+
+def minhash_candidate_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_perm: int = 128,
+    num_bands: int = 16,
+    threshold: float = 0.8,
+    concurrency: int | None = None,
+    band_cap: int = 64,
+):
+    """Dataset of near-duplicate pairs ``(id_a, id_b, est_jaccard)`` with
+    id_a < id_b and estimated Jaccard (matching signature fraction) ≥
+    threshold.
+
+    Shuffle diet (the ≥10⁸-doc path): band rows carry ONLY (id, band_key) —
+    8+8 bytes — through the LSH groupby; the 1 KB signatures are hash-joined
+    back per candidate pair by :func:`pair_scores` (candidate ids are a tiny
+    fraction of the corpus). Per-band pair search is capped at ``band_cap``
+    ids with the overflow counted in ``truncation_stats("minhash")``."""
+
+    sigs = ds.map_batches(
+        MinHashStage(id_col, text_col, num_perm),
+        batch_format="pyarrow",
+        batch_size=2048,
+        **({"concurrency": concurrency} if concurrency else {}),
+    ).materialize()  # computed once, consumed by both the band explode and the verify join
+
+    def explode_light(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sig_bytes = batch.column("minhash_sig").to_pylist()
+        out_id, out_band = [], []
+        for i, sb in zip(ids, sig_bytes):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            for bh in textkit.minhash_bands(sig, num_bands):
+                out_id.append(i)
+                out_band.append(bh)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_key": pa.array(np.asarray(out_band, dtype=np.uint64)),
+            }
+        )
+
+    bands = sigs.map_batches(explode_light, batch_format="pyarrow", batch_size=2048)
+    cand = _candidate_pairs_from_bands(bands, id_col, cap=band_cap, trunc_tag="minhash")
+
+    def est_jaccard(a: bytes, b: bytes) -> float:
+        return float((np.frombuffer(a, dtype=np.uint64) == np.frombuffer(b, dtype=np.uint64)).mean())
+
+    scored = pair_scores(cand, sigs, id_col, "minhash_sig", est_jaccard, "est_jaccard")
+    return scored.filter(expr=f"est_jaccard >= {threshold}")
+
+
+def label_propagate(
+    pairs_ds,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iters: int = 10,
+    num_buckets: int = 1024,
+):
     """Distributed connected components over the pair graph: iterative
     min-label propagation with NO driver-side state — the 100 TB path for
     cluster assignment (:func:`cluster_pairs`'s union-find is preferred
     while the pair set fits one machine).
 
-    Each round is two hash-partitioned groupbys:
-    1. union(labels, edges) grouped by node → every node emits its current
-       label to itself and to each neighbor (message rows keyed by dst);
-    2. messages grouped by dst → new label = min received.
-    Converges in O(cluster diameter) rounds (near-dup clusters are tiny, so
-    2-4 in practice); stops early when the global min-label sum is stable
-    (a cheap scalar aggregate, not a label download).
+    Partitioning: every shuffle keys on a COARSE bucket (hash(node) %
+    num_buckets), never one Ray group per graph node — all of a node's rows
+    land in one bucket and the per-node min/merge logic runs as vectorized
+    pandas groupbys inside the bucket (the commit-643dfeb lesson applied:
+    Ray pays fixed overhead per map_groups group, so millions of one-node
+    groups would dominate the round).
+
+    Each round is two bucketed groupbys:
+    1. union(labels, edges) bucketed by node → per bucket: current label per
+       node, then a message (dst, cand_label) to itself and each neighbor;
+    2. messages bucketed by dst → per bucket: new label = min received.
+    Converges in O(cluster diameter) rounds; stops early when the global
+    min-label sum is stable (a cheap scalar aggregate).
 
     Returns a Dataset of (node, label) where label = min node id of the
     component.
@@ -296,14 +435,32 @@ def label_propagate(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b", ma
             }
         )
 
-    edges = pairs_ds.map_batches(seed_edges, batch_format="pyarrow").materialize()
+    def bucket_on(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            hb = _coarse_u64(batch.column(col).to_pylist(), num_buckets)
+            return batch.append_column("__cb", pa.array(hb))
+
+        return fn
+
+    edges = (
+        pairs_ds.map_batches(seed_edges, batch_format="pyarrow")
+        .map_batches(bucket_on("node"), batch_format="pyarrow")
+        .materialize()
+    )
 
     def init_labels(g: pd.DataFrame) -> pa.Table:
-        n = int(g["node"].iloc[0])
-        # return Arrow so every block in the union shares one block type
-        return pa.table({"node": pa.array([n], pa.int64()), "peer": pa.array([-1], pa.int64()), "label": pa.array([n], pa.int64())})
+        # return Arrow so every block in the labels∪edges union shares one block type
+        nodes = g["node"].drop_duplicates().astype("int64").to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(nodes, pa.int64()),
+                "peer": pa.array(np.full(len(nodes), -1), pa.int64()),
+                "label": pa.array(nodes, pa.int64()),
+                "__cb": pa.array(np.full(len(nodes), int(g["__cb"].iloc[0])), pa.int64()),
+            }
+        )
 
-    labels = edges.groupby("node").map_groups(init_labels, batch_format="pandas").materialize()
+    labels = edges.groupby("__cb").map_groups(init_labels, batch_format="pandas").materialize()
     prev_sum = None
 
     for _ in range(max_iters):
@@ -315,29 +472,40 @@ def label_propagate(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b", ma
             )
         )
 
-        def emit_messages(g: pd.DataFrame) -> pa.Table:
-            node = int(g["node"].iloc[0])
-            lab = int(g.loc[g["peer"] == -1, "label"].min())
-            dsts = [node] + [int(p) for p in g.loc[g["peer"] != -1, "peer"]]
-            return pa.table({"dst": pa.array(dsts, pa.int64()), "cand": pa.array([lab] * len(dsts), pa.int64())})
+        def emit_messages(g: pd.DataFrame) -> pd.DataFrame:
+            labs = (
+                g.loc[g["peer"] == -1]
+                .groupby("node", as_index=False)["label"]
+                .min()
+            )
+            e = g.loc[g["peer"] != -1, ["node", "peer"]].merge(labs, on="node", how="left")
+            dst = pd.concat([labs["node"], e["peer"]], ignore_index=True)
+            cand = pd.concat([labs["label"], e["label"]], ignore_index=True)
+            return pd.DataFrame({"dst": dst.astype("int64"), "cand": cand.astype("int64")})
 
-        messages = tagged.groupby("node").map_groups(emit_messages, batch_format="pandas")
+        messages = (
+            tagged.groupby("__cb")
+            .map_groups(emit_messages, batch_format="pandas")
+            .map_batches(bucket_on("dst"), batch_format="pyarrow")
+        )
 
         def reduce_min(g: pd.DataFrame) -> pa.Table:
+            r = g.groupby("dst", as_index=False)["cand"].min()
             return pa.table(
                 {
-                    "node": pa.array([int(g["dst"].iloc[0])], pa.int64()),
-                    "peer": pa.array([-1], pa.int64()),
-                    "label": pa.array([int(g["cand"].min())], pa.int64()),
+                    "node": pa.array(r["dst"].astype("int64").to_numpy(), pa.int64()),
+                    "peer": pa.array(np.full(len(r), -1), pa.int64()),
+                    "label": pa.array(r["cand"].astype("int64").to_numpy(), pa.int64()),
+                    "__cb": pa.array(np.full(len(r), int(g["__cb"].iloc[0])), pa.int64()),
                 }
             )
 
-        labels = messages.groupby("dst").map_groups(reduce_min, batch_format="pandas").materialize()
+        labels = messages.groupby("__cb").map_groups(reduce_min, batch_format="pandas").materialize()
         cur_sum = labels.sum("label")
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.drop_columns(["peer"])
+    return labels.drop_columns(["peer", "__cb"])
 
 
 def cluster_pairs(pairs_ds, id_col_a: str = "id_a", id_col_b: str = "id_b") -> dict[int, int]:
@@ -370,10 +538,14 @@ def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash
     return batch.append_column(out_col, pa.array(hs))
 
 
-def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_candidate_pairs(
+    ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, bucket_cap: int = 256
+):
     """Near-dup pairs by 64-bit SimHash: band the code into 4×16-bit keys
     (any pair within Hamming ≤ 3 of each other shares at least one exact
-    16-bit band — pigeonhole), groupby band, verify Hamming per bucket."""
+    16-bit band — pigeonhole), groupby band, verify Hamming per bucket.
+    Band rows carry only (id, band_key, simhash) — 24 bytes. Buckets over
+    ``bucket_cap`` ids count their overflow in truncation_stats("simhash")."""
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -396,8 +568,11 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text", 
 
     bands = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
 
+    counter = truncation_counter("simhash")
+
     def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_h = [], [], []
+        dropped = 0
         for _, g in group.groupby("band_key", sort=False):
             if len(g) < 2:
                 continue
@@ -406,7 +581,9 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text", 
                 continue
             ids = g[id_col].to_numpy()
             codes = g["simhash"].to_numpy().astype(np.uint64)
-            cap = min(len(ids), 256)
+            cap = min(len(ids), bucket_cap)
+            if len(ids) > bucket_cap:
+                dropped += len(ids) - bucket_cap
             for i in range(cap):
                 x = codes[i + 1 : cap] ^ codes[i]
                 if not x.size:
@@ -418,6 +595,9 @@ def simhash_candidate_pairs(ds, id_col: str = "doc_id", text_col: str = "text", 
                     out_a.append(ids[i])
                     out_b.append(ids[i + 1 + h])
                     out_h.append(int(dist[h]))
+        if dropped:
+            print(f"[dedup:simhash] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
+            counter.add.remote(dropped)
         if not out_a:
             return _empty_pairs("hamming", "int64")
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
@@ -447,50 +627,44 @@ def ngram_jaccard_pairs(
     num_bands: int = 16,
 ):
     """Exact n-gram-Jaccard near-dup pairs: MinHash-LSH candidates (cheap,
-    distributed) then exact Jaccard verification. Candidate ids are a tiny
-    fraction of the corpus, so their shingle sets are rebuilt via one
-    filtered pass and broadcast to the verify stage (100 TB note: replace
-    broadcast with a hash-join on id when candidates no longer fit driver
-    memory)."""
-    import ray
+    distributed) then exact Jaccard verification — ENTIRELY off-driver:
+    candidate ids flow through the sharded semi-join, their shingle sets are
+    rebuilt in one filtered map pass, hash-joined to the pairs by id, and
+    verified per pair inside coarse-bucketed map_groups (:func:`pair_scores`).
+    No shingle map or pair loop ever lands on the driver."""
+    from .join import semi_join
 
     cand = minhash_candidate_pairs(
         ds, id_col, text_col, num_perm=num_perm, num_bands=num_bands, threshold=min(0.5, threshold)
-    )
-    cand_tbl = cand.to_pandas()
-    if cand_tbl.empty:
-        return ray.data.from_pandas(pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}))
-    wanted = set(cand_tbl["id_a"].tolist()) | set(cand_tbl["id_b"].tolist())
-    wanted_ref = ray.put(wanted)
+    ).drop_columns(["est_jaccard"]).materialize()  # consumed by ids extraction + scoring
 
-    def collect_shingles(batch: pa.Table) -> pa.Table:
-        w = ray.get(wanted_ref)
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
+        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
+        return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
+
+    cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+
+    def shingle_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         texts = batch.column(text_col).to_pylist()
-        keep_ids, keep_sh = [], []
-        for i, t in zip(ids, texts):
-            if i in w:
-                keep_ids.append(i)
-                keep_sh.append(textkit.word_shingles(t or "", shingle_n).tobytes())
         return pa.table(
-            {id_col: pa.array(keep_ids, pa.int64()), "shingles": pa.array(keep_sh, pa.binary())}
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "shingles": pa.array(
+                    [textkit.word_shingles(t or "", shingle_n).tobytes() for t in texts], pa.binary()
+                ),
+            }
         )
 
-    sh_map: dict[int, np.ndarray] = {}
-    for b in ds.map_batches(collect_shingles, batch_format="pyarrow").iter_batches(
-        batch_size=4096, batch_format="pyarrow"
-    ):
-        for i, s in zip(b.column(id_col).to_pylist(), b.column("shingles").to_pylist()):
-            sh_map[int(i)] = np.frombuffer(s, dtype=np.uint64)
+    needed = semi_join(ds.select_columns([id_col, text_col]), cand_ids, on=id_col, strategy="sharded")
+    shingles = needed.map_batches(shingle_batch, batch_format="pyarrow", batch_size=2048)
 
-    out_a, out_b, out_j = [], [], []
-    for a, b_ in zip(cand_tbl["id_a"], cand_tbl["id_b"]):
-        ja = textkit.jaccard(sh_map[int(a)], sh_map[int(b_)])
-        if ja >= threshold:
-            out_a.append(int(a))
-            out_b.append(int(b_))
-            out_j.append(ja)
-    return ray.data.from_pandas(pd.DataFrame({"id_a": out_a, "id_b": out_b, "jaccard": out_j}))
+    def exact_jaccard(a: bytes, b: bytes) -> float:
+        return textkit.jaccard(np.frombuffer(a, dtype=np.uint64), np.frombuffer(b, dtype=np.uint64))
+
+    scored = pair_scores(cand, shingles, id_col, "shingles", exact_jaccard, "jaccard")
+    return scored.filter(expr=f"jaccard >= {threshold}")
 
 
 # ---------------------------------------------------------------------------

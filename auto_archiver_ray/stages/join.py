@@ -138,6 +138,8 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
         return pa.table(dict(zip(names, arrays)))
 
     def tag_left(batch: pa.Table) -> pa.Table:
+        if on not in batch.column_names:  # schema-less empty block (map_groups artifact)
+            batch = pa.table({on: pa.array([], types[on])})
         keys = batch.column(on).to_pylist()
         base = _key_hash(keys, num_buckets)
         if salt > 1:
@@ -146,6 +148,8 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
         return pad(batch, "L", base)
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        if on not in batch.column_names:
+            batch = pa.table({on: pa.array([], types[on])})
         keys = batch.column(on).to_pylist()
         base = _key_hash(keys, num_buckets)
         if salt > 1:
@@ -191,7 +195,10 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
 def _lazy_keyset_shard():
     import ray
 
-    @ray.remote(num_cpus=0.25)
+    # num_cpus=0: a memory service doing O(batch) numpy lookups — reserving
+    # CPU slots would starve the Dataset tasks on small ray.init sessions
+    # (16 shards × 0.25 would eat a 4-CPU test session whole)
+    @ray.remote(num_cpus=0)
     class KeySetShard:
         """One partition of a distributed u64 key set."""
 

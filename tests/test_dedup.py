@@ -191,3 +191,44 @@ def test_exact_dedup_shuffle_strategy_matches_broadcast():
     # winners really are min-id per key
     expect = df.sort_values("id").drop_duplicates("key").sort_values("key").reset_index(drop=True)
     pd.testing.assert_frame_equal(b[["key", "id", "val"]], expect[["key", "id", "val"]])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_truncation_counter_records_capped_buckets():
+    """No-silent-caps: a band over the cap reports its dropped ids."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import minhash_candidate_pairs, truncation_stats
+
+    # 12 identical docs all land in one band bucket; cap=8 → 4 dropped ids
+    rows = [{"doc_id": i, "text": "same words repeated here for everyone always"} for i in range(12)]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    before = truncation_stats("minhash")
+    pairs = minhash_candidate_pairs(ds, threshold=0.5, band_cap=8).to_pandas()
+    after = truncation_stats("minhash")
+    assert len(pairs) == 8 * 7 // 2  # all pairs among the 8 kept ids
+    assert after["dropped_ids"] > before["dropped_ids"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_label_propagate_larger_graph_equivalence():
+    """Coarse-bucketed label propagation ≡ union-find on a 2k-edge graph
+    (many components, no per-node Ray groups)."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import cluster_pairs, label_propagate
+
+    rng = np.random.default_rng(3)
+    # 400 chains of length 6 → 2000 edges
+    edges = []
+    for c in range(400):
+        base = c * 10
+        for j in range(5):
+            edges.append((base + j, base + j + 1))
+    pairs = pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
+    ds = rd.from_pandas(pairs)
+    lp = label_propagate(ds, num_buckets=32).to_pandas().set_index("node")["label"].to_dict()
+    uf = cluster_pairs(rd.from_pandas(pairs))
+    assert lp == {n: uf[n] for n in lp}
+    assert len(lp) == 2400
