@@ -1336,6 +1336,77 @@ def q_media_store(sf_dir: str):
     return manifest[["storage_key", "n_bytes"]].sort_values("storage_key").reset_index(drop=True)
 
 
+def q_wacz_media(sf_dir: str):
+    """WACZ/WARC record walk → media plan (the reference's offline-archive
+    media path, ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:199-266):
+    deterministic fixture archives → record source → relevance filter →
+    per-archive seen-URL dedup → mimetype filter → sequential media keys.
+    Oracled: the fixture build also writes the parsed-records parquet and
+    the SQL re-expresses the walk with window functions."""
+    from ..sources.warc import ensure_fixture_wacz, read_wacz_records
+    from ..stages.media import wacz_media_plan
+
+    fx = ensure_fixture_wacz()
+    recs = read_wacz_records(fx["wacz"])
+    df = wacz_media_plan(recs).to_pandas()
+    return df.sort_values(["warc_file", "rec_offset", "media_key"]).reset_index(drop=True)
+
+
+def _sql_wacz_media() -> str:
+    from ..sources.warc import ensure_fixture_wacz
+
+    fx = ensure_fixture_wacz()
+    return f"""
+WITH recs AS (SELECT * FROM read_parquet('{fx["records_parquet"]}')),
+resp AS (
+  SELECT warc_file, rec_offset, target_uri, http_content_type, payload_len,
+         regexp_replace(target_uri, '\\?.*$', '') AS nq
+  FROM recs WHERE rec_type = 'response'
+),
+relevant AS (
+  SELECT * FROM resp
+  WHERE NOT (contains(nq, 'favicon') OR nq LIKE '%.svg' OR nq LIKE '%.ico'
+             OR nq LIKE '%.m3u8' OR nq LIKE '%.mpd' OR nq LIKE '%.ism'
+             OR contains(nq, 'twimg.com/profile_images'))
+),
+mediarec AS (
+  SELECT *, row_number() OVER (PARTITION BY warc_file, target_uri ORDER BY rec_offset) AS occ
+  FROM relevant
+  WHERE contains(http_content_type, 'video') OR contains(http_content_type, 'image')
+     OR contains(http_content_type, 'audio')
+),
+kept AS (SELECT * FROM mediarec WHERE occ = 1),
+media_rows AS (
+  SELECT warc_file, rec_offset,
+    'warc-file-' || CAST(row_number() OVER (PARTITION BY warc_file ORDER BY rec_offset) - 1 AS VARCHAR)
+      || CASE WHEN http_content_type LIKE 'image/jpeg%' THEN '.jpg'
+              WHEN http_content_type LIKE 'image/png%' THEN '.png'
+              WHEN http_content_type LIKE 'image/gif%' THEN '.gif'
+              WHEN http_content_type LIKE 'video/mp4%' THEN '.mp4'
+              WHEN http_content_type LIKE 'audio/mpeg%' THEN '.mp3'
+              ELSE '' END AS media_key,
+    'media' AS kind,
+    CASE WHEN contains(target_uri, 'name=')
+         THEN regexp_replace(target_uri, 'name=[^&]*', 'name=orig')
+         ELSE target_uri END AS src,
+    CASE WHEN contains(target_uri, 'name=')
+              AND regexp_replace(target_uri, 'name=[^&]*', 'name=orig') <> target_uri
+         THEN target_uri ELSE '' END AS src_alternative,
+    http_content_type AS mimetype, payload_len AS n_bytes
+  FROM kept
+),
+shot_rows AS (
+  SELECT warc_file, rec_offset,
+    'browsertrix-screenshot-' || CAST(row_number() OVER (PARTITION BY warc_file ORDER BY rec_offset) - 1 AS VARCHAR) AS media_key,
+    'screenshot' AS kind, target_uri AS src, '' AS src_alternative,
+    'image/png' AS mimetype, payload_len AS n_bytes
+  FROM recs WHERE rec_type = 'resource' AND warc_content_type = 'image/png'
+)
+SELECT * FROM media_rows UNION ALL SELECT * FROM shot_rows
+ORDER BY warc_file, rec_offset, media_key
+"""
+
+
 _CRAWL_SEQ = [0]
 
 
@@ -1394,6 +1465,7 @@ QUERIES = {
     "q_media_store": q_media_store,
     "q_pages_wayback": q_pages_wayback,
     "q_crawl_epochs": q_crawl_epochs,
+    "q_wacz_media": q_wacz_media,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_quality": q_doc_quality,
@@ -1448,5 +1520,6 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_dedup": _sql_pages(sf_dir, SQL_PAGES_DEDUP),
         "q_pages_trackers": _sql_pages(sf_dir, SQL_PAGES_TRACKERS),
         "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
+        "q_wacz_media": _sql_wacz_media(),
         "q_knn": SQL_KNN,
     }

@@ -64,3 +64,88 @@ def add_storage_keys(
         for p, u, e, h in zip(pages, urls, exts, hashes)
     ]
     return batch.append_column("storage_key", pa.array(keys, pa.string()))
+
+
+def wacz_media_plan(records_ds, extract_media: bool = True, extract_screenshot: bool = True):
+    """The reference's WACZ media walk as a Dataset op
+    (ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:199-266):
+
+    - screenshots: rec_type='resource' + WARC Content-Type 'image/png' →
+      ``browsertrix-screenshot-{k}`` keys (k per archive, record order);
+    - media: rec_type='response' records whose WARC-Target-URI passes
+      ``is_relevant_url``, then a per-archive SEEN-URL set (first media
+      occurrence wins, checked before the mimetype filter exactly as the
+      reference orders it), then HTTP Content-Type containing
+      video/image/audio; kept records get ``warc-file-{n}{ext}`` keys with
+      n sequential per archive, ``src``/``src_alternative`` recording the
+      twitter best-quality rewrite.
+
+    The counter and seen-set are inherently sequential PER ARCHIVE, so the
+    shuffle key is warc_file (one group per archive — archives are the
+    ~1 GB parallelism unit, not a skew risk); payloads are projected to a
+    byte length BEFORE the shuffle. The reference's is_valid_video probe is
+    skipped (no ffprobe in the data plane; documented stub).
+    """
+    import mimetypes
+
+    import pandas as pd
+
+    keys_only = records_ds.drop_columns(["payload"])
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rec_offset", kind="mergesort")
+        seen: set[str] = set()
+        n_media = 0
+        n_shot = 0
+        rows = []
+        for r in g.itertuples(index=False):
+            if extract_screenshot and r.rec_type == "resource" and r.warc_content_type == "image/png":
+                rows.append(
+                    {
+                        "warc_file": r.warc_file,
+                        "rec_offset": r.rec_offset,
+                        "media_key": f"browsertrix-screenshot-{n_shot}",
+                        "kind": "screenshot",
+                        "src": r.target_uri,
+                        "src_alternative": "",
+                        "mimetype": "image/png",
+                        "n_bytes": r.payload_len,
+                    }
+                )
+                n_shot += 1
+            if not extract_media:
+                continue
+            if r.rec_type != "response":
+                continue
+            if not urlkit.is_relevant_url(r.target_uri):
+                continue
+            if r.target_uri in seen:
+                continue
+            ct = r.http_content_type or ""
+            if not ct or not any(x in ct for x in ("video", "image", "audio")):
+                continue
+            ext = mimetypes.guess_extension(ct.split(";")[0].strip()) or ""
+            best = urlkit.twitter_best_quality_url(r.target_uri)
+            rows.append(
+                {
+                    "warc_file": r.warc_file,
+                    "rec_offset": r.rec_offset,
+                    "media_key": f"warc-file-{n_media}{ext}",
+                    "kind": "media",
+                    "src": best,
+                    "src_alternative": r.target_uri if best != r.target_uri else "",
+                    "mimetype": ct,
+                    "n_bytes": r.payload_len,
+                }
+            )
+            n_media += 1
+            seen.add(r.target_uri)
+        cols = [
+            "warc_file", "rec_offset", "media_key", "kind", "src",
+            "src_alternative", "mimetype", "n_bytes",
+        ]
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype="int64" if c in ("rec_offset", "n_bytes") else "object") for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return keys_only.groupby("warc_file").map_groups(plan, batch_format="pandas")
