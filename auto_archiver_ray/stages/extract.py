@@ -107,6 +107,31 @@ def youtube_parser(url: str, html: bytes) -> dict:
     return out
 
 
+def facebook_parser(url: str, html: bytes) -> dict:
+    """Facebook dropin webpage scrape (ref:modules/generic_extractor/
+    facebook.py:19-145): data-sjs JSON scan + meta/regex fallbacks for
+    title/author/timestamp/thumbnail; text and media links come from the
+    generic kernel (the dropin's create_metadata only sets
+    content/title/author)."""
+    from ..functions import dropins
+
+    webpage = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
+    post = dropins.facebook_extract_metadata(webpage, dropins.facebook_post_id(url))
+    out = generic_parser(url, html)
+    if post["title"]:
+        out["title"] = post["title"]
+    if post["uploader"]:
+        out["author"] = post["uploader"]
+    if post["timestamp"]:
+        from datetime import datetime, timezone
+
+        out["timestamp"] = datetime.fromtimestamp(post["timestamp"], tz=timezone.utc).isoformat()
+    if post["thumbnail"]:
+        out["media_links"] = out["media_links"] + [post["thumbnail"]]
+    out["status"] = "facebook: success" if (post["title"] or post["uploader"] or out["text"]) else ""
+    return out
+
+
 PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
     # platform → ordered extractor chain (first success wins) — the
     # suitable()-routing + config-order fallback of
@@ -114,6 +139,7 @@ PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
     "telegram": (telegram_parser, generic_parser),
     "twitter": (twitter_parser, generic_parser),
     "youtube": (youtube_parser, generic_parser),
+    "facebook": (facebook_parser, generic_parser),
     "default": (generic_parser,),
 }
 
@@ -137,7 +163,7 @@ def extract_one(url: str, platform: str, html: bytes) -> dict:
     from ..functions.mergekit import is_success, merge_results
 
     acc: dict = {"status": "no archiver", "metadata": {}, "media": []}
-    fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": [], "duration": None}
+    fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": [], "duration": None, "author": ""}
     for parser in PARSER_CHAINS.get(platform, PARSER_CHAINS["default"]):
         try:
             res = parser(url, html)
@@ -181,6 +207,7 @@ class ExtractStage:
         text = [""] * n
         tstamp = [""] * n
         links: list[list[str]] = [[] for _ in range(n)]
+        author = [""] * n
         duration: list[float | None] = [None] * n
         deleted = [False] * n
         del_ind = [""] * n
@@ -193,6 +220,7 @@ class ExtractStage:
             text[i] = res["text"]
             tstamp[i] = res["timestamp"]
             links[i] = res["media_links"]
+            author[i] = res.get("author") or ""
             duration[i] = res.get("duration")
             d, ind, src = textkit.detect_deletion(res["text"], res["title"], None, platforms[i])
             if d:  # ref:utils/deletion_detection.py:253-266
@@ -205,6 +233,7 @@ class ExtractStage:
             .append_column("text_extracted", pa.array(text, pa.string()))
             .append_column("timestamp", pa.array(tstamp, pa.string()))
             .append_column("media_links", pa.array(links, pa.list_(pa.string())))
+            .append_column("author", pa.array(author, pa.string()))
             .append_column("duration", pa.array(duration, pa.float64()))
             .append_column("deletion_detected", pa.array(deleted, pa.bool_()))
             .append_column("deletion_indicator", pa.array(del_ind, pa.string()))
