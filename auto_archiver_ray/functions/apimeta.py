@@ -101,3 +101,88 @@ def cleanup_dict(d: Any) -> Any:
         for k, v in d.items()
         if (clean_v := cleanup_dict(v)) not in list(_EMPTYISH) and k not in _COORD_KEYS
     }
+
+
+# ---------------------------------------------------------------------------
+# Instagram API scrape normalization (the portable halves of
+# ref:modules/instagram_api_extractor/instagram_api_extractor.py:302-392;
+# downloads become media-URL plan entries instead of fetches)
+# ---------------------------------------------------------------------------
+
+_IG_VERSION_KEYS = [
+    "image_versions", "video_versions", "video_dash_manifest",
+    "image_versions2", "video_versions2",
+]
+
+
+def instagram_scrape_media(item: dict, context: str | None = None, minimize: bool = True):
+    """ref:instagram_api_extractor.py:337-392 — returns (cleaned_item,
+    media_dict_or_None, media_id). media_dict records the URLs the
+    reference would download: kind, media_url, preview_url, date, post
+    url (from code), caption text, and the cleaned item as data."""
+    item = dict(item)
+    if minimize:
+        for k in _IG_VERSION_KEYS:
+            item.pop(k, None)
+    item = cleanup_dict(item)
+
+    preview_url = item.get("thumbnail_url")
+    best_id = item.get("id", item.get("pk"))
+    taken_at = item.get("taken_at", item.get("taken_at_ts"))
+    code = item.get("code")
+    caption_text = item.get("caption_text")
+    item.pop("carousel_media", None)
+
+    def decorate(m: dict) -> dict:
+        if taken_at:
+            m["date"] = taken_at
+        if code:
+            m["url"] = f"https://www.instagram.com/p/{code}"
+        if caption_text:
+            m["text"] = caption_text
+        m["data"] = [item]
+        return m
+
+    if video_url := item.get("video_url"):
+        media = decorate({"kind": "video", "media_url": video_url, "preview_url": preview_url})
+        return item, media, f"{context or 'video'} {best_id}"
+    if preview_url:
+        media = decorate({"kind": "image", "media_url": preview_url, "preview_url": None})
+        return item, media, f"{context or 'image'} {best_id}"
+    return item, None, None
+
+
+def instagram_scrape_item(item: dict, context: str | None = None, minimize: bool = True) -> dict:
+    """ref:instagram_api_extractor.py:302-334 — clips_metadata text rescue,
+    post URL from code, main media from the item or its first resource,
+    remaining resources recursed into 'other media'. Returns
+    {item, url, media, media_id, other_media}; raises AssertionError when
+    no media found (the reference's assert)."""
+    item = dict(item)
+    out: dict = {"url": None, "other_media": []}
+    if "clips_metadata" in item:
+        if reusable_text := item.get("clips_metadata", {}).get("reusable_text_attribute_string"):
+            item["clips_metadata_text"] = reusable_text
+        if minimize:
+            del item["clips_metadata"]
+
+    if code := item.get("code"):
+        out["url"] = f"https://www.instagram.com/p/{code}/"
+
+    resources = item.get("resources", item.get("carousel_media", []))
+    item, media, media_id = instagram_scrape_media(item, context, minimize)
+    if not media and len(resources):
+        _, media, media_id = instagram_scrape_media(resources[0], context, minimize)
+        resources = resources[1:]
+    assert media, f"Image/video not found in {item=}"
+
+    for r in resources:
+        try:
+            sub = instagram_scrape_item(r, context, minimize)
+            out["other_media"].append(sub["media"])
+        except AssertionError:
+            continue
+    out["item"] = item
+    out["media"] = media
+    out["media_id"] = media_id
+    return out

@@ -1336,6 +1336,42 @@ def q_media_store(sf_dir: str):
     return manifest[["storage_key", "n_bytes"]].sort_values("storage_key").reset_index(drop=True)
 
 
+def q_timestamping(sf_dir: str):
+    """Evidentiary hash-chain manifest per host (the timestamping enricher's
+    pure data plane, ref:modules/timestamping_enricher/timestamping_enricher.py:51-104):
+    content hashes ordered by url → newline manifest (algo prefix stripped)
+    → manifest sha256 + deterministic stub TSA tokens. Fully oracled."""
+    from ..stages.evidence import hash_manifests
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=1024)
+    out = hash_manifests(ds, key_col="host", hash_col="content_hash", order_col="url").to_pandas()
+    out["n_hashes"] = out["n_hashes"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_TIMESTAMPING = f"""
+WITH hashed AS (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url,
+         sha256(decode(html)) AS h
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+manifests AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS n_hashes,
+         string_agg(h, chr(10) ORDER BY url) AS manifest
+  FROM hashed GROUP BY host
+)
+SELECT host, n_hashes,
+       sha256(manifest) AS manifest_sha256,
+       sha256('dtsa://alpha.invalid/tsr' || chr(10) || manifest) AS token_0,
+       sha256('dtsa://beta.invalid/tsr' || chr(10) || manifest) AS token_1
+FROM manifests ORDER BY host
+"""
+
+
 def q_wacz_media(sf_dir: str):
     """WACZ/WARC record walk → media plan (the reference's offline-archive
     media path, ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:199-266):
@@ -1466,6 +1502,7 @@ QUERIES = {
     "q_pages_wayback": q_pages_wayback,
     "q_crawl_epochs": q_crawl_epochs,
     "q_wacz_media": q_wacz_media,
+    "q_timestamping": q_timestamping,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_quality": q_doc_quality,
@@ -1521,5 +1558,6 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_trackers": _sql_pages(sf_dir, SQL_PAGES_TRACKERS),
         "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
         "q_wacz_media": _sql_wacz_media(),
+        "q_timestamping": _sql_pages(sf_dir, SQL_TIMESTAMPING),
         "q_knn": SQL_KNN,
     }

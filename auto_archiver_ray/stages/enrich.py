@@ -99,3 +99,86 @@ def pdq_hash_enrich(batch: pa.Table, payload_col: str = "html") -> pa.Table:
     payloads = batch.column(payload_col).to_pylist()
     codes = ["" if p is None else _pdq256(p) for p in payloads]
     return batch.append_column("pdq_hash", pa.array(codes, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Metadata EXTRACTION half (feeds select_metadata) — the exiftool subprocess
+# stage of ref:modules/metadata_enricher/metadata_enricher.py:23-38
+# ---------------------------------------------------------------------------
+
+
+def parse_exiftool_output(text: str) -> dict:
+    """exiftool's default 'Field  : value' lines → dict, with the
+    reference's tolerant split semantics (first ':' splits; malformed lines
+    abort the parse and return what's collected — it wraps the whole loop in
+    one try/except, ref:metadata_enricher.py:25-38)."""
+    metadata: dict[str, str] = {}
+    try:
+        for line in text.splitlines():
+            field, value = line.strip().split(":", 1)
+            metadata[field.strip()] = value.strip()
+    except ValueError:
+        return {}
+    return metadata
+
+
+class ExifToolStage:
+    """Actor-pool metadata-extraction stage over a binary payload column.
+
+    Per actor __init__ probes for the exiftool binary once; __call__ runs it
+    per media payload (via a temp file) and parses the key→value output,
+    optionally reduced by the select_metadata baskets. Without exiftool in
+    the container the stage falls back to a DETERMINISTIC minimal
+    description (File Size / File Type from magic bytes / MIME Type) so the
+    plumbing — schema, actor signature, basket selection — stays real;
+    the subprocess path is exercised wherever exiftool exists."""
+
+    def __init__(self, payload_col: str = "payload", look_for_keys: list[str] | None = None):
+        import shutil
+
+        self.payload_col = payload_col
+        self.look_for_keys = look_for_keys or []
+        self.exiftool = shutil.which("exiftool")
+
+    _MAGIC = (
+        (b"\xff\xd8\xff", "JPEG", "image/jpeg"),
+        (b"\x89PNG", "PNG", "image/png"),
+        (b"GIF8", "GIF", "image/gif"),
+        (b"%PDF", "PDF", "application/pdf"),
+        (b"\x1aE\xdf\xa3", "WEBM", "video/webm"),
+    )
+
+    def _describe(self, payload: bytes) -> dict:
+        if self.exiftool:
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+                f.write(payload)
+                f.flush()
+                result = subprocess.run(
+                    [self.exiftool, f.name], capture_output=True, text=True
+                )
+            return parse_exiftool_output(result.stdout)
+        ftype, mime = "Unknown", "application/octet-stream"
+        for magic, t, m in self._MAGIC:
+            if payload.startswith(magic):
+                ftype, mime = t, m
+                break
+        return {
+            "File Size": human_readable_bytes(len(payload)),
+            "File Type": ftype,
+            "MIME Type": mime,
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        payloads = batch.column(self.payload_col).to_pylist()
+        out = []
+        for p in payloads:
+            md = self._describe(p or b"")
+            if self.look_for_keys:
+                md = select_metadata(md, self.look_for_keys)
+            out.append(json.dumps(md, sort_keys=True))
+        return batch.append_column("exif_json", pa.array(out, pa.string()))

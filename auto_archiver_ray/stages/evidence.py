@@ -1,0 +1,104 @@
+"""Evidentiary hash-chain manifests — the timestamping enricher's data plane.
+
+The reference concatenates each item's media hashes (algo prefixes
+stripped) into hashes.txt, signs that blob with N RFC3161 TSAs, and
+verifies the cert chain (ref:modules/timestamping_enricher/
+timestamping_enricher.py:51-104; hash concat at :55-66; the
+OpentimestampsEnricher is the same shape per file). The pure, portable part
+is the manifest: a deterministic function of the ordered hash list — built
+and verified here. The TSA signature itself needs a network authority; in
+this data plane the token is a DETERMINISTIC STUB (sha256 over
+tsa_url + manifest — clearly not a real RFC3161 token) so the
+submit/attach/verify plumbing is real and testable end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# default stub authorities (the reference defaults to several real TSA URLs)
+DEFAULT_TSA_URLS = ("dtsa://alpha.invalid/tsr", "dtsa://beta.invalid/tsr")
+
+
+def strip_hash_prefix(h: str) -> str:
+    """Parity: ref:timestamping_enricher.py:55-57 — drop the algo prefix."""
+    return h.replace("SHA-256:", "").replace("SHA3-512:", "")
+
+
+def build_manifest(hashes: list[str]) -> str:
+    """data_to_sign: newline-joined stripped hashes (ref::61-66)."""
+    return "\n".join(strip_hash_prefix(h) for h in hashes)
+
+
+def manifest_sha256(manifest: str) -> str:
+    return hashlib.sha256(manifest.encode("utf-8")).hexdigest()
+
+
+def stub_tsa_token(tsa_url: str, manifest: str) -> str:
+    """Deterministic stand-in for the TSA's signed token."""
+    return hashlib.sha256((tsa_url + "\n" + manifest).encode("utf-8")).hexdigest()
+
+
+def verify_token(tsa_url: str, manifest: str, token: str) -> bool:
+    """The verify half (ref::79-104 verifies the signature over the same
+    message bytes): recompute and compare."""
+    return stub_tsa_token(tsa_url, manifest) == token
+
+
+def verify_manifest(manifest: str, hashes: list[str]) -> bool:
+    """A manifest is valid iff it equals the canonical build over the
+    claimed hash list."""
+    return manifest == build_manifest(hashes)
+
+
+def hash_manifests(
+    ds,
+    key_col: str = "host",
+    hash_col: str = "sha256",
+    order_col: str = "url",
+    tsa_urls: tuple[str, ...] = DEFAULT_TSA_URLS,
+    num_buckets: int = 512,
+):
+    """Per-key evidentiary manifest over content hashes: one row per
+    ``key_col`` value with (manifest_sha256, n_hashes, token_<i> per TSA).
+    Hashes are ordered by ``order_col`` — deterministic, resumable.
+
+    Shuffle: only (key, hash, order) columns move, keyed on a coarse bucket
+    of ``key_col`` (all rows of a key co-locate; per-key work is a
+    vectorized pandas groupby inside the bucket)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = np.asarray([str(v) for v in batch.column(key_col).to_pylist()], dtype=object)
+        hb = (pd.util.hash_array(vals, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__eb", pa.array(hb))
+
+    token_cols = [f"token_{i}" for i in range(len(tsa_urls))]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key, grp in g.groupby(key_col, sort=False):
+            grp = grp.sort_values(order_col, kind="mergesort")
+            manifest = build_manifest(list(grp[hash_col]))
+            row = {
+                key_col: key,
+                "n_hashes": len(grp),
+                "manifest_sha256": manifest_sha256(manifest),
+            }
+            for c, tsa in zip(token_cols, tsa_urls):
+                row[c] = stub_tsa_token(tsa, manifest)
+            rows.append(row)
+        cols = [key_col, "n_hashes", "manifest_sha256"] + token_cols
+        if not rows:
+            return pd.DataFrame({c: pd.Series(dtype="object" if c != "n_hashes" else "int64") for c in cols})
+        return pd.DataFrame(rows, columns=cols)
+
+    return (
+        ds.select_columns([key_col, hash_col, order_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__eb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
