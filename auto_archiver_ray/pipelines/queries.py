@@ -841,27 +841,112 @@ FROM documents GROUP BY sha256(text) ORDER BY text_sha
 
 
 def q_doc_quality(sf_dir: str):
-    """Quality-score aggregates by lang (heuristic kernel → rows-only check)."""
+    """Quality-score aggregates by lang — scores carried as integer
+    percents so the distributed sum is exact and the oracle compare is
+    bit-identical (one final int/int division on both engines)."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
-    ds = ds.map_batches(textstats.quality_stage, batch_format="pyarrow", batch_size=8192)
-    from ray.data.aggregate import Count, Mean
 
-    return (
-        ds.groupby("lang")
-        .aggregate(Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality"))
-        .sort("lang")
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        pcts = np.asarray(
+            [int(round(textkit.quality_score(t or "") * 100)) for t in texts], dtype=np.int64
+        )
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "pct": pa.array(pcts),
+                "n": pa.array(np.ones(len(texts), dtype=np.int64)),
+            }
+        )
+        return t.group_by("lang").aggregate([("pct", "sum"), ("n", "sum")]).rename_columns(
+            ["lang", "pct", "n"]
+        )
+
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["lang"],
+        {"pct": "sum", "n": "sum"},
     )
+    agg["n_docs"] = agg["n"].astype("int64")
+    agg["avg_quality_pct"] = agg["pct"].astype("int64") / agg["n"].astype("int64")
+    return agg[["lang", "n_docs", "avg_quality_pct"]].sort_values("lang").reset_index(drop=True)
+
+
+# the exact quality_score rules in SQL (ref kernel: functions/textkit.py
+# quality_features/quality_score — Gopher/C4-shaped heuristics)
+_QUALITY_STOPLIST = "'" + "','".join(
+    sorted(textkit._LANG_STOPWORDS["en"])
+) + "'"
+
+SQL_DOC_QUALITY = f"""
+WITH f AS (
+  SELECT lang,
+    list_filter(string_split_regex(text, '\\s+'), w -> w <> '') AS ws,
+    length(text) AS n_chars,
+    len(regexp_extract_all(text, '[.,!?;:"''()\\[\\]{{}}-]')) AS n_punct,
+    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+    len(regexp_extract_all(text, '\\p{{Lu}}')) AS n_upper
+  FROM documents
+), g AS (
+  SELECT lang, n_chars, n_punct, n_digit, n_upper, len(ws) AS n_words,
+    COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS sum_wl,
+    len(list_filter(ws, w -> trim(lower(w), '.,!?;:"''()[]') IN ({_QUALITY_STOPLIST}))) AS stop_hits
+  FROM f
+), s AS (
+  SELECT lang, greatest(0, 100
+    - CASE WHEN n_words < 5 THEN 50 ELSE 0 END
+    - CASE WHEN n_words = 0 OR NOT (CAST(sum_wl AS DOUBLE)/n_words BETWEEN 3.0 AND 10.0) THEN 20 ELSE 0 END
+    - CASE WHEN n_words = 0 OR CAST(stop_hits AS DOUBLE)/n_words < 0.05 THEN 20 ELSE 0 END
+    - CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars > 0.2 THEN 20 ELSE 0 END
+    - CASE WHEN n_chars > 0 AND CAST(n_digit AS DOUBLE)/n_chars > 0.3 THEN 20 ELSE 0 END
+    - CASE WHEN n_chars > 0 AND CAST(n_upper AS DOUBLE)/n_chars > 0.3 THEN 10 ELSE 0 END) AS pct
+  FROM g
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(pct) AS DOUBLE)/COUNT(*) AS avg_quality_pct
+FROM s GROUP BY lang ORDER BY lang
+"""
 
 
 def q_doc_langid(sf_dir: str):
-    """Language-ID heuristic vs the labeled lang column (rows-only)."""
+    """Language-ID heuristic vs the labeled lang column (oracled: the
+    stopword-hit-rate argmax with sorted-code tie-break, re-expressed as a
+    greatest()+CASE chain in SQL over the same stopword lists)."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     ds = ds.map_batches(textstats.lang_id_stage, batch_format="pyarrow", batch_size=8192)
     from ray.data.aggregate import Count
 
-    return ds.groupby(["lang", "lang_guess"]).aggregate(Count(alias_name="n")).sort(["lang", "lang_guess"])
+    out = ds.groupby(["lang", "lang_guess"]).aggregate(Count(alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values(["lang", "lang_guess"]).reset_index(drop=True)
+
+
+def _sql_doc_langid() -> str:
+    """Generated from textkit._LANG_STOPWORDS — data parity by construction
+    (the same trick as the deletion oracle)."""
+    codes = sorted(textkit._LANG_STOPWORDS)
+    hit_cols = []
+    for c in codes:
+        lst = "'" + "','".join(sorted(textkit._LANG_STOPWORDS[c])) + "'"
+        hit_cols.append(f"len(list_filter(ws, w -> w IN ({lst}))) AS h_{c}")
+    mx = "greatest(" + ", ".join(f"h_{c}" for c in codes) + ")"
+    chain = " ".join(f"WHEN h_{c} = mx THEN '{c}'" for c in codes[:-1])
+    return f"""
+WITH w AS (
+  SELECT lang, list_transform(regexp_extract_all(text, '\\p{{L}}+'), x -> lower(x)) AS ws
+  FROM documents
+), h AS (
+  SELECT lang, len(ws) AS nw, {", ".join(hit_cols)} FROM w
+), g AS (
+  SELECT lang, nw, {mx} AS mx, {", ".join(f"h_{c}" for c in codes)} FROM h
+)
+SELECT lang,
+       CASE WHEN nw = 0 OR mx = 0 THEN 'und' {chain} ELSE '{codes[-1]}' END AS lang_guess,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM g GROUP BY 1, 2 ORDER BY 1, 2
+"""
 
 
 def q_doc_fingerprint(sf_dir: str):
@@ -1016,17 +1101,8 @@ def q_pages_deletion(sf_dir: str):
     return out.sort_values("platform").reset_index(drop=True)
 
 
-def _sql_pages_deletion() -> str:
-    """Generate the oracle from the same indicator tables (data parity by
-    construction)."""
-
-    def contains_any(indicators: list[str]) -> str:
-        parts = [
-            "contains(lower(text), '" + ind.lower().replace("'", "''") + "')" for ind in indicators
-        ]
-        return "(" + " OR ".join(parts) + ")"
-
-    platform_case = (
+def _platform_case_sql() -> str:
+    return (
         "CASE "
         "WHEN contains(url, 'twitter.com') OR contains(url, 'x.com') THEN 'twitter' "
         "WHEN contains(url, 'facebook.com') OR contains(url, 'fb.com') THEN 'facebook' "
@@ -1038,16 +1114,31 @@ def _sql_pages_deletion() -> str:
         "WHEN contains(url, 't.me') THEN 'telegram' "
         "ELSE 'unknown' END"
     )
+
+
+def _deleted_case_sql() -> str:
+    def contains_any(indicators: list[str]) -> str:
+        parts = [
+            "contains(lower(text), '" + ind.lower().replace("'", "''") + "')" for ind in indicators
+        ]
+        return "(" + " OR ".join(parts) + ")"
+
     deleted_case = "CASE "
     for plat, inds in textkit.DELETION_INDICATORS.items():
         deleted_case += f"WHEN platform = '{plat}' THEN " + contains_any(
             inds + textkit.GENERIC_DELETION_INDICATORS
         ) + " "
     deleted_case += "ELSE " + contains_any(textkit.GENERIC_DELETION_INDICATORS) + " END"
+    return deleted_case
+
+
+def _sql_pages_deletion() -> str:
+    """Generate the oracle from the same indicator tables (data parity by
+    construction)."""
     return f"""
 SELECT platform, CAST(COUNT(*) AS BIGINT) AS n_deleted FROM (
-  SELECT {platform_case} AS platform, text FROM __PAGES__ WHERE {_VALID_SQL}
-) WHERE {deleted_case}
+  SELECT {_platform_case_sql()} AS platform, text FROM __PAGES__ WHERE {_VALID_SQL}
+) WHERE {_deleted_case_sql()}
 GROUP BY platform ORDER BY platform
 """
 
@@ -1068,22 +1159,60 @@ def q_pages_media_plan(sf_dir: str):
 
 
 def q_archive_stats(sf_dir: str):
-    """Flagship pipeline status/size rollup (rows-only)."""
+    """Flagship pipeline status/size rollup (oracled: the extractor-chain
+    status outcome re-expressed in SQL over the same corpus — deletion
+    override, telegram's at-least-one-relevant-media contract, platform
+    success routing)."""
     from ..pipelines.archive import archive_pages
 
     ds = archive_pages(sf_dir, extract_concurrency=4)
     from ray.data.aggregate import Count, Sum
 
-    return (
+    out = (
         ds.groupby("status")
         .aggregate(Count(alias_name="n"), Sum("size_bytes", alias_name="total_bytes"))
-        .sort("status")
+        .to_pandas()
     )
+    out["n"] = out["n"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return out.sort_values("status").reset_index(drop=True)
+
+
+def _sql_archive_stats() -> str:
+    """Status semantics on this corpus: deletion overrides; telegram pages
+    succeed as 'telegram: success' only when the html offers a RELEVANT
+    media link (the generator's relevant forms are /img/photo-* and
+    <video src=...>; favicon/svg/profile-image links are filtered by
+    is_relevant_url), else the chain falls through to generic; twitter /
+    youtube succeed on non-empty text; every other platform is generic."""
+    has_media = (
+        "(contains(decode(html), '/img/photo-') OR contains(decode(html), '<video src='))"
+    )
+    return f"""
+WITH base AS (
+  SELECT {_platform_case_sql()} AS platform, text, html,
+         octet_length(html) AS size_bytes
+  FROM __PAGES__ WHERE {_VALID_SQL}
+), st AS (
+  SELECT CASE
+      WHEN {_deleted_case_sql()} THEN 'deleted_or_unavailable'
+      WHEN platform = 'telegram' AND {has_media} THEN 'telegram: success'
+      WHEN platform = 'twitter' AND length(text) > 0 THEN 'twitter: success'
+      WHEN platform = 'youtube' AND length(text) > 0 THEN 'youtube: success'
+      ELSE 'generic: success' END AS status,
+    size_bytes
+  FROM base
+)
+SELECT status, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes
+FROM st GROUP BY status ORDER BY status
+"""
 
 
 def q_crawl_plan(sf_dir: str):
-    """Politeness epoch plan summary per host (rows-only): deterministic
-    crawl ordering under per-host budget."""
+    """Politeness epoch plan summary per host: deterministic crawl ordering
+    under per-host budget. Oracled: max epoch per host is (n-1)//budget —
+    a pure function of the per-host count."""
     from ..state.frontier import assign_crawl_epochs
 
     rd = _rd()
@@ -1098,6 +1227,35 @@ def q_crawl_plan(sf_dir: str):
         .aggregate(Count(alias_name="n_urls"), Max("fetch_epoch", alias_name="last_epoch"))
         .sort("host")
     )
+
+
+SQL_CRAWL_PLAN = f"""
+SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(floor((COUNT(*) - 1) / 10) AS BIGINT) AS last_epoch
+FROM __PAGES__ WHERE {_VALID_SQL}
+GROUP BY 1 ORDER BY 1
+"""
+
+
+# epoch k holds min(budget, n - k*budget) rows of each host with n valid
+# URLs — the politeness partition sizes are a pure function of per-host
+# counts (ordering affects membership, not sizes)
+SQL_CRAWL_EPOCHS = f"""
+WITH c AS (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, COUNT(*) AS n
+  FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
+),
+eps AS (
+  -- constant upper bound (range() takes only constants); filtered by the
+  -- join predicate, so any bound >= max epochs is exact
+  SELECT range AS ep FROM range(0, 100000)
+)
+SELECT 'epoch' || lpad(CAST(ep AS VARCHAR), 5, '0') AS partition,
+       CAST(SUM(least(100, n - ep * 100)) AS BIGINT) AS n_rows
+FROM c JOIN eps ON ep * 100 < n
+GROUP BY ep ORDER BY partition
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1559,5 +1717,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
         "q_wacz_media": _sql_wacz_media(),
         "q_timestamping": _sql_pages(sf_dir, SQL_TIMESTAMPING),
+        "q_crawl_plan": _sql_pages(sf_dir, SQL_CRAWL_PLAN),
+        "q_crawl_epochs": _sql_pages(sf_dir, SQL_CRAWL_EPOCHS),
+        "q_doc_quality": SQL_DOC_QUALITY,
+        "q_doc_langid": _sql_doc_langid(),
+        "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
         "q_knn": SQL_KNN,
     }
