@@ -104,6 +104,7 @@ def crawl(
     pages_source_factory=None,
     bucketed: bool = False,
     incremental: bool = False,
+    plan_batch_size: int = 8192,
 ):
     """Run the crawl over a pages Dataset (columns url, warc_ts, html, lang).
 
@@ -125,10 +126,13 @@ def crawl(
     # ---- plan phase: keys only, payload projected away before any shuffle
     from ..stages.dedup import exact_dedup
 
+    # plan stages see ONLY key columns → large batches are cheap and
+    # amortize the per-batch shard RPC fan-out of the seen-filter ~32×
+    # relative to the (payload-sized) fetch batch_size
     keyed = pages_source.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
     keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
     if robots_rules:
-        keyed = keyed.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=batch_size)
+        keyed = keyed.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
     keyed = keyed.select_columns(PLAN_COLUMNS)
     # deterministic snapshot choice: one plan row per canonical URL, the
     # min-warc_ts snapshot — never "whichever block arrived first" (a pure
@@ -141,7 +145,7 @@ def crawl(
         # fresh partition prefix so prior runs' partitions stay untouched
         prior_runs = {p.split("_", 1)[0] for p in writer.completed() if p.startswith("run")}
         part_prefix = f"run{len(prior_runs) + 1:03d}_"
-        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
         plan_frontier = None
     elif restored:
         # resumed run, same seed list: the restored bloom already contains
@@ -151,10 +155,10 @@ def crawl(
         plan_frontier = Frontier(
             num_shards=frontier.num_shards, name_prefix=f"planf_{os.getpid()}_{_PLAN_SEQ[0]}"
         )
-        keyed = keyed.map_batches(plan_frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+        keyed = keyed.map_batches(plan_frontier.filter_new_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
     else:
         plan_frontier = frontier
-        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=batch_size)
+        keyed = keyed.map_batches(frontier.filter_new_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
 
     planned = assign_crawl_epochs(keyed, per_host_budget=per_host_budget).materialize()
     if plan_frontier is not None and plan_frontier is not frontier:

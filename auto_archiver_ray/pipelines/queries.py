@@ -1456,7 +1456,15 @@ def q_pages_wayback(sf_dir: str):
     submitted = ds.select_columns(["url", "url_hash"]).map_batches(
         submit_stage(svc), batch_format="pyarrow", batch_size=1024
     ).materialize()
-    job_ids = [r["job_id"] for r in submitted.select_columns(["job_id"]).take_all()]
+    # page through job ids (control-plane metadata) instead of take_all —
+    # at 100× the id list streams in bounded batches
+    job_ids = [
+        j
+        for b in submitted.select_columns(["job_id"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+        for j in b.column("job_id").to_pylist()
+    ]
     artifacts = poll_until_done(svc, job_ids, timeout_s=60)
     out = submitted.map_batches(join_results_stage(artifacts), batch_format="pyarrow")
     df = out.select_columns(["url", "external_url"]).to_pandas()

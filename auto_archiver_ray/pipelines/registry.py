@@ -80,6 +80,15 @@ def _register_builtins() -> None:
     register("image_features", "actor", ImageFeatureStage, {"concurrency": 4, "batch_size": 256})
     register("frame_sample", "actor", FrameSampleStage, {"concurrency": 2, "batch_size": 256})
 
+    # round-2 operators: offline archives, evidence chain, metadata extraction
+    from ..sources import warc as warc_src
+    from ..stages.enrich import ExifToolStage
+
+    register("warc_records", "source", lambda cfg: warc_src.read_warc_records(cfg["paths"], cfg.get("with_payload", True)), doc="WARC record walk")
+    register("wacz_records", "source", lambda cfg: warc_src.read_wacz_records(cfg["paths"], cfg.get("with_payload", True)), doc="WACZ archive record walk")
+    register("wacz_pages", "source", lambda cfg: warc_src.read_wacz_pages(cfg["paths"]), doc="WACZ pages.jsonl title/text")
+    register("exif_extract", "actor", ExifToolStage, {"concurrency": 4, "batch_size": 256})
+
 
 _register_builtins()
 

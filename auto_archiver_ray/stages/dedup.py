@@ -62,9 +62,10 @@ def _lazy_drop_counter():
             self.dropped = 0
             self.buckets = 0
 
-        def add(self, n_dropped: int) -> None:
+        def add(self, n_dropped: int) -> int:
             self.dropped += n_dropped
             self.buckets += 1
+            return self.dropped
 
         def value(self) -> dict:
             return {"dropped_ids": self.dropped, "truncated_buckets": self.buckets}
@@ -73,11 +74,15 @@ def _lazy_drop_counter():
 
 
 def truncation_counter(tag: str):
-    """Get-or-create the named truncation counter for a near-dup operator."""
+    """Get-or-create the named truncation counter for a near-dup operator.
+    DETACHED: a ref-counted named actor would die as soon as the pipeline's
+    closures are collected, zeroing the ledger before the caller reads it."""
     import ray
 
     DropCounter = _lazy_drop_counter()
-    return DropCounter.options(name=f"aar_trunc_{tag}", get_if_exists=True).remote()
+    return DropCounter.options(
+        name=f"aar_trunc_{tag}", get_if_exists=True, lifetime="detached", namespace="aar"
+    ).remote()
 
 
 def truncation_stats(tag: str) -> dict:
@@ -251,22 +256,25 @@ def _candidate_pairs_from_bands(bands, id_col: str, cap: int, trunc_tag: str | N
             out_a.extend(ids[iu[0]])
             out_b.extend(ids[iu[1]])
         if dropped and counter is not None:
+            import ray
+
             print(f"[dedup:{trunc_tag}] band over cap={cap}: dropped {dropped} ids from pair search")
-            counter.add.remote(dropped)
+            # synchronous: the counter must reflect the drop by the time the
+            # pipeline's consumer returns (truncated buckets are rare, so
+            # the extra RPC is off the hot path)
+            ray.get(counter.add.remote(dropped))
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id_a": np.asarray(out_a), "id_b": np.asarray(out_b)})
+        # dedup WITHIN the bucket (several bands of one coarse bucket can
+        # surface the same pair); cross-bucket duplicates are collapsed by
+        # the downstream pair_scores bucket — every copy of a pair lands in
+        # the same __pb bucket by construction, so no extra dedup shuffle
+        return pd.DataFrame({"id_a": np.asarray(out_a), "id_b": np.asarray(out_b)}).drop_duplicates()
 
     bands = bands.add_column(
         "coarse", lambda df: (df["band_key"].astype("uint64") % 2048).astype("int64"), batch_format="pandas"
     )
-    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
-    # same pair can surface from multiple bands → dedup (pairs are tiny
-    # relative to the corpus, so the full-row shuffle strategy is fine here)
-    pairs = pairs.add_column(
-        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
-    )
-    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
+    return bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
 
 
 def pair_scores(pairs_ds, payload_ds, id_col: str, payload_col: str, score_fn, out_col: str, num_buckets: int = 512):
@@ -317,6 +325,10 @@ def pair_scores(pairs_ds, payload_ds, id_col: str, payload_col: str, score_fn, o
 
     def score_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_s = [], [], []
+        # duplicate pair copies (same pair from several candidate buckets)
+        # collapse here: all copies share this bucket, and their slot rows
+        # are identical up to (id_a, id_b, id)
+        g = g.drop_duplicates(subset=["id_a", "id_b", id_col])
         for (ia, ib), rows in g.groupby(["id_a", "id_b"], sort=False):
             if len(rows) != 2:
                 continue  # payload missing for one side — cannot score
@@ -386,12 +398,29 @@ def minhash_candidate_pairs(
         )
 
     bands = sigs.map_batches(explode_light, batch_format="pyarrow", batch_size=2048)
-    cand = _candidate_pairs_from_bands(bands, id_col, cap=band_cap, trunc_tag="minhash")
+    cand = _candidate_pairs_from_bands(bands, id_col, cap=band_cap, trunc_tag="minhash").materialize()
 
     def est_jaccard(a: bytes, b: bytes) -> float:
         return float((np.frombuffer(a, dtype=np.uint64) == np.frombuffer(b, dtype=np.uint64)).mean())
 
-    scored = pair_scores(cand, sigs, id_col, "minhash_sig", est_jaccard, "est_jaccard")
+    # The verify join only needs CANDIDATE ids' signatures. Above the
+    # threshold, prefilter sigs via the sharded membership semi-join (a map
+    # pass — no shuffle) so the rejoin shuffle moves candidate sigs only,
+    # not the whole corpus's (the ≥10⁸-doc diet); below it the key-set
+    # build costs more than just shuffling every sig, so skip. sigs is
+    # materialized → count() is free metadata.
+    sigs_needed = sigs
+    if sigs.count() > 2_000_000:
+        from .join import semi_join
+
+        def pair_ids(batch: pa.Table) -> pa.Table:
+            a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
+            b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
+            return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
+
+        cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+        sigs_needed = semi_join(sigs, cand_ids, on=id_col, strategy="sharded")
+    scored = pair_scores(cand, sigs_needed, id_col, "minhash_sig", est_jaccard, "est_jaccard")
     return scored.filter(expr=f"est_jaccard >= {threshold}")
 
 
@@ -596,8 +625,10 @@ def simhash_candidate_pairs(
                     out_b.append(ids[i + 1 + h])
                     out_h.append(int(dist[h]))
         if dropped:
+            import ray
+
             print(f"[dedup:simhash] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
-            counter.add.remote(dropped)
+            ray.get(counter.add.remote(dropped))
         if not out_a:
             return _empty_pairs("hamming", "int64")
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})

@@ -102,3 +102,21 @@ def hash_manifests(
         .groupby("__eb")
         .map_groups(per_bucket, batch_format="pandas")
     )
+
+
+def file_tokens(ds, hash_col: str = "sha256", tsa_urls: tuple[str, ...] = DEFAULT_TSA_URLS):
+    """OpentimestampsEnricher analog (ref:modules/opentimestamps_enricher/
+    opentimestamps_enricher.py:16-172): one detached token per FILE hash
+    (the per-media .ots), vs :func:`hash_manifests`' batch manifest.
+    Stateless map — no shuffle; calendar submission is the same
+    deterministic stub as the TSA tokens."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        hashes = [strip_hash_prefix(h or "") for h in batch.column(hash_col).to_pylist()]
+        out = batch
+        for i, tsa in enumerate(tsa_urls):
+            toks = [stub_tsa_token(tsa, h) if h else "" for h in hashes]
+            out = out.append_column(f"ots_token_{i}", pa.array(toks, pa.string()))
+        return out
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

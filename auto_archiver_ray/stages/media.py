@@ -149,3 +149,49 @@ def wacz_media_plan(records_ds, extract_media: bool = True, extract_screenshot: 
         return pd.DataFrame(rows, columns=cols)
 
     return keys_only.groupby("warc_file").map_groups(plan, batch_format="pandas")
+
+
+def merge_wacz_pages(rows_ds, wacz_pages_ds, url_col: str = "url"):
+    """Fold pages.jsonl title/text into archive rows by url — the reference
+    sets title/content from the WACZ's pages.jsonl when present
+    (ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:164-173),
+    with Metadata.merge's scalar-overwrite semantics (non-empty wacz values
+    win). The pages.jsonl side is tiny per archive → broadcast lookup."""
+    import ray
+
+    lookup: dict[str, tuple[str, str]] = {}
+    for b in wacz_pages_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for u, t, x in zip(
+            b.column("url").to_pylist(),
+            b.column("title").to_pylist(),
+            b.column("text").to_pylist(),
+        ):
+            lookup[u] = (t or "", x or "")
+    ref = ray.put(lookup)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        urls = batch.column(url_col).to_pylist()
+        titles = (
+            batch.column("title").to_pylist() if "title" in batch.column_names else [""] * len(urls)
+        )
+        texts = (
+            batch.column("text_extracted").to_pylist()
+            if "text_extracted" in batch.column_names
+            else [""] * len(urls)
+        )
+        for i, u in enumerate(urls):
+            hit = m.get(u)
+            if hit:
+                if hit[0]:
+                    titles[i] = hit[0]
+                if hit[1]:
+                    texts[i] = hit[1]
+        out = batch
+        for name, vals in (("title", titles), ("text_extracted", texts)):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, pa.array(vals, pa.string()))
+        return out
+
+    return rows_ds.map_batches(fold, batch_format="pyarrow")

@@ -134,28 +134,39 @@ def run_scaling() -> None:
     # single instruction; 4→16 measures the engine, not the hypervisor.
     lo, hi = 4, 16
 
-    def best_of(n: int, ncpu: int) -> dict:
-        # best-of-n: the VM shares a hypervisor with noisy neighbors; the
-        # minimum wall time is the least-contended (most representative) run
-        runs = [one(ncpu) for _ in range(n)]
-        return min(runs, key=lambda r: r["value"])
-
-    r_lo, r_hi = best_of(2, lo), best_of(2, hi)
-    thr_lo = r_lo["urls_per_sec"]
-    thr_hi = r_hi["urls_per_sec"]
-    eff = (thr_hi / thr_lo) / (hi / lo)
+    # INTERLEAVED PAIRS, median efficiency: single-level best-of-n is biased
+    # under hypervisor noise — a turbo-lucky lo run paired with a normal hi
+    # run tanks the ratio (measured lo spread: 69.6–82.5 s across runs,
+    # ±18%). Running (lo, hi) back-to-back keeps both levels under similar
+    # contention; the median pair is the representative one.
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "3"))
+    pairs = []
+    for _ in range(n_pairs):
+        r_lo, r_hi = one(lo), one(hi)
+        pairs.append(
+            {
+                "sec_lo": r_lo["value"],
+                "sec_hi": r_hi["value"],
+                "urls_per_sec_lo": r_lo["urls_per_sec"],
+                "urls_per_sec_hi": r_hi["urls_per_sec"],
+                "eff": round((r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo), 3),
+            }
+        )
+    pairs_sorted = sorted(pairs, key=lambda p: p["eff"])
+    rep = pairs_sorted[len(pairs_sorted) // 2]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
-                "value": round(eff, 3),
+                "value": rep["eff"],
                 "unit": "ratio",
                 "cpus_lo": lo,
                 "cpus_hi": hi,
-                "sec_lo": r_lo["value"],
-                "sec_hi": r_hi["value"],
-                "urls_per_sec_lo": thr_lo,
-                "urls_per_sec_hi": thr_hi,
+                "sec_lo": rep["sec_lo"],
+                "sec_hi": rep["sec_hi"],
+                "urls_per_sec_lo": rep["urls_per_sec_lo"],
+                "urls_per_sec_hi": rep["urls_per_sec_hi"],
+                "pairs": pairs,
                 "sf": SF_DIR,
             }
         )

@@ -189,3 +189,15 @@ def test_exiftool_stage_fallback_and_baskets():
     assert metas[0]["File Type"] == "JPEG" and metas[0]["MIME Type"] == "image/jpeg"
     assert metas[1]["File Type"] == "PNG"
     assert "File Size" in metas[0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_file_tokens_per_row():
+    import ray.data as rd
+
+    df = pd.DataFrame({"sha256": ["SHA-256:aa", "bb", ""]})
+    out = evidence.file_tokens(rd.from_pandas(df)).to_pandas()
+    assert out["ots_token_0"][0] == evidence.stub_tsa_token(evidence.DEFAULT_TSA_URLS[0], "aa")
+    assert out["ots_token_0"][1] == evidence.stub_tsa_token(evidence.DEFAULT_TSA_URLS[0], "bb")
+    assert out["ots_token_0"][2] == ""
+    assert evidence.verify_token(evidence.DEFAULT_TSA_URLS[1], "aa", out["ots_token_1"][0])

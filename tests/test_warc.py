@@ -129,3 +129,27 @@ def test_seen_check_precedes_mimetype_filter():
     plan = wacz_media_plan(rd.from_arrow(tbl)).to_pandas()
     assert len(plan) == 1
     assert plan["media_key"].iloc[0] == "warc-file-0.jpg"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_wacz_pages_overwrites_nonempty():
+    import ray.data as rd
+
+    from auto_archiver_ray.sources.warc import ensure_fixture_wacz, read_wacz_pages
+    from auto_archiver_ray.stages.media import merge_wacz_pages
+
+    fx = ensure_fixture_wacz()
+    rows = rd.from_items(
+        [
+            {"url": "https://site00.example.org/", "title": "old", "text_extracted": "old text"},
+            {"url": "https://nowhere.example.org/", "title": "keep", "text_extracted": "keep text"},
+        ]
+    )
+    out = (
+        merge_wacz_pages(rows, read_wacz_pages(fx["wacz"]))
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(out["title"]) == ["keep", "Site zero"]
+    assert list(out["text_extracted"]) == ["keep text", "hello world zero"]
