@@ -88,6 +88,53 @@ def archive_pages_full(sf_dir: str, out_dir: str | None = None, **kwargs):
     return ds
 
 
+def archive_pages_sharded(
+    sf_dir: str,
+    out_root: str,
+    files_per_part: int = 8,
+    **kwargs,
+):
+    """Resumable archive: the input's parquet part files are processed in
+    groups, each group writing its own atomic partition directory + manifest
+    line (state.checkpoint.PartitionedWriter) — a killed run restarts and
+    skips finished shards, re-processing only the open one. The natural
+    100-TB layout: one partition per input shard, never one giant output.
+
+    Returns the PartitionedWriter (``completed()`` lists shards)."""
+    import glob
+
+    from ..sources.pages import ensure_pages
+    from ..state.checkpoint import PartitionedWriter
+    from .queries import _rd  # noqa: F401  (local import pattern)
+    import ray.data as rd
+
+    files = sorted(glob.glob(f"{ensure_pages(sf_dir)}/*.parquet"))
+    writer = PartitionedWriter(out_root)
+    for gi in range(0, len(files), files_per_part):
+        part = f"shard{gi // files_per_part:05d}"
+        if writer.is_done(part):
+            continue
+        group = files[gi : gi + files_per_part]
+        ds = rd.read_parquet(group, columns=["url", "warc_ts", "html", "lang"])
+        ds = _archive_transform(ds, **kwargs).drop_columns(["media_links"])
+        writer.write(part, ds)
+    return writer
+
+
+def _archive_transform(ds, batch_size: int = 256, extract_concurrency=4):
+    """The archive stage chain over an already-read pages Dataset (shared by
+    archive_pages and the sharded resumable variant)."""
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
+    return ds.map_batches(
+        extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+    )
+
+
 def archive_summary(ds):
     """Per-host crawl stats (the orchestrator's url_count + meta_enricher
     totals, ref:core/orchestrator.py:544-552): pre-aggregated per batch, then

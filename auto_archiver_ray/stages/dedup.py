@@ -710,54 +710,111 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 20260817,
+    num_rotations: int = 1,
+    bucket_cap: int = 4096,
 ):
     """Near-dup pairs by embedding cosine ≥ threshold using random-hyperplane
     LSH buckets (sign pattern of `num_planes` fixed random projections) with
     exact cosine verification inside each bucket.
 
-    Recall note: sign-LSH buckets miss pairs straddling a hyperplane; with
-    12 planes and cos ≥ 0.95 collision probability per plane is ~0.9, so for
-    higher recall union pairs from R independent plane sets (R×groupby) —
-    exposed via `num_rotations` in a follow-up if needed.
-    """
+    Recall: sign-LSH buckets miss pairs straddling a hyperplane;
+    ``num_rotations`` independent plane sets union their candidates (each
+    rotation is one extra groupby over (id, bucket, unit-vec) rows);
+    duplicates across rotations dedup inside a final pair bucket. Skew:
+    per-bucket all-pairs is capped at ``bucket_cap`` ids (sorted by id —
+    deterministic), with the overflow counted in
+    ``truncation_stats("embed")`` — never silently dropped."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float32)
         if vecs.ndim == 1:  # empty batch guard
-            return pa.table({id_col: pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()), vec_col: pa.array([], pa.list_(pa.float32()))})
-        rng = np.random.Generator(np.random.PCG64(seed))
-        planes = rng.standard_normal((vecs.shape[1], num_planes)).astype(np.float32)
-        signs = (vecs @ planes) > 0
-        buckets = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "rot": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64()),
+                    vec_col: pa.array([], pa.list_(pa.float32())),
+                }
+            )
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
+        out_id, out_rot, out_bucket, out_vec = [], [], [], []
+        for r in range(num_rotations):
+            rng = np.random.Generator(np.random.PCG64(seed + r))
+            planes = rng.standard_normal((vecs.shape[1], num_planes)).astype(np.float32)
+            signs = (unit @ planes) > 0
+            bks = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+            out_id.extend(ids)
+            out_rot.extend([r] * len(ids))
+            out_bucket.extend(bks)
+            out_vec.extend(v.tolist() for v in unit)
         return pa.table(
             {
-                id_col: pa.array(ids),
-                "bucket": pa.array(buckets),
-                vec_col: pa.array([v.tolist() for v in unit], pa.list_(pa.float32())),
+                id_col: pa.array(out_id),
+                "rot": pa.array(out_rot, pa.int64()),
+                "bucket": pa.array(out_bucket, pa.int64()),
+                vec_col: pa.array(out_vec, pa.list_(pa.float32())),
             }
         )
 
     buckets = ds.map_batches(bucketize, batch_format="pyarrow", batch_size=4096)
+    counter = truncation_counter("embed")
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return _empty_pairs("cosine", "float64")
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        mat = np.asarray(g[vec_col].tolist(), dtype=np.float32)
-        sims = mat @ mat.T
-        iu = np.triu_indices(len(ids), k=1)
-        mask = sims[iu] >= threshold
-        return pd.DataFrame(
-            {
-                "id_a": ids[iu[0][mask]],
-                "id_b": ids[iu[1][mask]],
-                "cosine": sims[iu][mask].astype(float),
-            }
-        )
+        out = []
+        for _, g in group.groupby("rot", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values(id_col)
+            if len(g) > bucket_cap:
+                import ray
 
-    return buckets.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+                print(f"[dedup:embed] bucket over cap={bucket_cap}: dropped {len(g) - bucket_cap} ids")
+                ray.get(counter.add.remote(len(g) - bucket_cap))
+                g = g.head(bucket_cap)
+            ids = g[id_col].to_numpy()
+            mat = np.asarray(g[vec_col].tolist(), dtype=np.float32)
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            mask = sims[iu] >= threshold
+            out.append(
+                pd.DataFrame(
+                    {
+                        "id_a": ids[iu[0][mask]],
+                        "id_b": ids[iu[1][mask]],
+                        "cosine": sims[iu][mask].astype(float),
+                    }
+                )
+            )
+        if not out:
+            return _empty_pairs("cosine", "float64")
+        return pd.concat(out, ignore_index=True)
+
+    pairs = buckets.groupby(["rot", "bucket"]).map_groups(bucket_pairs, batch_format="pandas")
+    if num_rotations == 1:
+        return pairs
+    # union of rotations → dedup by pair (coarse bucket keeps every copy of
+    # a pair in one group)
+    def add_pb(batch: pa.Table) -> pa.Table:
+        if "id_a" not in batch.column_names:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    "__pb": pa.array([], pa.int64()),
+                }
+            )
+        a = np.asarray(batch.column("id_a").to_pylist(), dtype=np.uint64)
+        b = np.asarray(batch.column("id_b").to_pylist(), dtype=np.uint64)
+        mix = a * np.uint64(0x9E3779B97F4A7C15) ^ b
+        return batch.append_column("__pb", pa.array((mix % np.uint64(512)).astype(np.int64)))
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=["id_a", "id_b"]).drop(columns=["__pb"])
+
+    return pairs.map_batches(add_pb, batch_format="pyarrow").groupby("__pb").map_groups(
+        dedup_pairs, batch_format="pandas"
+    )

@@ -232,3 +232,28 @@ def test_label_propagate_larger_graph_equivalence():
     uf = cluster_pairs(rd.from_pandas(pairs))
     assert lp == {n: uf[n] for n in lp}
     assert len(lp) == 2400
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_rotations_increase_recall():
+    """Extra rotations can only ADD pairs (union of independent plane sets),
+    with duplicates removed."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import embedding_neardup_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16)).astype("float32")
+    # 10 planted near-dup pairs: tiny perturbations
+    vecs = list(base) + [base[i] + rng.standard_normal(16).astype("float32") * 0.05 for i in range(10)]
+    df = pd.DataFrame({"vec_id": range(len(vecs)), "embedding": [v.tolist() for v in vecs]})
+    ds1 = rd.from_pandas(df)
+    p1 = embedding_neardup_pairs(ds1, threshold=0.95, num_planes=8, num_rotations=1).to_pandas()
+    p4 = embedding_neardup_pairs(rd.from_pandas(df), threshold=0.95, num_planes=8, num_rotations=4).to_pandas()
+    s1 = {(a, b) for a, b in zip(p1["id_a"], p1["id_b"])}
+    s4 = {(a, b) for a, b in zip(p4["id_a"], p4["id_b"])}
+    assert s1 <= s4
+    assert len(s4) == len(p4)  # rotation union is deduplicated
+    planted = {(i, 40 + i) for i in range(10)}
+    assert len(planted & s4) >= len(planted & s1)

@@ -100,3 +100,28 @@ def test_pipeline_deterministic_across_runs():
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_archive_sharded_resume(tmp_path):
+    """Sharded archive output: per-input-shard partitions with manifest
+    skip — a second run re-processes nothing and output equals the
+    streaming pipeline's rows."""
+    from auto_archiver_ray.pipelines.archive import archive_pages, archive_pages_sharded
+
+    out = str(tmp_path / "shards")
+    w1 = archive_pages_sharded("/root/testdata/sf0.001", out, files_per_part=1, extract_concurrency=2)
+    done1 = w1.completed()
+    assert len(done1) >= 1
+    total = sum(r["rows"] for r in done1.values())
+
+    # matches the streaming archive row count (same stages)
+    n_stream = archive_pages("/root/testdata/sf0.001", extract_concurrency=2).count()
+    assert total == n_stream
+
+    # resume: nothing re-runs, manifest unchanged
+    import os
+    mtime = os.path.getmtime(f"{out}/MANIFEST.jsonl")
+    w2 = archive_pages_sharded("/root/testdata/sf0.001", out, files_per_part=1, extract_concurrency=2)
+    assert w2.completed() == done1
+    assert os.path.getmtime(f"{out}/MANIFEST.jsonl") == mtime
