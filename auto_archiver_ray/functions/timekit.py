@@ -38,7 +38,16 @@ def to_utc_iso(ts, dayfirst: bool = True) -> str:
         return ""
     try:
         if isinstance(ts, str):
-            ts = _parse_dt(ts, dayfirst=dayfirst) if _parse_dt else datetime.fromisoformat(ts)
+            # fast path: strict-ISO strings parse identically under
+            # fromisoformat and dateutil (dayfirst only affects ambiguous
+            # numeric forms, which fromisoformat rejects) — dateutil's
+            # general parser is ~10× slower and dominated the extract kernel
+            try:
+                ts = datetime.fromisoformat(ts)
+            except ValueError:
+                ts = _parse_dt(ts, dayfirst=dayfirst) if _parse_dt else None
+                if ts is None:
+                    return ""
         if isinstance(ts, (int, float)):
             ts = datetime.fromtimestamp(ts)
         ts = ts.replace(tzinfo=timezone.utc)

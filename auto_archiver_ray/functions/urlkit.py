@@ -133,7 +133,12 @@ def is_auth_wall(url: str) -> bool:
 
 
 def remove_get_parameters(url: str) -> str:
-    """Drop the query string entirely. Parity: ref:utils/url.py:74-79."""
+    """Drop the query string entirely. Parity: ref:utils/url.py:74-79.
+    No-query fast path: urlparse→urlunparse is an identity for URLs without
+    '?' (equivalence pinned by test_urlkit), and this sits on the per-link
+    hot path of media discovery."""
+    if "?" not in url:
+        return url
     return urlunparse(urlparse(url)._replace(query=""))
 
 

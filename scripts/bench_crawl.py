@@ -1,0 +1,73 @@
+"""Crawl-pipeline benchmark: full north-rule path (validate → snapshot
+dedup → sharded-bloom seen filter → politeness epochs → per-epoch
+fetch/extract → partitioned parquet + frontier snapshots) over the 1.2M-row
+bench pages table. Prints one JSON line."""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BUDGET = int(os.environ.get("GRAFT_CRAWL_BUDGET", "300000"))  # → 3 epochs on zipf hosts
+BUCKETED = os.environ.get("GRAFT_CRAWL_BUCKETED", "0") == "1"
+
+
+def main():
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl
+    from auto_archiver_ray.sources.pages import ensure_pages
+    from auto_archiver_ray.state.frontier import Frontier
+
+    pages = ensure_pages("bench")
+    A = max(2, (NUM_CPUS * 3) // 4)
+
+    # warmup on the tiny profile (forks workers, spawns actors)
+    fsmall = Frontier(num_shards=4, name_prefix=f"warm_{os.getpid()}")
+    crawl(
+        rd.read_parquet(ensure_pages("/root/testdata/sf0.001"), columns=["url", "warc_ts", "html", "lang"]),
+        tempfile.mkdtemp(prefix="aar_cb_warm_"),
+        frontier=fsmall, per_host_budget=100, extract_concurrency=(4, 4),
+    )
+    fsmall.shutdown()
+
+    out = tempfile.mkdtemp(prefix="aar_cb_")
+    ck = tempfile.mkdtemp(prefix="aar_cb_ck_")
+    f = Frontier(num_shards=16, capacity_per_shard=2_000_000, name_prefix=f"cb_{os.getpid()}")
+
+    def src():
+        return rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
+
+    t0 = time.time()
+    writer, stats = crawl(
+        src(), out, frontier=f, per_host_budget=BUDGET,
+        extract_concurrency=(A, A), batch_size=512, checkpoint_dir=ck,
+        pages_source_factory=src, bucketed=BUCKETED,
+    )
+    wall = time.time() - t0
+    done = writer.completed()
+    n = sum(r["rows"] for r in done.values())
+    f.shutdown()
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ck, ignore_errors=True)
+    print(json.dumps({
+        "metric": "crawl_pipeline_wall_sec", "value": round(wall, 3), "unit": "sec",
+        "urls_per_sec": round(n / wall, 1), "n_urls": n, "epochs": len(done),
+        "bucketed": BUCKETED, "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -255,3 +255,26 @@ def test_plan_join_broadcast_matches_shuffle():
     )
     pd.testing.assert_frame_equal(bcast, shuf)
     assert list(bcast["k"]) == [1, 2, 2, 3]
+
+
+def test_to_utc_iso_fast_path_equivalence():
+    """fromisoformat fast path ≡ dateutil on ISO forms; non-ISO falls back."""
+    from dateutil.parser import parse as slow
+    from datetime import timezone
+
+    from auto_archiver_ray.functions.timekit import to_utc_iso
+
+    iso_cases = [
+        "2024-03-12T05:00:00+00:00",
+        "2024-03-12T05:00:00Z",
+        "2024-03-12 05:00:00",
+        "2024-03-12T05:00:00.123456",
+        "2024-01-02",
+    ]
+    for s in iso_cases:
+        assert to_utc_iso(s, dayfirst=False) == slow(s, dayfirst=False).replace(tzinfo=timezone.utc).isoformat()
+    # non-ISO forms still parse via dateutil (dayfirst honored)
+    assert to_utc_iso("03/04/2024", dayfirst=True) == "2024-04-03T00:00:00+00:00"
+    assert to_utc_iso("03/04/2024", dayfirst=False) == "2024-03-04T00:00:00+00:00"
+    assert to_utc_iso("Jan 5 2024 10:00", dayfirst=False) == "2024-01-05T10:00:00+00:00"
+    assert to_utc_iso("not a date") == ""

@@ -89,3 +89,23 @@ def test_canonicalize_and_key():
     k1 = urlkit.url_seen_hex(urlkit.canonicalize("https://EXAMPLE.com/a#x"))
     k2 = urlkit.url_seen_hex(urlkit.canonicalize("https://example.com/a"))
     assert k1 == k2 and len(k1) == 64
+
+
+def test_remove_get_parameters_fast_path_equivalence():
+    """The no-'?' fast path must equal the urlparse round-trip byte for byte."""
+    from urllib.parse import urlparse, urlunparse
+
+    from auto_archiver_ray.functions.urlkit import remove_get_parameters
+
+    cases = [
+        "https://a.example.org/x/y.jpg",
+        "https://a.example.org/x;params/y#frag",
+        "https://a.example.org//double//slash",
+        "http://a.example.org",
+        "https://a.example.org/",
+        "https://user:p@a.example.org:8080/p#f",
+        "https://a.example.org/x?q=1&r=2",
+        "https://a.example.org/x?q=1#frag",
+    ]
+    for u in cases:
+        assert remove_get_parameters(u) == urlunparse(urlparse(u)._replace(query=""))
