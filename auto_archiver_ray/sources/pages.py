@@ -179,7 +179,7 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
 
 
 # rows per sf directory name (keyed by basename of the testdata dir)
-SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000, "bench": 1_200_000}
+SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000, "bench": 1_200_000, "bench2x": 2_400_000}
 
 
 # rows per output file — many files so Ray's read parallelizes per file
