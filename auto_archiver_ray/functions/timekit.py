@@ -38,16 +38,24 @@ def to_utc_iso(ts, dayfirst: bool = True) -> str:
         return ""
     try:
         if isinstance(ts, str):
-            # fast path: strict-ISO strings parse identically under
-            # fromisoformat and dateutil (dayfirst only affects ambiguous
-            # numeric forms, which fromisoformat rejects) — dateutil's
-            # general parser is ~10× slower and dominated the extract kernel
-            try:
-                ts = datetime.fromisoformat(ts)
-            except ValueError:
-                ts = _parse_dt(ts, dayfirst=dayfirst) if _parse_dt else None
-                if ts is None:
+            # fast path ONLY for dayfirst=False (the extract hot path):
+            # strict-ISO strings then parse identically under fromisoformat
+            # and dateutil, and dateutil's general parser is ~10× slower.
+            # With dayfirst=True the reference's parity quirk applies —
+            # dateutil swaps day/month EVEN for ISO strings
+            # (ref:utils/misc.py:80-99, pinned by test_timekit) — so that
+            # path must stay on dateutil.
+            parsed = None
+            if not dayfirst:
+                try:
+                    parsed = datetime.fromisoformat(ts)
+                except ValueError:
+                    parsed = None
+            if parsed is None:
+                parsed = _parse_dt(ts, dayfirst=dayfirst) if _parse_dt else None
+                if parsed is None:
                     return ""
+            ts = parsed
         if isinstance(ts, (int, float)):
             ts = datetime.fromtimestamp(ts)
         ts = ts.replace(tzinfo=timezone.utc)

@@ -984,6 +984,43 @@ def q_doc_ngram_jaccard(sf_dir: str):
     return ngram_jaccard_pairs(ds, threshold=0.8)
 
 
+def q_doc_clusters(sf_dir: str):
+    """Near-dup cluster assignment: MinHash-LSH pairs → distributed
+    min-label propagation (coarse-bucketed, no driver state). One row per
+    clustered doc: (node, label) with label = min doc_id of the component."""
+    from ..stages.dedup import label_propagate, minhash_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, threshold=0.7)
+    out = label_propagate(pairs).to_pandas()
+    out["node"] = out["node"].astype("int64")
+    out["label"] = out["label"].astype("int64")
+    return out.sort_values("node").reset_index(drop=True)
+
+
+def q_doc_neardup_dedup(sf_dir: str):
+    """END-TO-END near-dup dedup — the LLM-training-data deliverable: keep
+    exactly one document per near-duplicate cluster (the cluster's min
+    doc_id) plus every unclustered doc. Pipeline: MinHash-LSH pairs →
+    label propagation → losers (label != node) removed from the corpus via
+    the SHARDED anti-join (no driver key set)."""
+    from ..stages.dedup import label_propagate, minhash_candidate_pairs
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = minhash_candidate_pairs(ds, threshold=0.7)
+    labels = label_propagate(pairs)
+    losers = labels.filter(expr="node != label").map_batches(
+        lambda t: t.select(["node"]).rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    kept = anti_join(ds.select_columns(["doc_id"]), losers, on="doc_id", strategy="sharded")
+    out = kept.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # pages queries (synthetic input_hint table; oracle reads the parquet path)
 # ---------------------------------------------------------------------------
@@ -1677,6 +1714,8 @@ QUERIES = {
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_doc_clusters": q_doc_clusters,
+    "q_doc_neardup_dedup": q_doc_neardup_dedup,
     "q_pages_extract_text": q_pages_extract_text,
     "q_pages_hosts": q_pages_hosts,
     "q_pages_dedup": q_pages_dedup,

@@ -283,3 +283,80 @@ def assign_crawl_epochs(
         .groupby("__hb")
         .map_groups(plan, batch_format="pandas")
     )
+
+
+def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
+    """Minimal deterministic robots.txt parse → disallow path prefixes for
+    the given agent (exact-match group or '*'), per the public REP spec:
+    groups of User-agent lines followed by Allow/Disallow rules; empty
+    Disallow means allow-all; comments (#) stripped. Feed the result to
+    :meth:`Frontier.set_robots` — the per-host cache the north rule asks
+    for. Crawl-delay is returned separately by :func:`parse_crawl_delay`."""
+    agent = user_agent.lower()
+    groups: list[tuple[list[str], list[str]]] = []  # (agents, disallows)
+    cur_agents: list[str] = []
+    cur_rules: list[str] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay", "sitemap"):
+            in_group_body = True
+            if key == "disallow" and val:
+                cur_rules.append(val)
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    # exact agent group wins over '*'
+    for agents, rules in groups:
+        if agent in agents:
+            return rules
+    for agents, rules in groups:
+        if "*" in agents:
+            return rules
+    return []
+
+
+def parse_crawl_delay(text: str, user_agent: str = "*") -> float | None:
+    """Crawl-delay seconds for the agent (exact group wins over '*', None
+    when absent) — feeds the per-host politeness budget. Same group
+    semantics as :func:`parse_robots_txt`: consecutive User-agent lines
+    share the following rule block."""
+    agent = user_agent.lower()
+    exact: float | None = None
+    star: float | None = None
+    cur_agents: list[str] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                cur_agents = []
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay", "sitemap"):
+            in_group_body = True
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if agent in cur_agents and exact is None:
+                    exact = d
+                if "*" in cur_agents and star is None:
+                    star = d
+    return exact if exact is not None else star

@@ -257,3 +257,29 @@ def test_embedding_rotations_increase_recall():
     assert len(s4) == len(p4)  # rotation union is deduplicated
     planted = {(i, 40 + i) for i in range(10)}
     assert len(planted & s4) >= len(planted & s1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_neardup_dedup_keeps_cluster_min():
+    """End-to-end near-dup dedup: one survivor per cluster (min doc_id),
+    unclustered docs untouched."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import label_propagate, minhash_candidate_pairs
+    from auto_archiver_ray.stages.join import anti_join
+
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [{"doc_id": i, "text": " ".join(f"u{i}v{j}" for j in range(40))} for i in range(10)]
+    rows += [{"doc_id": 100 + k, "text": base + f" tail{k%2}"} for k in range(4)]  # one 4-doc cluster
+    ds = rd.from_pandas(pd.DataFrame(rows))
+
+    pairs = minhash_candidate_pairs(ds, threshold=0.6)
+    labels = label_propagate(pairs)
+    losers = labels.filter(expr="node != label").map_batches(
+        lambda t: t.select(["node"]).rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    kept = sorted(
+        anti_join(ds.select_columns(["doc_id"]), losers, on="doc_id", strategy="sharded")
+        .to_pandas()["doc_id"]
+    )
+    assert kept == list(range(10)) + [100]  # cluster 100-103 → min id 100 survives

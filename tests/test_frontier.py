@@ -168,3 +168,35 @@ def test_bloom_batch_throughput_sane():
     assert sum(out) == 200_000
     # sanity, not a benchmark: vectorized path clears 200k keys well under 5s
     assert dt < 5.0
+
+
+def test_parse_robots_txt_groups():
+    from auto_archiver_ray.state.frontier import parse_crawl_delay, parse_robots_txt
+
+    txt = """
+# comment
+User-agent: specialbot
+Disallow: /private/
+Crawl-delay: 10
+
+User-agent: a
+User-agent: *
+Disallow: /tmp/
+Disallow: /admin
+Allow: /tmp/ok
+Crawl-delay: 2.5
+Sitemap: https://x/sitemap.xml
+
+User-agent: other
+Disallow:
+"""
+    assert parse_robots_txt(txt) == ["/tmp/", "/admin"]
+    assert parse_robots_txt(txt, "specialbot") == ["/private/"]
+    assert parse_robots_txt(txt, "a") == ["/tmp/", "/admin"]  # shared group
+    assert parse_robots_txt(txt, "other") == []  # empty Disallow = allow all
+    assert parse_crawl_delay(txt) == 2.5
+    assert parse_crawl_delay(txt, "specialbot") == 10.0
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x\n") is None
+    # end-to-end: parsed rules drive the frontier's robots filter
+    rules = {"h.example.org": parse_robots_txt(txt)}
+    assert rules["h.example.org"] == ["/tmp/", "/admin"]
