@@ -41,6 +41,15 @@ def _pair_hash64(key, ident) -> int:
     return int.from_bytes(hashlib.blake2b(blob, digest_size=8).digest(), "little")
 
 
+def _pair_hash_arr(keys, ids) -> np.ndarray:
+    """Vectorized (key, id) pair hash — one keyed-siphash C call over the
+    joined strings instead of a hashlib object per row (the winner-set build
+    and filter sides of exact_dedup's broadcast path; both sides MUST use
+    this same function)."""
+    arr = np.asarray([f"{k}\x1f{i}" for k, i in zip(keys, ids)], dtype=object)
+    return pd.util.hash_array(arr, categorize=False)
+
+
 def _coarse_u64(vals, num_buckets: int) -> np.ndarray:
     """Vectorized deterministic coarse bucket (keyed siphash, fixed key) —
     one C call per batch, never a per-value Python hash loop."""
@@ -178,13 +187,7 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
     # pure deserialization on a 184-task stage). 64-bit pair hashes give a
     # ~n²/2⁶⁴ false-keep probability (≈1e-9 at 10⁵ winners; switch to a
     # two-word digest beyond ~10⁹ rows).
-    win_hash = np.sort(
-        np.fromiter(
-            (_pair_hash64(k, i) for k, i in zip(winners[key_col], winners[id_col])),
-            dtype=np.uint64,
-            count=len(winners),
-        )
-    )
+    win_hash = np.sort(_pair_hash_arr(winners[key_col], winners[id_col]))
     ref = ray.put(win_hash)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -194,7 +197,7 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
         n = len(keys)
         if n == 0:
             return batch
-        h = np.fromiter((_pair_hash64(k, i) for k, i in zip(keys, ids)), dtype=np.uint64, count=n)
+        h = _pair_hash_arr(keys, ids)
         pos = np.searchsorted(w, h)
         pos[pos >= len(w)] = len(w) - 1 if len(w) else 0
         mask = (w[pos] == h) if len(w) else np.zeros(n, dtype=bool)
