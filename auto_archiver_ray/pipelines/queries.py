@@ -307,22 +307,26 @@ SQL_DISTINCT_EVENT_TYPES = "SELECT DISTINCT event_type FROM events ORDER BY even
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling 1-hour window aggregate (stream-shaped op in batch form)."""
+    """Tumbling 1-hour window aggregate (stream-shaped op in batch form);
+    partials are zero-copy Arrow kernels (floor_temporal + group_by)."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.assign(
-            hour=batch["ts"].dt.floor("h"),
-            val_c=np.round(batch["value"] * 100).astype("int64"),
-            n=np.ones(len(batch), dtype="int64"),
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+                "val_c": _cents(batch["value"]),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
         )
-        return (
-            batch.groupby(["event_type", "hour"], as_index=False)[["val_c", "n"]].sum()
-        )
+        out = t.group_by(["event_type", "hour"]).aggregate([("val_c", "sum"), ("n", "sum")])
+        ren = {"val_c_sum": "val_c", "n_sum": "n"}
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
 
     agg = driver_reduce(
-        ds.map_batches(partial, batch_format="pandas", batch_size=65536),
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536),
         ["event_type", "hour"],
         {"val_c": "sum", "n": "sum"},
     )
@@ -494,17 +498,24 @@ GROUP BY n.n_name ORDER BY n.n_name
 
 
 def q_events_minmax(sf_dir: str):
-    """Min/Max aggregates (exact on 2dp doubles — no accumulation error)."""
+    """Min/Max aggregates (exact on 2dp doubles — no accumulation error);
+    Arrow group_by partials, tiny driver reduce."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"])
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        g = batch.groupby("event_type", as_index=False).agg(
-            first_ts=("ts", "min"), last_ts=("ts", "max"), min_value=("value", "min"), max_value=("value", "max")
+    def partial(batch: pa.Table) -> pa.Table:
+        out = batch.group_by("event_type").aggregate(
+            [("ts", "min"), ("ts", "max"), ("value", "min"), ("value", "max")]
         )
-        return g
+        ren = {
+            "ts_min": "first_ts",
+            "ts_max": "last_ts",
+            "value_min": "min_value",
+            "value_max": "max_value",
+        }
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
 
-    parts = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     frames = list(parts.iter_batches(batch_size=65536, batch_format="pandas"))
     df = pd.concat(frames, ignore_index=True)
     out = df.groupby("event_type", as_index=False).agg(

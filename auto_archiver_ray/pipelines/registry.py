@@ -79,6 +79,9 @@ def _register_builtins() -> None:
     register("image_decode", "actor", ImageDecodeStage, {"concurrency": 4, "batch_size": 256})
     register("image_features", "actor", ImageFeatureStage, {"concurrency": 4, "batch_size": 256})
     register("frame_sample", "actor", FrameSampleStage, {"concurrency": 2, "batch_size": 256})
+    from ..stages.multimodal import AudioFeatureStage
+
+    register("audio_features", "actor", AudioFeatureStage, {"concurrency": 4, "batch_size": 256})
 
     # round-2 operators: offline archives, evidence chain, metadata extraction
     from ..sources import warc as warc_src

@@ -143,3 +143,45 @@ class FrameSampleStage:
                 "frame_ts": pa.array(out_t, pa.float64()),
             }
         )
+
+
+class AudioFeatureStage:
+    """audio payload → (duration_s, sample_rate, feature vector).
+
+    The whisper enricher's transcription is network/model-bound
+    (ref:modules/whisper_enricher/whisper_enricher.py:10-137 — covered by
+    stages/externaljob.py); THIS stage is the local feature half a training
+    pipeline needs: per-clip embeddings for dedup/clustering. No audio
+    codecs ship in this container, so decode is a DETERMINISTIC STUB
+    (duration/rate parsed from props_json, features hashed from payload
+    bytes); the Ray-side plumbing — actor pool, batch schema, unit-norm
+    list<float32> output — is real and identical to the production shape."""
+
+    def __init__(self, dim: int = 24):
+        self.dim = dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+        import json
+
+        payloads = batch.column("payload").to_pylist()
+        props = (
+            batch.column("props_json").to_pylist()
+            if "props_json" in batch.column_names
+            else ["{}"] * len(payloads)
+        )
+        durs, rates, feats = [], [], []
+        for p, pj in zip(payloads, props):
+            meta = json.loads(pj or "{}")
+            durs.append(float(meta.get("duration", 0.0)))
+            rates.append(int(meta.get("sample_rate", 16000)))
+            seed_bytes = hashlib.sha256(p or b"").digest()
+            rng = np.random.Generator(np.random.PCG64(int.from_bytes(seed_bytes[:8], "little")))
+            v = rng.standard_normal(self.dim).astype(np.float32)
+            v /= np.linalg.norm(v) or 1.0
+            feats.append(v.tolist())
+        return (
+            batch.append_column("duration_s", pa.array(durs, pa.float64()))
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("audio_feature", pa.array(feats, pa.list_(pa.float32())))
+        )

@@ -155,3 +155,36 @@ def test_best_variant_stage():
     )
     out = best_variant_stage(batch)
     assert out.column("best_variant_url").to_pylist() == ["x", "", ""]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_audio_feature_stage():
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.multimodal import AudioFeatureStage
+
+    tbl = pa.table(
+        {
+            "media_id": pa.array(["a", "b"], pa.string()),
+            "payload": pa.array([b"AUDIO1", b"AUDIO2"], pa.binary()),
+            "props_json": pa.array(
+                [json.dumps({"duration": 12.5, "sample_rate": 44100}), "{}"], pa.string()
+            ),
+        }
+    )
+    out = rd.from_arrow(tbl).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert list(out["duration_s"]) == [12.5, 0.0]
+    assert list(out["sample_rate"]) == [44100, 16000]
+    f = np.asarray(out["audio_feature"][0])
+    assert len(f) == 24 and abs(np.linalg.norm(f) - 1.0) < 1e-5
+    # deterministic: same payload → same feature
+    out2 = rd.from_arrow(tbl).map_batches(
+        AudioFeatureStage, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert np.allclose(np.asarray(out2["audio_feature"][0]), f)
