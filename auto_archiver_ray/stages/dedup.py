@@ -126,7 +126,7 @@ def add_text_sha(batch: pa.Table, text_col: str = "text", out_col: str = "text_s
     return batch.append_column(out_col, pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
+def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast", num_buckets: int = 512):
     """Keep exactly one row per ``key_col`` value — the row with the minimum
     ``id_col`` (deterministic, retry-stable).
 
@@ -140,16 +140,18 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast"):
 
     strategy="shuffle": hash-partition + per-partition winner selection —
     full-row shuffle, no driver state, unbounded key cardinality. The
-    partition key is a COARSE hash bucket (hash(key) % 4096), not the key
-    itself: Ray's map_groups pays fixed overhead per group, so shuffling to
-    ~4k buckets and deduping inside each with a vectorized pandas
-    drop_duplicates is orders faster than one group per distinct key while
-    producing identical winners (all rows of a key land in one bucket).
+    partition key is a COARSE hash bucket (hash(key) % num_buckets), not
+    the key itself: Ray's map_groups pays fixed overhead per group (~3 ms),
+    so a few hundred buckets deduped with vectorized pandas
+    drop_duplicates beat one group per distinct key by orders of magnitude
+    while producing identical winners (all rows of a key land in one
+    bucket). 512 buckets balance that overhead against per-bucket memory
+    (a bucket holds rows/num_buckets).
     """
     if strategy == "shuffle":
 
         def add_coarse(batch: pa.Table) -> pa.Table:
-            coarse = _coarse_u64(batch.column(key_col).to_pylist(), 4096)
+            coarse = _coarse_u64(batch.column(key_col).to_pylist(), num_buckets)
             return batch.append_column("__coarse", pa.array(coarse, pa.int64()))
 
         def keep_min_per_key(group: pd.DataFrame) -> pd.DataFrame:
