@@ -1483,10 +1483,13 @@ def q_media_features(sf_dir: str):
 
 
 def q_pages_wayback(sf_dir: str):
-    """External-archive job pattern (rows-only): submit every valid page to
-    the (stubbed) save-page service, poll to completion, join archive URLs
+    """External-archive job pattern: submit every valid page to the
+    (stubbed) save-page service, poll to completion, join archive URLs
     back — the Wayback/Whisper async-job shape
-    (ref:modules/wayback_extractor_enricher/wayback_extractor_enricher.py:25-110)."""
+    (ref:modules/wayback_extractor_enricher/wayback_extractor_enricher.py:25-110).
+    Oracled: the stub artifact is a pure function of the canonical-URL hash,
+    and this corpus's tracker-param forms are expressible as one
+    regexp_replace, so the whole submit→poll→join round trip is checked."""
     import ray
 
     from ..stages.externaljob import (
@@ -1518,6 +1521,21 @@ def q_pages_wayback(sf_dir: str):
     df = out.select_columns(["url", "external_url"]).to_pandas()
     ray.kill(svc)
     return df
+
+
+# canon on this corpus: drop 'param=value&' for tracker params (every
+# generator form keeps at least one non-tracker param after them, so no
+# trailing-'?'/'&' cleanup arises); artifact = stub _execute over the
+# url_hash hex (stages/externaljob.py:64-69)
+SQL_PAGES_WAYBACK = f"""
+SELECT url,
+       'https://archive.example/' || substr(
+         sha256(sha256(
+           CASE WHEN contains(url, '?')
+                THEN regexp_replace(url, '(utm_[a-z]+|fbclid|gclid)=[^&]*&', '', 'g')
+                ELSE url END)), 1, 16) AS external_url
+FROM __PAGES__ WHERE {_VALID_SQL}
+"""
 
 
 def q_media_store(sf_dir: str):
@@ -1775,6 +1793,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
         "q_wacz_media": _sql_wacz_media(),
         "q_timestamping": _sql_pages(sf_dir, SQL_TIMESTAMPING),
+        "q_pages_wayback": _sql_pages(sf_dir, SQL_PAGES_WAYBACK),
         "q_crawl_plan": _sql_pages(sf_dir, SQL_CRAWL_PLAN),
         "q_crawl_epochs": _sql_pages(sf_dir, SQL_CRAWL_EPOCHS),
         "q_doc_quality": SQL_DOC_QUALITY,
