@@ -91,6 +91,66 @@ def _plan_member_arrays(planned_subset) -> tuple[np.ndarray, np.ndarray]:
     return keys[order], eps[order]
 
 
+def _lazy_claim_shard():
+    import ray
+
+    # num_cpus=0: a memory service (same rationale as join.KeySetShard)
+    @ray.remote(num_cpus=0)
+    class ClaimShard:
+        """One partition of an atomic first-wins u64 claim set — guards the
+        fetch path against a source carrying byte-duplicate snapshots of one
+        (url, warc_ts): the plan holds one row, but a pure broadcast
+        membership filter would admit every copy (ADVICE r2). Keys are kept
+        as a sorted numpy array (8 B/key, merged per call)."""
+
+        def __init__(self):
+            self.keys: np.ndarray | None = None
+
+        def claim(self, h: np.ndarray) -> np.ndarray:
+            h = np.asarray(h, dtype=np.uint64)
+            uniq, first_idx = np.unique(h, return_index=True)
+            mask = np.zeros(len(h), dtype=bool)
+            mask[first_idx] = True  # first occurrence within the call
+            if self.keys is not None and len(self.keys):
+                pos = np.searchsorted(self.keys, h)
+                pos[pos >= len(self.keys)] = len(self.keys) - 1
+                mask &= self.keys[pos] != h
+            fresh = np.unique(h[mask])
+            self.keys = fresh if self.keys is None else np.union1d(self.keys, fresh)
+            return mask
+
+    return ClaimShard
+
+
+def _make_claim_filter(num_shards: int = 8):
+    """(stage_fn, shard_handles): a map_batches filter keeping the FIRST
+    fetched copy of each snapshot key. Among byte-differing rows that share
+    (url_hash, warc_ts) the winner is arrival-order (nondeterministic); for
+    byte-identical duplicates — the normal case — output is unaffected."""
+    import ray
+
+    ClaimShard = _lazy_claim_shard()
+    shards = [ClaimShard.remote() for _ in range(num_shards)]
+
+    def claim_stage(batch: pa.Table) -> pa.Table:
+        hx = batch.column("url_hash").to_pylist()
+        if not hx:
+            return batch
+        h = _snapshot_key_u64(hx, _ts_us(batch.column("warc_ts")))
+        sid = (h % np.uint64(len(shards))).astype(np.int64)
+        keep = np.zeros(len(hx), dtype=bool)
+        futs, idxs = [], []
+        for s in np.unique(sid):
+            idx = np.nonzero(sid == s)[0]
+            futs.append(shards[int(s)].claim.remote(h[idx]))
+            idxs.append(idx)
+        for fut, idx in zip(ray.get(futs), idxs):
+            keep[idx] = fut
+        return batch.filter(pa.array(keep))
+
+    return claim_stage, shards
+
+
 def crawl(
     pages_source,
     out_root: str,
@@ -105,6 +165,7 @@ def crawl(
     bucketed: bool = False,
     incremental: bool = False,
     plan_batch_size: int = 8192,
+    dedup_fetch: bool = True,
 ):
     """Run the crawl over a pages Dataset (columns url, warc_ts, html, lang).
 
@@ -172,6 +233,12 @@ def crawl(
 
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
 
+    # fetch-side snapshot dedup: each snapshot key belongs to exactly one
+    # epoch, so one claim pool serves every epoch of this run
+    claim_stage, claim_shards = (None, [])
+    if dedup_fetch and num_epochs:
+        claim_stage, claim_shards = _make_claim_filter()
+
     # ``bucketed``: one extra pass writes every epoch's rows into a
     # hive-partitioned staging dir (partition_cols=["fetch_epoch"]) so each
     # epoch then reads ONLY its own bucket — 2 source reads + 1 staged write
@@ -203,6 +270,8 @@ def crawl(
         staged = staged.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
         staged = staged.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
         staged = staged.map_batches(attach_epoch, batch_format="pyarrow", batch_size=batch_size)
+        if claim_stage is not None:
+            staged = staged.map_batches(claim_stage, batch_format="pyarrow", batch_size=batch_size)
         bucket_dir = tempfile.mkdtemp(prefix="aar_crawl_buckets_")
         staged.write_parquet(bucket_dir, partition_cols=["fetch_epoch"])
 
@@ -244,6 +313,8 @@ def crawl(
             epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
+            if claim_stage is not None:
+                epoch_ds = epoch_ds.map_batches(claim_stage, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(
@@ -260,4 +331,9 @@ def crawl(
         import shutil
 
         shutil.rmtree(bucket_dir, ignore_errors=True)
+    if claim_shards:
+        import ray
+
+        for s in claim_shards:
+            ray.kill(s)
     return writer, frontier.stats()

@@ -32,14 +32,17 @@ def atlos_item_admissible(item: dict) -> bool:
 
 
 def drain_cursor(fetch_page: Callable[[Any], tuple[list[dict], Any]], cursor: Any = None):
-    """Iterate (item, cursor_after_page) over the cursor feed until
-    ``results`` is empty or the cursor comes back None
-    (ref:atlos_feeder_db_storage.py:45-61)."""
+    """Iterate (item, page_cursor) over the cursor feed until ``results`` is
+    empty or the cursor comes back None (ref:atlos_feeder_db_storage.py:45-61).
+
+    ``page_cursor`` is the cursor that FETCHES the page the item came from —
+    restarting the poll from it replays that whole page (at-least-once), so
+    an epoch boundary that falls mid-page can never lose the page's tail."""
     while True:
         results, next_cursor = fetch_page(cursor)
         for item in results:
             if atlos_item_admissible(item):
-                yield {"url": item["source_url"], "atlos_id": item["id"]}, next_cursor
+                yield {"url": item["source_url"], "atlos_id": item["id"]}, cursor
         if not results or next_cursor is None:
             return
         cursor = next_cursor
@@ -51,25 +54,30 @@ def cursor_epochs(
     start_cursor: Any = None,
 ):
     """Yield (Dataset, resume_cursor) epochs from a cursor feed. Each epoch
-    holds up to ``epoch_size`` admitted seed rows (url, atlos_id);
-    ``resume_cursor`` is the cursor to persist so a killed run restarts the
-    poll after the last FULLY EMITTED epoch (at-least-once semantics — the
-    frontier's seen-filter dedups any replayed overlap, exactly how the
-    reference relies on its processed flag)."""
+    holds up to ``epoch_size`` admitted seed rows (url, atlos_id).
+
+    Resume protocol (at-least-once): ``resume_cursor`` is the cursor of the
+    page containing the epoch's FIRST item — never the after-page cursor of
+    a partially consumed page, which would skip items of that page carried
+    into the next epoch. Persist an epoch's resume_cursor strictly AFTER the
+    previous epoch has been fully processed; a killed run restarted from the
+    persisted cursor replays the unfinished epoch in full (plus at most one
+    already-seen page tail), and the frontier's seen-filter dedups the
+    replayed overlap — exactly how the reference relies on its processed
+    flag."""
     import ray.data as rd
 
     rows: list[dict] = []
-    cursor_at_epoch_start = start_cursor
-    last_cursor = start_cursor
-    for row, cur in drain_cursor(fetch_page, start_cursor):
+    epoch_cursor = start_cursor  # page cursor of the current buffer's first row
+    for row, page_cur in drain_cursor(fetch_page, start_cursor):
+        if not rows:
+            epoch_cursor = page_cur
         rows.append(row)
-        last_cursor = cur
         if len(rows) >= epoch_size:
-            yield rd.from_items(rows), cursor_at_epoch_start
+            yield rd.from_items(rows), epoch_cursor
             rows = []
-            cursor_at_epoch_start = last_cursor
     if rows:
-        yield rd.from_items(rows), cursor_at_epoch_start
+        yield rd.from_items(rows), epoch_cursor
 
 
 def results_write_back(results_ds, post_result: Callable[[Any, dict], None], id_col: str = "atlos_id"):

@@ -82,24 +82,62 @@ def _lazy_drop_counter():
     return DropCounter
 
 
+# Per-RUN nonce baked into the counter actor names: two driver processes (or
+# two successive jobs on one cluster) sharing a tag would otherwise read each
+# other's accumulated drops through the detached actors (ADVICE r2). Within
+# one driver process the ledger is intentionally cumulative (callers diff
+# before/after); concurrent same-process pipelines on one tag still share.
+_RUN_NONCE = __import__("uuid").uuid4().hex[:10]
+_CREATED_TAGS: set[str] = set()
+
+
 def truncation_counter(tag: str):
     """Get-or-create the named truncation counter for a near-dup operator.
     DETACHED: a ref-counted named actor would die as soon as the pipeline's
-    closures are collected, zeroing the ledger before the caller reads it."""
+    closures are collected, zeroing the ledger before the caller reads it.
+    The name carries a per-run nonce; this process's counters are killed at
+    interpreter exit so they cannot leak past the job."""
     import ray
 
     DropCounter = _lazy_drop_counter()
+    if not _CREATED_TAGS:
+        import atexit
+
+        atexit.register(clear_truncation_counters)
+    _CREATED_TAGS.add(tag)
     return DropCounter.options(
-        name=f"aar_trunc_{tag}", get_if_exists=True, lifetime="detached", namespace="aar"
+        name=f"aar_trunc_{_RUN_NONCE}_{tag}",
+        get_if_exists=True,
+        lifetime="detached",
+        namespace="aar",
     ).remote()
 
 
 def truncation_stats(tag: str) -> dict:
     """Read {dropped_ids, truncated_buckets} recorded by capped bucket
-    searches under this tag (0/0 when no bucket hit the cap)."""
+    searches under this tag (0/0 when no bucket hit the cap). Cumulative
+    within this driver process — diff before/after a pipeline run."""
     import ray
 
     return ray.get(truncation_counter(tag).value.remote())
+
+
+def clear_truncation_counters() -> None:
+    """Kill this run's detached counter actors (best-effort; also runs via
+    atexit so a finished driver leaves no actors behind)."""
+    try:
+        import ray
+
+        if not ray.is_initialized():
+            return
+        for tag in list(_CREATED_TAGS):
+            try:
+                ray.kill(ray.get_actor(f"aar_trunc_{_RUN_NONCE}_{tag}", namespace="aar"))
+            except ValueError:
+                pass
+        _CREATED_TAGS.clear()
+    except Exception:
+        pass
 
 
 def _empty_pairs(third_col: str, dtype: str) -> pd.DataFrame:

@@ -30,8 +30,26 @@ def _hash_u64(vals, tweak: str | None = None) -> np.ndarray:
     arr = np.asarray(vals)
     if arr.dtype == object or arr.dtype.kind in ("U", "S"):
         arr = np.asarray([str(v) for v in vals], dtype=object)
-    kwargs = {"hash_key": tweak} if tweak else {}
-    return pd.util.hash_array(arr, categorize=False, **kwargs)
+        kwargs = {"hash_key": tweak} if tweak else {}
+        return pd.util.hash_array(arr, categorize=False, **kwargs)
+    h = pd.util.hash_array(arr, categorize=False)
+    if tweak:
+        # hash_array's hash_key only perturbs object/string hashing — for
+        # numeric keys the "second family" would be the identical hash and
+        # salt sub-buckets would correlate with the base bucket (a no-op
+        # skew split). Derive an independent family with a splitmix64-style
+        # finalizer keyed on the tweak (vectorized, deterministic).
+        import hashlib
+
+        c = np.uint64(
+            int.from_bytes(hashlib.blake2b(tweak.encode(), digest_size=8).digest(), "little") | 1
+        )
+        x = (h ^ c) * np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(31)
+        x = x * np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(29)
+        return x
+    return h
 
 
 def _key_hash(vals: list, buckets: int, tweak: bytes = b"") -> np.ndarray:
@@ -45,34 +63,59 @@ def dataset_join(left, right, on: str, num_partitions: int = 16, join_type: str 
 
 
 def broadcast_join(probe, build, on: str):
-    """Inner broadcast join: the build side is streamed once to the driver,
-    shipped via ``ray.put`` once, and looked up per batch — no shuffle at
-    all. ONLY for genuinely small build sides (nation/region class); use
-    :func:`plan_join` to make that decision explicit."""
+    """Inner broadcast join, zero-copy: the build side is streamed once to
+    the driver and shipped via ``ray.put`` as (key-hash-sorted uint64 array,
+    Arrow table in that order) — both come out of the object store zero-copy
+    per task, no per-task dict unpickle (the BASELINE broadcast lesson).
+    Lookup is vectorized searchsorted; hash matches are verified against the
+    actual key values, so u64 collisions cannot leak rows. Duplicate build
+    keys emit ONE OUTPUT ROW PER MATCHING BUILD ROW — identical semantics to
+    ``dataset_join``/``bucketed_hash_join``, so :func:`plan_join`'s size
+    threshold can never change results. ONLY for genuinely small build
+    sides (nation/region class)."""
+    import pyarrow.compute as pc
     import ray
 
-    cols: list[str] | None = None
-    key_to_row: dict = {}
-    for b in build.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        if cols is None:
-            cols = [c for c in b.column_names if c != on]
-        keys = b.column(on).to_pylist()
-        rows = (
-            list(zip(*(b.column(c).to_pylist() for c in cols))) if cols else [()] * len(keys)
-        )
-        key_to_row.update(zip(keys, rows))
-    ref = ray.put(key_to_row)
-    build_cols = cols or []
+    parts = list(build.iter_batches(batch_size=65536, batch_format="pyarrow"))
+    btab = pa.concat_tables(parts) if parts else None
+    if btab is None or btab.num_rows == 0:
+        schema = btab.schema if btab is not None else pa.schema([(on, pa.string())])
+        btab = schema.empty_table()
+        bh = np.empty(0, dtype=np.uint64)
+    else:
+        bh = _hash_u64(btab.column(on).to_pylist())
+        order = np.argsort(bh, kind="stable")  # stable: stream order among equal keys
+        bh = bh[order]
+        btab = btab.combine_chunks().take(pa.array(order))
+    ref = ray.put((bh, btab))
+    value_cols = [c for c in btab.column_names if c != on]
 
     def fn(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        wh, wtab = ray.get(ref)
         keys = batch.column(on).to_pylist()
-        hits = [m.get(k) for k in keys]
-        batch = batch.filter(pa.array([h is not None for h in hits]))
-        kept = [h for h in hits if h is not None]
-        for j, c in enumerate(build_cols):
-            batch = batch.append_column(c, pa.array([r[j] for r in kept]))
-        return batch
+        h = _hash_u64(keys) if keys else np.empty(0, dtype=np.uint64)
+        lo = np.searchsorted(wh, h, side="left")
+        hi = np.searchsorted(wh, h, side="right")
+        counts = (hi - lo).astype(np.int64)
+        total = int(counts.sum())
+        if total == 0:
+            out = batch.slice(0, 0)
+            for c in value_cols:
+                out = out.append_column(c, wtab.column(c).slice(0, 0))
+            return out
+        probe_idx = np.repeat(np.arange(len(keys), dtype=np.int64), counts)
+        starts = np.repeat(counts.cumsum() - counts, counts)
+        build_idx = np.repeat(lo, counts) + (np.arange(total, dtype=np.int64) - starts)
+        probe_out = batch.take(pa.array(probe_idx))
+        build_out = wtab.take(pa.array(build_idx))
+        eq = pc.fill_null(pc.equal(probe_out.column(on), build_out.column(on)), False)
+        if not pc.all(eq).as_py():
+            probe_out = probe_out.filter(eq)
+            build_out = build_out.filter(eq)
+        out = probe_out
+        for c in value_cols:
+            out = out.append_column(c, build_out.column(c))
+        return out
 
     return probe.map_batches(fn, batch_format="pyarrow")
 

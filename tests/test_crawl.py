@@ -222,3 +222,47 @@ def test_duplicate_snapshots_admit_one_row(tmp_path):
         assert len(out) == 2, f"{mode}: duplicate snapshots re-admitted"
         row = out[out["url"] == "https://a.example.org/p/1"].iloc[0]
         assert "v1" in row["text_extracted"], f"{mode}: not the min-warc_ts snapshot"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_identical_snapshot_duplicates_fetched_once(tmp_path):
+    """ADVICE r2 (crawl.py): two byte-identical source rows sharing
+    (url, warc_ts) match the same plan row; the fetch-side claim filter must
+    admit exactly one copy in both streaming and bucketed modes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    def make_src():
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array(
+                        ["https://a.example.org/p/1"] * 2 + ["https://a.example.org/p/2"]
+                    ),
+                    "warc_ts": pa.array(
+                        pd.to_datetime(["2024-01-01", "2024-01-01", "2024-01-02"]),
+                        pa.timestamp("us"),
+                    ),
+                    "html": pa.array(
+                        [b"<html><body><p>same</p></body></html>"] * 2
+                        + [b"<html><body><p>other</p></body></html>"],
+                        pa.binary(),
+                    ),
+                    "lang": pa.array(["en"] * 3),
+                }
+            )
+        )
+
+    for mode, bucketed in (("stream", False), ("bucket", True)):
+        f = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix=f"iddup_{mode}")
+        w, _ = crawl(
+            make_src(), str(tmp_path / mode), frontier=f, per_host_budget=10,
+            extract_concurrency=2, bucketed=bucketed,
+        )
+        f.shutdown()
+        out = w.read_all().to_pandas()
+        assert len(out) == 2, f"{mode}: identical-timestamp duplicate fetched twice"
+        assert sorted(out["url"]) == [
+            "https://a.example.org/p/1",
+            "https://a.example.org/p/2",
+        ]

@@ -81,6 +81,12 @@ def test_cursor_epochs_and_write_back():
     # resume cursor of the first epoch re-reads from the start of its page run
     first_resume = epochs[0][1]
     assert first_resume is None  # epoch 0 started from the beginning
+    # ADVICE r2: epoch 1 starts mid-page (ids 8,9; page [6,7,8] fetched at
+    # cursor 6) — its resume cursor must be the PAGE-START cursor 6, not the
+    # after-page cursor 9 which would lose id 8 on restart
+    assert epochs[1][1] == 6
+    replayed = [r["atlos_id"] for r, _ in cursrc.drain_cursor(fetch_page, epochs[1][1])]
+    assert set(replayed) >= {8, 9}  # epoch 1 fully reachable from its cursor
 
     # write-back: success statuses → processed/success, others → error.
     # The sink runs in Ray workers, so the ledger must be an actor (a plain

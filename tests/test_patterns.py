@@ -278,3 +278,46 @@ def test_to_utc_iso_fast_path_equivalence():
     assert to_utc_iso("03/04/2024", dayfirst=False) == "2024-03-04T00:00:00+00:00"
     assert to_utc_iso("Jan 5 2024 10:00", dayfirst=False) == "2024-01-05T10:00:00+00:00"
     assert to_utc_iso("not a date") == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_broadcast_join_duplicate_build_keys_match_shuffle():
+    """ADVICE r2 (join.py): duplicate build-side keys must emit one output
+    row per match on BOTH plan_join paths (the old dict build kept only the
+    last row)."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.join import plan_join
+
+    left = pd.DataFrame({"k": [1, 2, 3], "lv": list("abc")})
+    right = pd.DataFrame({"k": [1, 2, 2, 2], "rv": list("wxyz")})
+    bcast = (
+        plan_join(rd.from_pandas(left), rd.from_pandas(right), on="k", build_rows=4)
+        .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    shuf = (
+        plan_join(rd.from_pandas(left), rd.from_pandas(right), on="k", build_rows=4, scales_with_data=True)
+        .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True)[["k", "lv", "rv"]]
+    )
+    pd.testing.assert_frame_equal(bcast, shuf)
+    assert list(bcast["rv"]) == ["w", "x", "y", "z"]  # all three dup matches kept
+
+
+def test_numeric_tweak_hash_is_independent_family():
+    """ADVICE r2 (join.py): for NUMERIC keys the tweaked hash must differ
+    from the base hash (hash_array's hash_key is a string-path no-op), so
+    salt sub-buckets decorrelate from base buckets."""
+    import numpy as np
+
+    from auto_archiver_ray.stages.join import _hash_u64
+
+    vals = np.arange(1000, dtype=np.int64)
+    base = _hash_u64(vals)
+    tweaked = _hash_u64(vals, tweak="aar.join.salt.16")
+    assert (base != tweaked).all()
+    # and the derived salt residues are decorrelated even when salt shares a
+    # factor with the bucket count (the reported failure mode: salt=2, B=32)
+    b = base % np.uint64(32)
+    s = tweaked % np.uint64(2)
+    sub_even = s[b % np.uint64(2) == 0]
+    assert 0.4 < sub_even.mean() < 0.6
