@@ -8,16 +8,35 @@ the one shuffle), sort within group by time, window with pandas. Ordering
 guarantee is therefore *per key*, mirroring how the reference only
 guarantees per-host ordering through its sequential loop.
 
-Scale notes: the shuffle key is the entity key (user_id), assumed roughly
-uniform; windows never cross keys so groups are independent; tumbling
-windows are instead computed shuffle-free as a batch column + bounded-group
-aggregation (see queries.q_events_hourly).
+Scale notes: the shuffle key is a COARSE hash bucket of the entity key
+(hash(user_id) % num_buckets), never one Ray group per key — Ray pays fixed
+per-group overhead (~3 ms), so millions of tiny per-user groups would
+dominate the wall (the grouped_topk/exact_dedup lesson applied). All rows
+of a key land in one bucket; inside the bucket the per-key logic is
+vectorized pandas (``merge_asof(by=key)`` and grouped diff/cumsum both work
+without per-key loops). Tumbling windows are instead computed shuffle-free
+as a batch column + bounded-group aggregation (see queries.q_events_hourly).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+
+
+def _add_key_bucket(ds, key_col: str, num_buckets: int):
+    """Append ``__kb = hash(key) % num_buckets`` (vectorized keyed siphash —
+    deterministic across processes, never the salted builtin hash)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        arr = np.asarray(batch.column(key_col).to_pylist())
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            arr = np.asarray([str(v) for v in arr], dtype=object)
+        hb = (pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column("__kb", pa.array(hb))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
 
 
 def asof_join_groups(
@@ -27,32 +46,42 @@ def asof_join_groups(
     left_filter,
     right_filter,
     out_col: str = "asof_ts",
+    num_buckets: int = 256,
 ):
     """Per-key as-of join within one Dataset: for each left row, the max
     right-row timestamp ≤ the left timestamp. ``left_filter``/``right_filter``
-    take a pandas group and return boolean masks. Returns rows of
-    (key, left-row columns, out_col)."""
+    take a pandas frame and return boolean masks. Returns rows of
+    (key, left-row columns, out_col). One Ray group per coarse key bucket;
+    ``merge_asof(by=key)`` handles every key of the bucket in one vectorized
+    call."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__kb"])
         left = g[left_filter(g)]
         right = g[right_filter(g)]
         if left.empty:
             return left.assign(**{out_col: pd.Series(dtype="datetime64[us]")})
+        left = left.sort_values(ts_col, kind="mergesort")
         if right.empty:
             out = left.copy()
             out[out_col] = pd.NaT
             return out
+        right = right.sort_values(ts_col, kind="mergesort")
         merged = pd.merge_asof(
             left,
-            right[[ts_col]].rename(columns={ts_col: out_col}),
+            right[[key_col, ts_col]].rename(columns={ts_col: out_col}),
             left_on=ts_col,
             right_on=out_col,
+            by=key_col,
             direction="backward",
         )
         return merged
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        _add_key_bucket(ds, key_col, num_buckets)
+        .groupby("__kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def session_windows(
@@ -60,27 +89,35 @@ def session_windows(
     key_col: str,
     ts_col: str,
     gap_seconds: float = 1800.0,
+    num_buckets: int = 256,
 ):
     """Gap-based session assignment per key: a new session starts when the
-    gap to the previous event exceeds ``gap_seconds``. Adds ``session_id``
-    (0-based per key) and returns per-(key, session) rollups:
-    (key, session_id, session_start, session_end, n_events)."""
+    gap to the previous event exceeds ``gap_seconds``. Returns per-(key,
+    session) rollups (key, session_id, session_start, session_end,
+    n_events) with ``session_id`` 0-based per key. One Ray group per coarse
+    key bucket; session breaks are a vectorized diff/cumsum over the
+    (key, ts)-sorted bucket."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort").reset_index(drop=True)
         gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        session = (gaps > gap_seconds).cumsum()
-        out = g.assign(session_id=session.astype("int64"))
-        roll = out.groupby("session_id", as_index=False).agg(
+        brk = (gaps > gap_seconds) | (g[key_col] != g[key_col].shift())
+        g = g.assign(__gs=brk.cumsum())
+        roll = g.groupby([key_col, "__gs"], as_index=False).agg(
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size"),
         )
-        roll.insert(0, key_col, g[key_col].iloc[0])
+        # __gs is monotone in ts within a key → cumcount = 0-based session_id
+        roll["session_id"] = roll.groupby(key_col, sort=False).cumcount().astype("int64")
         roll["n_events"] = roll["n_events"].astype("int64")
-        return roll
+        return roll[[key_col, "session_id", "session_start", "session_end", "n_events"]]
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return (
+        _add_key_bucket(ds, key_col, num_buckets)
+        .groupby("__kb")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
 
 
 def sliding_window_explode(
