@@ -929,13 +929,29 @@ FROM s GROUP BY lang ORDER BY lang
 def q_doc_langid(sf_dir: str):
     """Language-ID heuristic vs the labeled lang column (oracled: the
     stopword-hit-rate argmax with sorted-code tie-break, re-expressed as a
-    greatest()+CASE chain in SQL over the same stopword lists)."""
+    greatest()+CASE chain in SQL over the same stopword lists). The rollup
+    is partial-count-per-batch + driver reduce — (lang × guess) is a
+    bounded key set, so Ray's ~10 s fixed all-to-all Aggregate is skipped."""
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
     ds = ds.map_batches(textstats.lang_id_stage, batch_format="pyarrow", batch_size=8192)
-    from ray.data.aggregate import Count
 
-    out = ds.groupby(["lang", "lang_guess"]).aggregate(Count(alias_name="n")).to_pandas()
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "lang_guess": batch["lang_guess"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["lang", "lang_guess"]).aggregate([("n", "sum")])
+        return pa.table(
+            {"lang": g["lang"], "lang_guess": g["lang_guess"], "n": g["n_sum"]}
+        )
+
+    out = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"), ["lang", "lang_guess"], {"n": "sum"}
+    )
     out["n"] = out["n"].astype("int64")
     return out.sort_values(["lang", "lang_guess"]).reset_index(drop=True)
 
@@ -967,14 +983,29 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2
 
 
 def q_doc_fingerprint(sf_dir: str):
-    """Winnowing fingerprints (rows-only): docs grouped by rolled-up
-    fingerprint key."""
+    """Winnowing fingerprints: docs grouped by rolled-up fingerprint key.
+    Key cardinality grows with the corpus, so the rollup is partial counts
+    + coarse-bucketed distributed groupby (``bucketed_group_agg``), not the
+    native all-to-all Aggregate and not a driver reduce."""
+    from ..stages.agg import bucketed_group_agg
+
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(textstats.fingerprint_stage, batch_format="pyarrow", batch_size=8192)
-    from ray.data.aggregate import Count
 
-    return ds.groupby("fingerprint_key").aggregate(Count(alias_name="n_docs"))
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "fingerprint_key": batch["fingerprint_key"],
+                "n_docs": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        g = t.group_by("fingerprint_key").aggregate([("n_docs", "sum")])
+        return pa.table({"fingerprint_key": g["fingerprint_key"], "n_docs": g["n_docs_sum"]})
+
+    return bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow"), ["fingerprint_key"], {"n_docs": "sum"}
+    )
 
 
 def q_doc_minhash_pairs(sf_dir: str):
@@ -1220,12 +1251,26 @@ def q_archive_stats(sf_dir: str):
     from ..pipelines.archive import archive_pages
 
     ds = archive_pages(sf_dir, extract_concurrency=4)
-    from ray.data.aggregate import Count, Sum
 
-    out = (
-        ds.groupby("status")
-        .aggregate(Count(alias_name="n"), Sum("size_bytes", alias_name="total_bytes"))
-        .to_pandas()
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "status": batch["status"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "total_bytes": pc.cast(batch["size_bytes"], pa.int64()),
+            }
+        )
+        g = t.group_by("status").aggregate([("n", "sum"), ("total_bytes", "sum")])
+        return pa.table(
+            {"status": g["status"], "n": g["n_sum"], "total_bytes": g["total_bytes_sum"]}
+        )
+
+    # status cardinality is bounded (a handful of platform outcomes) →
+    # partial-per-batch + driver reduce, no all-to-all Aggregate
+    out = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["status"],
+        {"n": "sum", "total_bytes": "sum"},
     )
     out["n"] = out["n"].astype("int64")
     out["total_bytes"] = out["total_bytes"].astype("int64")

@@ -35,6 +35,45 @@ def driver_reduce(partials_ds, keys: list[str], agg: dict[str, str]) -> pd.DataF
     return df.groupby(keys, as_index=False).agg(agg)
 
 
+def _add_key_bucket_fn(keys: list[str], num_buckets: int, out_col: str = "__tb"):
+    """map_batches fn appending ``hash(key tuple) % num_buckets`` (vectorized
+    keyed siphash — deterministic across processes/retries)."""
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        vals = batch.column(keys[0]).to_pylist()
+        if len(keys) > 1:
+            vals = [
+                "\x1f".join(str(v) for v in row)
+                for row in zip(*(batch.column(c).to_pylist() for c in keys))
+            ]
+        arr = np.asarray(vals)
+        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
+            arr = np.asarray([str(v) for v in vals], dtype=object)
+        hb = (pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
+        return batch.append_column(out_col, pa.array(hb))
+
+    return add_bucket
+
+
+def bucketed_group_agg(partials_ds, keys: list[str], agg: dict[str, str], num_buckets: int = 256):
+    """Finish a partial aggregate with UNBOUNDED key cardinality as a
+    Dataset: shuffle the partial rows (one per key per batch) to
+    ``hash(key) % num_buckets`` coarse buckets and run a vectorized pandas
+    groupby inside each bucket. Exact — a key lives wholly in one bucket.
+    This replaces Ray's native all-to-all ``groupby().aggregate()`` (~10 s
+    fixed overhead) for per-key rollups whose result must stay distributed
+    (vs :func:`driver_reduce`, which needs a bounded group count)."""
+
+    def bucket_agg(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop(columns=["__tb"]).groupby(keys, as_index=False).agg(agg)
+
+    return (
+        partials_ds.map_batches(_add_key_bucket_fn(keys, num_buckets), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(bucket_agg, batch_format="pandas")
+    )
+
+
 def grouped_topk(
     partials_ds,
     keys: list[str],
@@ -64,25 +103,12 @@ def grouped_topk(
     cluster scale.
     """
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        vals = batch.column(keys[0]).to_pylist()
-        if len(keys) > 1:
-            vals = [
-                "\x1f".join(str(v) for v in row)
-                for row in zip(*(batch.column(c).to_pylist() for c in keys))
-            ]
-        arr = np.asarray(vals)
-        if arr.dtype == object or arr.dtype.kind in ("U", "S"):
-            arr = np.asarray([str(v) for v in vals], dtype=object)
-        hb = (pd.util.hash_array(arr, categorize=False) % np.uint64(num_buckets)).astype(np.int64)
-        return batch.append_column("__tb", pa.array(hb))
-
     def bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
         out = g.drop(columns=["__tb"]).groupby(keys, as_index=False).agg(agg)
         return out.sort_values(sort_by, ascending=ascending, kind="mergesort").head(k)
 
     candidates = (
-        partials_ds.map_batches(add_bucket, batch_format="pyarrow")
+        partials_ds.map_batches(_add_key_bucket_fn(keys, num_buckets), batch_format="pyarrow")
         .groupby("__tb")
         .map_groups(bucket_topk, batch_format="pandas")
     )
