@@ -741,8 +741,10 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
 
 def q_events_distinct_users_approx(sf_dir: str):
     """Approximate distinct users via mergeable HyperLogLog sketches (one
-    sketch per batch, driver merge — no distinct shuffle). Rows-only:
-    approximate by design; accuracy (±1%) pinned by tests/test_sketch.py."""
+    sketch per batch, driver merge — no distinct shuffle). Oracled against
+    an independent serial HLL (register max-merge is order-independent, so
+    the estimate is deterministic); accuracy (±1%) pinned by
+    tests/test_sketch.py and tests/test_golden_oracles.py."""
     from ..functions.sketch import approx_distinct
 
     rd = _rd()
@@ -1009,6 +1011,9 @@ def q_doc_fingerprint(sf_dir: str):
 
 
 def q_doc_minhash_pairs(sf_dir: str):
+    """MinHash-LSH candidate pairs ≥0.7 estimated Jaccard — oracled against
+    the independent serial reimplementation (golden parquet; cross-scale
+    equivalence in tests/test_golden_oracles.py)."""
     from ..stages.dedup import minhash_candidate_pairs
 
     rd = _rd()
@@ -1025,6 +1030,10 @@ def q_doc_simhash_pairs(sf_dir: str):
 
 
 def q_doc_ngram_jaccard(sf_dir: str):
+    """Exact n-gram Jaccard pairs ≥0.8 — oracled with a TRUE SQL oracle
+    (shingle self-join over all pairs in DuckDB), which also validates
+    MinHash recall end to end: a candidate miss would drop a pair the SQL
+    finds."""
     from ..stages.dedup import ngram_jaccard_pairs
 
     rd = _rd()
@@ -1407,25 +1416,35 @@ FROM r WHERE rk <= 10 ORDER BY query_id, rank
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF ANN variant (rows-only; approximate by design)."""
+    """IVF ANN variant — oracled against an independent SERIAL
+    reimplementation (scripts/golden_serial.knn_ivf_serial → checked-in
+    golden parquet): deterministic fixed-seed k-means on a bounded sample,
+    exact top-k restricted to the probed cells. Cosine dropped from the
+    compared output for the same float-ordering reason as q_knn."""
     from ..stages.similarity import knn_ivf, train_ivf_centroids
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     cent = train_ivf_centroids(ds, nlist=16)
-    return knn_ivf(ds, _load_queries(sf_dir), cent, k=10, nprobe=4)
+    out = knn_ivf(ds, _load_queries(sf_dir), cent, k=10, nprobe=4)
+    out = out.drop(columns=["cosine"])
+    return out.astype({"query_id": "int64", "vec_id": "int64", "rank": "int64"})
 
 
 def q_embed_neardup(sf_dir: str):
-    """Embedding-cosine near-dup pairs (rows-only). Threshold 0.35 because
-    the synthetic embeddings are near-orthogonal random vectors (max pair
-    cosine ≈ 0.51 at sf0.01) — production near-dup would use ≥0.9."""
+    """Embedding-cosine near-dup pairs — oracled against an independent
+    SERIAL sign-LSH reimplementation (golden parquet). Threshold 0.35
+    because the synthetic embeddings are near-orthogonal random vectors
+    (max pair cosine ≈ 0.51 at sf0.01) — production near-dup would use
+    ≥0.9. The cosine column is dropped from the compared output (float
+    summation-order sensitivity); pair-set equality is the check."""
     from ..stages.dedup import embedding_neardup_pairs
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     df = embedding_neardup_pairs(ds, threshold=0.35, num_planes=6).to_pandas()
-    return df.reindex(columns=["id_a", "id_b", "cosine"])
+    df = df.reindex(columns=["id_a", "id_b"]).astype("int64")
+    return df.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 
@@ -1528,7 +1547,21 @@ def q_media_features(sf_dir: str):
     media = m.map_batches(to_media_rows, batch_format="pyarrow", batch_size=1024)
     media = media.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
     media = media.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
-    return media.select_columns(["media_id", "width", "height", "decode_ok", "feature"])
+
+    def feature_digest(batch: pa.Table) -> pa.Table:
+        # list<float32> doesn't sort/hash in the compare; digest the exact
+        # float32 bytes instead — equality is bit-exact feature equality
+        feats = batch.column("feature").to_pylist()
+        sha = [
+            hashlib.blake2b(np.asarray(f, dtype=np.float32).tobytes(), digest_size=8).hexdigest()
+            for f in feats
+        ]
+        return batch.drop_columns(["feature"]).append_column(
+            "feature_sha", pa.array(sha, pa.string())
+        )
+
+    media = media.map_batches(feature_digest, batch_format="pyarrow", batch_size=1024)
+    return media.select_columns(["media_id", "width", "height", "decode_ok", "feature_sha"])
 
 
 
@@ -1810,10 +1843,75 @@ QUERIES = {
 }
 
 
+def _golden_dir(sf_dir: str) -> str:
+    """tests/golden/<sf-tag>/ — checked-in golden parquet computed by an
+    independent serial reimplementation (scripts/golden_serial.py) or
+    pinned from a reviewed run (scripts/make_golden_oracles.py)."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(repo, "tests", "golden", tag)
+
+
+# Exact n-gram Jaccard over ALL doc pairs — a true independent SQL oracle:
+# shingles are the lowercase word 3-grams (DuckDB strings; the Ray side's
+# 64-bit shingle hashing is set-cardinality-preserving), pair intersection
+# via a self-join on shingle, Jaccard as the same integer-derived double.
+SQL_DOC_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS shingles
+  FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def _sql_cluster_labels(golden_dir: str) -> str:
+    """Connected components over the GOLDEN minhash pair set via a recursive
+    transitive-closure CTE — DuckDB derives the min-label components
+    independently of label_propagate (the edge set itself is checked by the
+    q_doc_minhash_pairs golden)."""
+    g = f"{golden_dir}/q_doc_minhash_pairs.parquet"
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM read_parquet('{g}')
+  UNION
+  SELECT id_b AS a, id_a AS b FROM read_parquet('{g}')
+), nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS label
+FROM reach GROUP BY node
+"""
+
+
 def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     """Oracle SQL per query name (pages-based oracles embed the absolute
-    parquet path of the sf0.01 synthetic pages table, generated on call)."""
+    parquet path of the sf0.01 synthetic pages table, generated on call;
+    golden-based oracles read checked-in parquet under tests/golden/)."""
     ensure_pages(sf_dir)
+    g = _golden_dir(sf_dir)
     return {
         "q_lineitem_pricing": SQL_LINEITEM_PRICING,
         "q_top_customers": SQL_TOP_CUSTOMERS,
@@ -1851,4 +1949,46 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_langid": _sql_doc_langid(),
         "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
         "q_knn": SQL_KNN,
+        # --- golden / independent-serial oracles (round 3) ---
+        "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "q_doc_minhash_pairs": (
+            f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{g}/q_doc_minhash_pairs.parquet') "
+            "ORDER BY id_a, id_b"
+        ),
+        "q_doc_simhash_pairs": (
+            f"SELECT id_a, id_b, hamming FROM read_parquet('{g}/q_doc_simhash_pairs.parquet') "
+            "ORDER BY id_a, id_b"
+        ),
+        "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
+        "q_doc_neardup_dedup": (
+            "WITH labels AS (" + _sql_cluster_labels(g) + ") "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT node FROM labels WHERE node <> label) ORDER BY doc_id"
+        ),
+        "q_doc_fingerprint": (
+            "SELECT fingerprint_key, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM read_parquet('{g}/doc_fingerprints.parquet') GROUP BY 1 ORDER BY 1"
+        ),
+        "q_events_distinct_users_approx": (
+            f"SELECT approx_distinct_users FROM read_parquet('{g}/q_events_distinct_users_approx.parquet')"
+        ),
+        "q_embed_neardup": (
+            f"SELECT id_a, id_b FROM read_parquet('{g}/q_embed_neardup.parquet') ORDER BY id_a, id_b"
+        ),
+        "q_knn_ivf": (
+            f"SELECT query_id, vec_id, rank FROM read_parquet('{g}/q_knn_ivf.parquet') "
+            "ORDER BY query_id, rank"
+        ),
+        "q_pages_media_plan": (
+            "SELECT page_url, media_url, media_url_best, media_ext, media_url_hash, storage_key "
+            f"FROM read_parquet('{g}/q_pages_media_plan.parquet') ORDER BY media_url_hash"
+        ),
+        "q_media_features": (
+            "SELECT media_id, width, height, decode_ok, feature_sha "
+            f"FROM read_parquet('{g}/q_media_features.parquet') ORDER BY media_id"
+        ),
+        "q_media_store": (
+            f"SELECT storage_key, n_bytes FROM read_parquet('{g}/q_media_store.parquet') "
+            "ORDER BY storage_key"
+        ),
     }

@@ -1,0 +1,269 @@
+"""Independent SERIAL reimplementations of the approximate/near-dup
+operators, used to compute golden-oracle parquet files (tests/golden/) that
+the driver's DuckDB correctness gate reads via read_parquet().
+
+These are deliberately written WITHOUT importing auto_archiver_ray: plain
+numpy/hashlib over pandas frames, single-process. They share only the
+*specification* with the distributed operators — hash = first 8 bytes of
+blake2b little-endian, MinHash affine params from PCG64(20260817), SimHash
+over word unigrams, sign-LSH planes from PCG64(seed+rotation) — so a match
+validates the distributed machinery (sharding, banding, rejoin, caps,
+dedup shuffles), not just "the same code ran twice".
+
+Reference test style: golden expected values, as in
+ref:tests/enrichers/test_hash_enricher.py:8-28.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+
+
+def hash64(data: bytes) -> int:
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little")
+
+
+# ---------------------------------------------------------------- shingles
+
+
+def word_shingles(text: str, n: int = 3) -> np.ndarray:
+    words = text.lower().split()
+    count = max(0, len(words) - n + 1)
+    if count == 0:
+        if not words:
+            return np.empty(0, dtype=np.uint64)
+        return np.asarray([hash64(" ".join(words).encode("utf-8"))], dtype=np.uint64)
+    return np.asarray(
+        [hash64(" ".join(words[i : i + n]).encode("utf-8")) for i in range(count)],
+        dtype=np.uint64,
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+_PRIME = np.uint64((1 << 61) - 1)
+
+
+def minhash_sig(sh: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    rng = np.random.Generator(np.random.PCG64(20260817))
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    if sh.size == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _PRIME
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def band_keys(sig: np.ndarray, num_bands: int = 16) -> list[int]:
+    rows = sig.size // num_bands
+    return [
+        hash64(sig[b * rows : (b + 1) * rows].tobytes() + bytes([b])) for b in range(num_bands)
+    ]
+
+
+def minhash_pairs_serial(
+    docs: pd.DataFrame,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    band_cap: int = 64,
+) -> pd.DataFrame:
+    """(id_a, id_b, est_jaccard) with id_a < id_b, est ≥ threshold — the
+    single-process ground truth for minhash_candidate_pairs."""
+    sigs = {
+        int(r.doc_id): minhash_sig(word_shingles(r.text or ""), num_perm)
+        for r in docs.itertuples()
+    }
+    buckets: dict[int, list[int]] = {}
+    for did, sig in sigs.items():
+        for bk in band_keys(sig, num_bands):
+            buckets.setdefault(bk, []).append(did)
+    pairs: set[tuple[int, int]] = set()
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:band_cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    rows = []
+    for a, b in sorted(pairs):
+        est = float((sigs[a] == sigs[b]).mean())
+        if est >= threshold:
+            rows.append((a, b, est))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "est_jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "est_jaccard": "float64"}
+    )
+
+
+# ----------------------------------------------------------------- simhash
+
+
+def simhash64(text: str) -> int:
+    words = text.lower().split()
+    if not words:
+        return 0
+    hashes = np.asarray([hash64(w.encode("utf-8")) for w in words], dtype=np.uint64)
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    counts = (2 * bits - 1).sum(axis=0)
+    return int("".join("1" if c > 0 else "0" for c in counts[::-1]), 2)
+
+
+def simhash_pairs_serial(
+    docs: pd.DataFrame, max_hamming: int = 3, bucket_cap: int = 256
+) -> pd.DataFrame:
+    codes = {int(r.doc_id): simhash64(r.text or "") for r in docs.itertuples()}
+    buckets: dict[int, list[int]] = {}
+    for did, h in codes.items():
+        for b in range(4):
+            key = (b << 16) | ((h >> (16 * b)) & 0xFFFF)
+            buckets.setdefault(key, []).append(did)
+    out: dict[tuple[int, int], int] = {}
+    for ids in buckets.values():
+        ids = sorted(set(ids))[:bucket_cap]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                d = bin(codes[ids[i]] ^ codes[ids[j]]).count("1")
+                if d <= max_hamming:
+                    out[(ids[i], ids[j])] = d
+    rows = [(a, b, d) for (a, b), d in sorted(out.items())]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype("int64")
+
+
+# --------------------------------------------------------------- winnowing
+
+
+def winnow_key(text: str, k: int = 5, window: int = 4) -> str:
+    n = len(text) - k + 1
+    h = (
+        np.asarray([hash64(text[i : i + k].encode("utf-8")) for i in range(n)], dtype=np.uint64)
+        if n > 0
+        else np.empty(0, dtype=np.uint64)
+    )
+    if h.size == 0:
+        fp: list[int] = []
+    elif h.size <= window:
+        fp = [int(h.min())]
+    else:
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        fp = sorted({int(x) for x in sw.min(axis=1)})
+    return hashlib.blake2b(np.asarray(fp, dtype=np.uint64).tobytes(), digest_size=8).hexdigest()
+
+
+def fingerprints_serial(docs: pd.DataFrame) -> pd.DataFrame:
+    rows = [(int(r.doc_id), winnow_key(r.text or "")) for r in docs.itertuples()]
+    return pd.DataFrame(rows, columns=["doc_id", "fingerprint_key"]).astype(
+        {"doc_id": "int64", "fingerprint_key": "string[python]"}
+    )
+
+
+# --------------------------------------------------------------------- HLL
+
+
+def hll_estimate_serial(values, p: int = 14) -> int:
+    m = 1 << p
+    registers = np.zeros(m, dtype=np.uint8)
+    for v in values:
+        h = hash64(str(v).encode("utf-8"))
+        idx = h & (m - 1)
+        w = h >> p
+        rank = (64 - p) - w.bit_length() + 1
+        if rank > registers[idx]:
+            registers[idx] = rank
+    alpha = 0.7213 / (1 + 1.079 / m)
+    raw = alpha * m * m / float(np.sum(np.exp2(-registers.astype(np.float64))))
+    if raw <= 2.5 * m:
+        zeros = int(np.count_nonzero(registers == 0))
+        if zeros:
+            return int(round(m * math.log(m / zeros)))
+    return int(round(raw))
+
+
+# --------------------------------------------------- embedding sign-LSH
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def embed_neardup_serial(
+    emb: pd.DataFrame,
+    threshold: float = 0.35,
+    num_planes: int = 6,
+    seed: int = 20260817,
+    num_rotations: int = 1,
+    bucket_cap: int = 4096,
+) -> pd.DataFrame:
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))
+    pairs: set[tuple[int, int]] = set()
+    for r in range(num_rotations):
+        rng = np.random.Generator(np.random.PCG64(seed + r))
+        planes = rng.standard_normal((unit.shape[1], num_planes)).astype(np.float32)
+        signs = (unit @ planes) > 0
+        bks = (signs * (1 << np.arange(num_planes))).sum(axis=1).astype(np.int64)
+        for bk in np.unique(bks):
+            sel = np.nonzero(bks == bk)[0]
+            order = np.argsort(ids[sel], kind="stable")
+            sel = sel[order][:bucket_cap]
+            if len(sel) < 2:
+                continue
+            mat = unit[sel]
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(sel), k=1)
+            hit = sims[iu] >= threshold
+            for a, b in zip(ids[sel][iu[0][hit]], ids[sel][iu[1][hit]]):
+                pairs.add((int(a), int(b)))
+    return pd.DataFrame(sorted(pairs), columns=["id_a", "id_b"]).astype("int64")
+
+
+# ---------------------------------------------------------------- IVF ANN
+
+
+def knn_ivf_serial(
+    emb: pd.DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """(query_id, vec_id, rank): exact top-k restricted to the probed IVF
+    cells, with the same fixed-seed bounded-sample k-means."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))
+    x = unit[:sample_rows]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    q = unit[np.isin(ids, np.arange(n_queries))]
+    q_ids = ids[np.isin(ids, np.arange(n_queries))]
+    q = q[np.argsort(q_ids)]
+    cq = q @ cent.T
+    probe = set()
+    for qi in range(q.shape[0]):
+        probe.update(np.argsort(-cq[qi])[:nprobe].tolist())
+    assign_all = (unit @ cent.T).argmax(axis=1)
+    member = np.isin(assign_all, list(probe))
+    mids, mvecs = ids[member], unit[member]
+    sims = q @ mvecs.T
+    rows = []
+    for qi in range(q.shape[0]):
+        order = np.lexsort((mids, -sims[qi]))[:k]
+        for rank, oi in enumerate(order, 1):
+            rows.append((qi, int(mids[oi]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"]).astype("int64")

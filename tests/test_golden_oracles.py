@@ -1,0 +1,133 @@
+"""Golden-oracle honesty checks.
+
+1. Cross-scale equivalence at sf0.001: the INDEPENDENT serial
+   reimplementations (scripts/golden_serial.py — no auto_archiver_ray
+   imports) must reproduce the distributed operators on a second dataset,
+   so the checked-in sf0.01 goldens aren't a coincidence of one input.
+2. Staleness guard at sf0.01: the checked-in golden parquet must equal a
+   fresh serial recomputation — an algorithm change that forgets
+   ``python scripts/make_golden_oracles.py`` fails here, not in the driver.
+"""
+
+import os
+import sys
+
+import pandas as pd
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
+
+import golden_serial as gs  # noqa: E402
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_ORACLE = "/root/testdata/sf0.01"
+GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden", "sf0.01")
+
+
+def _docs(sf):
+    return pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_minhash_distributed_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import minhash_candidate_pairs
+
+    docs = _docs(SF_SMALL)
+    got = (
+        minhash_candidate_pairs(rd.from_pandas(docs), threshold=0.7)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = gs.minhash_pairs_serial(docs, threshold=0.7)
+    pd.testing.assert_frame_equal(got[["id_a", "id_b", "est_jaccard"]], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_distributed_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import simhash_candidate_pairs
+
+    docs = _docs(SF_SMALL)
+    got = (
+        simhash_candidate_pairs(rd.from_pandas(docs), max_hamming=3)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = gs.simhash_pairs_serial(docs, max_hamming=3)
+    pd.testing.assert_frame_equal(got[["id_a", "id_b", "hamming"]], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_neardup_distributed_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import embedding_neardup_pairs
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = (
+        embedding_neardup_pairs(rd.from_pandas(emb), threshold=0.35, num_planes=6)
+        .to_pandas()[["id_a", "id_b"]]
+        .astype("int64")
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = gs.embed_neardup_serial(emb, threshold=0.35, num_planes=6)
+    pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hll_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.functions.sketch import approx_distinct
+
+    ev = pd.read_parquet(f"{SF_SMALL}/events.parquet", columns=["user_id"])
+    got = int(round(approx_distinct(rd.from_pandas(ev), "user_id")))
+    want = gs.hll_estimate_serial(ev["user_id"].tolist())
+    assert got == want
+    # and the estimate is within the p=14 error envelope of the exact count
+    exact = ev["user_id"].nunique()
+    assert abs(got - exact) <= max(2, 0.02 * exact)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fingerprint_stage_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages import textstats
+
+    docs = _docs(SF_SMALL)
+    got = (
+        rd.from_pandas(docs)
+        .map_batches(textstats.fingerprint_stage, batch_format="pyarrow")
+        .to_pandas()[["doc_id", "fingerprint_key"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = gs.fingerprints_serial(docs)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_checked_in_goldens_are_fresh_sf001():
+    """Staleness guard: checked-in sf0.01 serial goldens == recomputation."""
+    docs = _docs(SF_ORACLE)
+    emb = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ev = pd.read_parquet(f"{SF_ORACLE}/events.parquet", columns=["user_id"])
+
+    checks = {
+        "q_doc_minhash_pairs": lambda: gs.minhash_pairs_serial(docs, threshold=0.7),
+        "q_doc_simhash_pairs": lambda: gs.simhash_pairs_serial(docs, max_hamming=3),
+        "doc_fingerprints": lambda: gs.fingerprints_serial(docs),
+        "q_embed_neardup": lambda: gs.embed_neardup_serial(emb, threshold=0.35, num_planes=6),
+        "q_knn_ivf": lambda: gs.knn_ivf_serial(emb),
+    }
+    for name, recompute in checks.items():
+        stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
+        pd.testing.assert_frame_equal(stored, recompute(), check_dtype=False), name
+    hll = pd.read_parquet(f"{GOLDEN}/q_events_distinct_users_approx.parquet")
+    assert int(hll["approx_distinct_users"][0]) == gs.hll_estimate_serial(ev["user_id"].tolist())
