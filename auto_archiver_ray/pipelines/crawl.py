@@ -185,7 +185,7 @@ def crawl(
     source_factory = pages_source_factory or (lambda: pages_source)
 
     # ---- plan phase: keys only, payload projected away before any shuffle
-    from ..stages.dedup import exact_dedup
+    from ..stages.dedup import _lazy_drop_counter, exact_dedup
 
     # plan stages see ONLY key columns → large batches are cheap and
     # amortize the per-batch shard RPC fan-out of the seen-filter ~32×
@@ -197,8 +197,16 @@ def crawl(
     keyed = keyed.select_columns(PLAN_COLUMNS)
     # deterministic snapshot choice: one plan row per canonical URL, the
     # min-warc_ts snapshot — never "whichever block arrived first" (a pure
-    # function of the seed list, required for identical resume partitions)
-    keyed = exact_dedup(keyed, "url_hash", "warc_ts", strategy="shuffle")
+    # function of the seed list, required for identical resume partitions).
+    # The dedup pass also counts exact (url_hash, warc_ts) duplicates: only
+    # when there ARE any does the fetch path need the claim filter (clean
+    # sources skip its per-batch RPC entirely).
+    import ray
+
+    snap_dup_counter = _lazy_drop_counter().remote() if dedup_fetch else None
+    keyed = exact_dedup(
+        keyed, "url_hash", "warc_ts", strategy="shuffle", key_id_dup_counter=snap_dup_counter
+    )
 
     part_prefix = ""
     if incremental and restored:
@@ -234,10 +242,15 @@ def crawl(
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
 
     # fetch-side snapshot dedup: each snapshot key belongs to exactly one
-    # epoch, so one claim pool serves every epoch of this run
+    # epoch, so one claim pool serves every epoch of this run — engaged only
+    # when the plan pass actually saw duplicate (url_hash, warc_ts) rows
     claim_stage, claim_shards = (None, [])
-    if dedup_fetch and num_epochs:
-        claim_stage, claim_shards = _make_claim_filter()
+    if snap_dup_counter is not None and num_epochs:
+        n_snap_dups = ray.get(snap_dup_counter.value.remote())["dropped_ids"]
+        if n_snap_dups:
+            claim_stage, claim_shards = _make_claim_filter()
+    if snap_dup_counter is not None:
+        ray.kill(snap_dup_counter)
 
     # ``bucketed``: one extra pass writes every epoch's rows into a
     # hive-partitioned staging dir (partition_cols=["fetch_epoch"]) so each
@@ -334,6 +347,117 @@ def crawl(
     if claim_shards:
         import ray
 
+        for s in claim_shards:
+            ray.kill(s)
+    return writer, frontier.stats()
+
+
+def crawl_streaming(
+    pages_source,
+    out_root: str,
+    frontier: Frontier | None = None,
+    per_host_budget: int = 50,
+    max_epochs: int | None = None,
+    extract_concurrency=4,
+    batch_size: int = 256,
+    checkpoint_dir: str | None = None,
+    robots_rules: dict[str, list[str]] | None = None,
+    pages_source_factory=None,
+    plan_batch_size: int = 8192,
+    dedup_fetch: bool = True,
+):
+    """North-rule crawl driven by the SHARD-RESIDENT frontier (v3): seed
+    keys are OFFERED into the shards — seen-filter admission + per-host
+    priority-heap enqueue in one RPC — and politeness epochs are then
+    EMITTED incrementally from the heaps. No full-table epoch plan is ever
+    materialized, so an unbounded / cursor-fed seed stream (sources.cursor)
+    can interleave offers and emissions; offered-before-emitted rows order
+    identically to :func:`assign_crawl_epochs`
+    (tests/test_frontier.py::test_streaming_offer_emit_matches_batch_plan).
+
+    Resume: the checkpoint persists each shard's bloom + pending heaps +
+    epoch counter after every written epoch; a killed run restores and
+    re-emits the in-flight epoch deterministically (the partition writer
+    skips fully-written epochs)."""
+    frontier = frontier or Frontier(num_shards=8)
+    restored = frontier.restore(checkpoint_dir) if checkpoint_dir else 0
+    if robots_rules:
+        frontier.set_robots(robots_rules)
+    writer = PartitionedWriter(out_root)
+    source_factory = pages_source_factory or (lambda: pages_source)
+
+    from ..stages.dedup import _lazy_drop_counter, exact_dedup
+
+    import ray
+
+    keyed = pages_source.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+    keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+    if robots_rules:
+        keyed = keyed.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
+    keyed = keyed.select_columns(PLAN_COLUMNS)
+    snap_dup_counter = _lazy_drop_counter().remote() if dedup_fetch else None
+    keyed = exact_dedup(
+        keyed, "url_hash", "warc_ts", strategy="shuffle", key_id_dup_counter=snap_dup_counter
+    )
+    # offer: bloom admission + heap enqueue, one RPC per shard per batch;
+    # .sum drives the pipeline (tiny one-row-per-batch output)
+    keyed.map_batches(frontier.offer_stage(), batch_format="pyarrow", batch_size=plan_batch_size).sum(
+        "n_offered"
+    )
+
+    claim_stage, claim_shards = (None, [])
+    if snap_dup_counter is not None:
+        if ray.get(snap_dup_counter.value.remote())["dropped_ids"]:
+            claim_stage, claim_shards = _make_claim_filter()
+        ray.kill(snap_dup_counter)
+
+    conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
+
+    emitted = 0
+    while frontier.pending_total() > 0:
+        if max_epochs is not None and emitted >= max_epochs:
+            break
+        plan = frontier.emit_epoch(per_host_budget)
+        member, _ = _plan_member_arrays(plan)
+        epoch = int(plan.take(1)[0]["fetch_epoch"]) if len(member) else emitted
+        emitted += 1
+        part = f"epoch{epoch:05d}"
+        if writer.is_done(part):
+            if checkpoint_dir:
+                frontier.checkpoint(checkpoint_dir)
+            continue
+        member_ref = ray.put(member)
+
+        def keep_epoch(batch: pa.Table) -> pa.Table:
+            w = ray.get(member_ref)
+            hx = batch.column("url_hash").to_pylist()
+            if not hx:
+                return batch
+            h = _snapshot_key_u64(hx, _ts_us(batch.column("warc_ts")))
+            pos = np.searchsorted(w, h)
+            pos[pos >= len(w)] = max(0, len(w) - 1)
+            mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
+            return batch.filter(pa.array(mask))
+
+        epoch_ds = source_factory()
+        epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+        epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+        epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
+        if claim_stage is not None:
+            epoch_ds = epoch_ds.map_batches(claim_stage, batch_format="pyarrow", batch_size=batch_size)
+        epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+        epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
+        epoch_ds = epoch_ds.map_batches(
+            extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+        )
+        epoch_ds = epoch_ds.drop_columns(["media_links"]).add_column(
+            "fetch_epoch", lambda df: np.full(len(df), epoch, dtype="int64"), batch_format="pandas"
+        )
+        writer.write(part, epoch_ds)
+        if checkpoint_dir:
+            frontier.checkpoint(checkpoint_dir)
+
+    if claim_shards:
         for s in claim_shards:
             ray.kill(s)
     return writer, frontier.stats()

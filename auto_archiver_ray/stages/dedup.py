@@ -164,7 +164,14 @@ def add_text_sha(batch: pa.Table, text_col: str = "text", out_col: str = "text_s
     return batch.append_column(out_col, pa.array(hs, pa.string()))
 
 
-def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast", num_buckets: int = 512):
+def exact_dedup(
+    ds,
+    key_col: str,
+    id_col: str,
+    strategy: str = "broadcast",
+    num_buckets: int = 512,
+    key_id_dup_counter=None,
+):
     """Keep exactly one row per ``key_col`` value — the row with the minimum
     ``id_col`` (deterministic, retry-stable).
 
@@ -194,6 +201,16 @@ def exact_dedup(ds, key_col: str, id_col: str, strategy: str = "broadcast", num_
 
         def keep_min_per_key(group: pd.DataFrame) -> pd.DataFrame:
             g = group.sort_values([key_col, id_col], kind="mergesort")
+            if key_id_dup_counter is not None:
+                # exact (key, id) duplicates — the population a downstream
+                # first-wins filter must guard against (e.g. crawl's fetch
+                # path); counted here for free since the rows are already
+                # co-located and sorted
+                ndup = int(g.duplicated(subset=[key_col, id_col]).sum())
+                if ndup:
+                    import ray
+
+                    ray.get(key_id_dup_counter.add.remote(ndup))
             return g.drop_duplicates(subset=[key_col], keep="first").drop(columns=["__coarse"])
 
         return (

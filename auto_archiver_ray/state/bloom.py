@@ -50,39 +50,49 @@ class BloomFilter:
         return all(self.bits[p >> 3] & (1 << (p & 7)) for p in self._positions(digest))
 
     # ------------------------------------------------------------ vectorized
-    def _pos_matrix(self, digests: list[bytes]) -> np.ndarray:
+    @staticmethod
+    def _as_matrix(digests) -> np.ndarray:
+        """(n, digest_len) uint8 matrix from list[bytes] OR an ndarray
+        already in that shape (the zero-copy wire format — the driver sends
+        one array per shard instead of n Python bytes objects)."""
+        if isinstance(digests, np.ndarray):
+            return digests
+        n = len(digests)
+        return np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
+
+    def _pos_matrix(self, raw: np.ndarray) -> np.ndarray:
         """(n, k) probe positions from the digest bytes — no per-key Python
         hashing (the frontier hot path; ~10⁶+ keys/s per shard)."""
-        n = len(digests)
-        arr = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
-        u32 = arr[:, : 4 * self.num_hashes].copy().view("<u4").reshape(n, self.num_hashes)
+        n = raw.shape[0]
+        u32 = raw[:, : 4 * self.num_hashes].copy().view("<u4").reshape(n, self.num_hashes)
         return (u32 % np.uint32(self.num_bits)).astype(np.int64)
 
-    def contains_batch(self, digests: list[bytes]) -> np.ndarray:
-        if not digests:
+    def contains_batch(self, digests) -> np.ndarray:
+        raw = self._as_matrix(digests)
+        if raw.shape[0] == 0:
             return np.zeros(0, dtype=bool)
-        pos = self._pos_matrix(digests)
+        pos = self._pos_matrix(raw)
         byte_idx = pos >> 3
         masks = np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
         return ((self.bits[byte_idx] & masks) == masks).all(axis=1)
 
-    def add_batch(self, digests: list[bytes]) -> list[bool]:
+    def add_batch(self, digests) -> list[bool]:
         """Vectorized test-and-insert; returns is_new per digest. Within-batch
         repeats of the same digest: the first occurrence is new, the rest are
         duplicates (identical to sequential `add` calls)."""
-        n = len(digests)
+        raw = self._as_matrix(digests)
+        n = raw.shape[0]
         if n == 0:
             return []
-        raw = np.frombuffer(b"".join(digests), dtype=np.uint8).reshape(n, -1)
         _, first_idx, inverse = np.unique(raw, axis=0, return_index=True, return_inverse=True)
         # numpy 2.0.x returns the inverse shaped (n,1); flatten before fancy
         # indexing or new_uniq[inverse] silently broadcasts to (n,n)
         inverse = np.asarray(inverse).reshape(-1)
-        uniq_digests = [digests[i] for i in first_idx]
-        present = self.contains_batch(uniq_digests)
+        uniq = raw[first_idx]
+        present = self.contains_batch(uniq)
         new_uniq = ~present
         if new_uniq.any():
-            pos = self._pos_matrix([d for d, nw in zip(uniq_digests, new_uniq) if nw])
+            pos = self._pos_matrix(uniq[new_uniq])
             byte_idx = pos >> 3
             masks = np.left_shift(np.uint8(1), (pos & 7).astype(np.uint8))
             np.bitwise_or.at(self.bits, byte_idx.ravel(), masks.ravel())

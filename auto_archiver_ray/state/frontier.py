@@ -28,30 +28,48 @@ blocks keep streaming.
 
 from __future__ import annotations
 
-import hashlib
+import heapq
 import json
 import os
-from typing import Iterable
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import ray
 
 from .bloom import BloomFilter
 
 
-def _hash64(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "little")
+def shard_ids_for_hosts(hosts, num_shards: int) -> np.ndarray:
+    """Vectorized host → shard routing: keyed siphash via pd.util.hash_array
+    (one C call per batch — the per-row blake2b loop was the plan phase's
+    measured hot spot), deterministic across processes and retries."""
+    arr = np.asarray(hosts, dtype=object)
+    return (pd.util.hash_array(arr, categorize=False) % np.uint64(num_shards)).astype(np.int64)
 
 
 def shard_for_host(host: str, num_shards: int) -> int:
-    return _hash64(host) % num_shards
+    return int(shard_ids_for_hosts([host], num_shards)[0])
 
 
+def _digest_matrix(hex_hashes: list[str]) -> np.ndarray:
+    """(n, 32) uint8 digest matrix from hex strings — ONE fromhex call per
+    batch; per-shard slices ship as numpy arrays (zero-copy through the
+    object store) instead of n Python bytes objects."""
+    n = len(hex_hashes)
+    return np.frombuffer(bytes.fromhex("".join(hex_hashes)), dtype=np.uint8).reshape(n, -1)
+
+
+# NOTE on concurrency: shards stay max_concurrency=1 — admission is an
+# atomic bloom test-and-set, so concurrent check_and_add on one shard would
+# double-admit. Pipelining comes from (a) many concurrent plan map-tasks
+# fanning into the pool and (b) the vectorized digest/route path keeping
+# per-request service time ~microseconds/row; scale the POOL (num_shards),
+# not per-actor threads.
 @ray.remote(num_cpus=0.25)
 class FrontierShard:
-    """One frontier partition: Bloom seen-filter + per-host politeness and
-    robots state + counters, checkpointable."""
+    """One frontier partition: Bloom seen-filter + per-host politeness
+    (priority heaps) and robots state + counters, checkpointable."""
 
     def __init__(self, shard_id: int, capacity: int = 1_000_000, error_rate: float = 1e-4):
         self.shard_id = shard_id
@@ -60,9 +78,13 @@ class FrontierShard:
         self.host_counts: dict[str, int] = {}
         self.counters = {"offered": 0, "admitted": 0, "duplicate": 0}
         self.epoch = 0
+        # host → heap of (-priority, ts_us, url_canon, url_hash_hex):
+        # shard-resident ordering state for incremental epoch emission
+        self.pending: dict[str, list] = {}
 
-    def check_and_add(self, digests: list[bytes], hosts: list[str]) -> list[bool]:
-        """Membership-test-and-insert (vectorized); True = first sighting."""
+    def check_and_add(self, digests, hosts: list[str]) -> list[bool]:
+        """Membership-test-and-insert (vectorized); True = first sighting.
+        ``digests``: list[bytes] or an (n, 32) uint8 matrix."""
         is_new = self.bloom.add_batch(digests)
         n = len(is_new)
         admitted = sum(is_new)
@@ -73,6 +95,63 @@ class FrontierShard:
             if nw:
                 self.host_counts[h] = self.host_counts.get(h, 0) + 1
         return is_new
+
+    # ----------------------------------------------- streaming frontier v3
+    def offer(
+        self,
+        digests,
+        hosts: list[str],
+        url_canons: list[str],
+        url_hashes: list[str],
+        ts_us: np.ndarray,
+        priorities: np.ndarray,
+    ) -> int:
+        """Seen-filter + enqueue in one round trip: first-seen rows join
+        their host's pending priority heap. Returns the number admitted.
+        This is the unbounded-seed path (cursor feeds) — no full-table plan
+        pass needed before epochs can be emitted."""
+        is_new = self.check_and_add(digests, hosts)
+        admitted = 0
+        for i, nw in enumerate(is_new):
+            if nw:
+                heapq.heappush(
+                    self.pending.setdefault(hosts[i], []),
+                    (-int(priorities[i]), int(ts_us[i]), url_canons[i], url_hashes[i]),
+                )
+                admitted += 1
+        return admitted
+
+    def pending_count(self) -> int:
+        return sum(len(v) for v in self.pending.values())
+
+    def emit_epoch(self, budget: int) -> pa.Table:
+        """Pop up to ``budget`` rows per host in (priority desc, warc_ts,
+        url_canon) order — one politeness epoch's members for this shard's
+        hosts. Incremental: heaps keep the residue ordered for the next
+        epoch; hosts whose heap drains are dropped."""
+        hosts_o, canons_o, hashes_o, ts_o, pri_o = [], [], [], [], []
+        for h in list(self.pending):
+            heap = self.pending[h]
+            for _ in range(min(budget, len(heap))):
+                negp, ts, canon, uh = heapq.heappop(heap)
+                hosts_o.append(h)
+                canons_o.append(canon)
+                hashes_o.append(uh)
+                ts_o.append(ts)
+                pri_o.append(-negp)
+            if not heap:
+                del self.pending[h]
+        self.epoch += 1
+        return pa.table(
+            {
+                "host": pa.array(hosts_o, pa.string()),
+                "url_canon": pa.array(canons_o, pa.string()),
+                "url_hash": pa.array(hashes_o, pa.string()),
+                "warc_ts": pa.array(np.asarray(ts_o, dtype=np.int64)).cast(pa.timestamp("us")),
+                "priority": pa.array(pri_o, pa.int64()),
+                "fetch_epoch": pa.array([self.epoch - 1] * len(hosts_o), pa.int64()),
+            }
+        )
 
     def peek(self, digests: list[bytes]) -> list[bool]:
         return [d in self.bloom for d in digests]
@@ -111,6 +190,9 @@ class FrontierShard:
             "counters": self.counters,
             "host_counts": self.host_counts,
             "robots": self.robots,
+            # pending heaps are part of the crawl state: a resumed frontier
+            # must re-emit the same residue in the same order
+            "pending": self.pending,
         }
         blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
         tmp = path + ".tmp"
@@ -131,6 +213,11 @@ class FrontierShard:
         self.counters = meta["counters"]
         self.host_counts = meta["host_counts"]
         self.robots = meta["robots"]
+        # JSON round-trips heap entries as lists; heapq compares fine either
+        # way, but tuples keep parity with freshly-offered entries
+        self.pending = {
+            h: [tuple(e) for e in entries] for h, entries in meta.get("pending", {}).items()
+        }
         self.bloom = BloomFilter.from_bytes(bloom_b)
         return True
 
@@ -161,19 +248,84 @@ class Frontier:
             n = len(hosts)
             if n == 0:
                 return batch
-            shard_ids = np.asarray([shard_for_host(h, num_shards) for h in hosts])
+            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            digmat = _digest_matrix(hashes)
+            host_arr = np.asarray(hosts, dtype=object)
             keep = np.zeros(n, dtype=bool)
             futures, index_lists = [], []
             for s in np.unique(shard_ids):
                 idx = np.nonzero(shard_ids == s)[0]
-                digests = [bytes.fromhex(hashes[i]) for i in idx]
-                futures.append(shards[s].check_and_add.remote(digests, [hosts[i] for i in idx]))
+                futures.append(
+                    shards[int(s)].check_and_add.remote(digmat[idx], host_arr[idx].tolist())
+                )
                 index_lists.append(idx)
             for fut, idx in zip(ray.get(futures), index_lists):
                 keep[idx] = fut
             return batch.filter(pa.array(keep))
 
         return fn
+
+    def offer_stage(self, priority_col: str | None = None):
+        """map_batches callable: seen-filter + enqueue rows into the shards'
+        per-host priority heaps in ONE round trip per shard per batch
+        (requires host/url_canon/url_hash/warc_ts columns from
+        stages.validate). Emits a one-row count table per batch — consume
+        with ``.sum("n_offered")`` to drive the pipeline, then call
+        :meth:`emit_epoch` until :meth:`pending_total` hits zero."""
+        import pyarrow.compute as pc
+
+        shards = self.shards
+        num_shards = self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            hosts = batch.column("host").to_pylist()
+            n = len(hosts)
+            if n == 0:
+                return pa.table({"n_offered": pa.array([0], pa.int64())})
+            hashes = batch.column("url_hash").to_pylist()
+            canons = batch.column("url_canon").to_pylist()
+            ts_us = np.asarray(
+                pc.cast(pc.cast(batch.column("warc_ts"), pa.timestamp("us")), pa.int64()).to_pylist(),
+                dtype=np.int64,
+            )
+            pri = (
+                np.asarray(batch.column(priority_col).to_pylist(), dtype=np.int64)
+                if priority_col and priority_col in batch.column_names
+                else np.zeros(n, dtype=np.int64)
+            )
+            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            digmat = _digest_matrix(hashes)
+            host_arr = np.asarray(hosts, dtype=object)
+            canon_arr = np.asarray(canons, dtype=object)
+            hash_arr = np.asarray(hashes, dtype=object)
+            futs = []
+            for s in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == s)[0]
+                futs.append(
+                    shards[int(s)].offer.remote(
+                        digmat[idx],
+                        host_arr[idx].tolist(),
+                        canon_arr[idx].tolist(),
+                        hash_arr[idx].tolist(),
+                        ts_us[idx],
+                        pri[idx],
+                    )
+                )
+            total = sum(ray.get(futs))  # delivery barrier before the task ends
+            return pa.table({"n_offered": pa.array([total], pa.int64())})
+
+        return fn
+
+    def emit_epoch(self, budget: int):
+        """One politeness epoch as a Dataset: every shard pops ≤ budget rows
+        per host from its heaps (priority desc, warc_ts, url_canon). The
+        shard tables stream via from_arrow_refs — no driver materialization."""
+        import ray.data as rd
+
+        return rd.from_arrow_refs([s.emit_epoch.remote(budget) for s in self.shards])
+
+    def pending_total(self) -> int:
+        return sum(ray.get([s.pending_count.remote() for s in self.shards]))
 
     def set_robots(self, rules: dict[str, list[str]]) -> None:
         """Route each host's disallow-prefix list to the shard that owns the
@@ -203,7 +355,7 @@ class Frontier:
             if n == 0:
                 return batch
             paths = [urlparse(c).path for c in canons]
-            shard_ids = np.asarray([shard_for_host(h, num_shards) for h in hosts])
+            shard_ids = shard_ids_for_hosts(hosts, num_shards)
             keep = np.zeros(n, dtype=bool)
             futures, index_lists = [], []
             for s in np.unique(shard_ids):

@@ -266,3 +266,76 @@ def test_identical_snapshot_duplicates_fetched_once(tmp_path):
             "https://a.example.org/p/1",
             "https://a.example.org/p/2",
         ]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_streaming_matches_batch(tmp_path):
+    """Frontier v3 end to end: the heap-emission crawl produces the same
+    (url, fetch_epoch, text) rows as the batch-planned crawl."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_streaming
+
+    path = ensure_pages("/root/testdata/sf0.001")
+
+    f1 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="sbatch")
+    w1, _ = crawl(
+        rd.read_parquet(path), str(tmp_path / "batch"), frontier=f1,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    f1.shutdown()
+    f2 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="sstream")
+    w2, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "stream"), frontier=f2,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    f2.shutdown()
+    cols = ["url", "fetch_epoch", "text_extracted"]
+    a = w1.read_all().to_pandas()[cols].sort_values(["url"]).reset_index(drop=True)
+    b = w2.read_all().to_pandas()[cols].sort_values(["url"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["fetch_epoch"].max() > 0  # multiple politeness epochs exercised
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_streaming_resume_skips_written_epochs(tmp_path):
+    """Kill-after-epoch-k resume for the streaming path: a second run with
+    the restored checkpoint continues at k+1 and the union matches a clean
+    run."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_streaming
+
+    path = ensure_pages("/root/testdata/sf0.001")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    f1 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="srs_a")
+    w1, _ = crawl_streaming(
+        rd.read_parquet(path), out, frontier=f1, per_host_budget=5,
+        extract_concurrency=2, checkpoint_dir=ck, max_epochs=1,
+    )
+    f1.shutdown()
+    done_before = set(w1.completed())
+    assert done_before == {"epoch00000"}
+
+    f2 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="srs_b")
+    w2, _ = crawl_streaming(
+        rd.read_parquet(path), out, frontier=f2, per_host_budget=5,
+        extract_concurrency=2, checkpoint_dir=ck,
+    )
+    f2.shutdown()
+    resumed = w2.read_all().to_pandas()
+
+    f3 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="srs_c")
+    w3, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "clean"), frontier=f3,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    f3.shutdown()
+    clean = w3.read_all().to_pandas()
+    cols = ["url", "fetch_epoch"]
+    pd.testing.assert_frame_equal(
+        resumed[cols].sort_values(cols).reset_index(drop=True),
+        clean[cols].sort_values(cols).reset_index(drop=True),
+    )

@@ -200,3 +200,87 @@ Disallow:
     # end-to-end: parsed rules drive the frontier's robots filter
     rules = {"h.example.org": parse_robots_txt(txt)}
     assert rules["h.example.org"] == ["/tmp/", "/admin"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_offer_emit_matches_batch_plan():
+    """Frontier v3: shard-resident priority heaps + incremental epoch
+    emission must reproduce assign_crawl_epochs exactly when offered the
+    same rows — same per-host (warc_ts, url_canon) ordering, same epoch
+    membership under the budget."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.sources.pages import ensure_pages
+    from auto_archiver_ray.stages import validate
+    from auto_archiver_ray.state.frontier import Frontier, assign_crawl_epochs
+
+    path = ensure_pages("/root/testdata/sf0.001")
+    src = rd.read_parquet(path, columns=["url", "warc_ts"])
+    keyed = src.map_batches(validate.validate_batch, batch_format="pyarrow")
+    keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow")
+    keyed = keyed.select_columns(["host", "url_canon", "url_hash", "warc_ts"]).materialize()
+
+    budget = 7
+    want = (
+        assign_crawl_epochs(keyed, per_host_budget=budget)
+        .to_pandas()[["host", "url_canon", "fetch_epoch"]]
+        .sort_values(["host", "url_canon"])
+        .reset_index(drop=True)
+    )
+
+    f = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_stream")
+    keyed.map_batches(f.offer_stage(), batch_format="pyarrow").sum("n_offered")
+    frames = []
+    epoch = 0
+    while f.pending_total() > 0:
+        df = f.emit_epoch(budget).to_pandas()
+        assert (df["fetch_epoch"] == epoch).all()
+        # politeness invariant: ≤ budget rows per host per epoch
+        assert df.groupby("host").size().max() <= budget
+        frames.append(df)
+        epoch += 1
+    f.shutdown()
+    got = (
+        pd.concat(frames, ignore_index=True)[["host", "url_canon", "fetch_epoch"]]
+        .sort_values(["host", "url_canon"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_frontier_checkpoint_restores_pending(tmp_path):
+    """A killed streaming crawl resumes mid-queue: pending heaps round-trip
+    through the checkpoint and the next emit produces the same rows."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import Frontier
+
+    rows = pd.DataFrame(
+        {
+            "host": ["h1.org"] * 5 + ["h2.org"] * 3,
+            "url_canon": [f"https://h1.org/p/{i}" for i in range(5)]
+            + [f"https://h2.org/p/{i}" for i in range(3)],
+            "url_hash": [f"{i:02x}" * 32 for i in range(8)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 8) + pd.to_timedelta(range(8), unit="h"),
+        }
+    )
+    f1 = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_ckpt_a")
+    rd.from_pandas(rows).map_batches(f1.offer_stage(), batch_format="pyarrow").sum("n_offered")
+    first = f1.emit_epoch(budget=2).to_pandas()
+    f1.checkpoint(str(tmp_path))
+    expected_next = f1.emit_epoch(budget=2).to_pandas()
+    f1.shutdown()
+
+    f2 = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_ckpt_b")
+    assert f2.restore(str(tmp_path)) == 2
+    got_next = f2.emit_epoch(budget=2).to_pandas()
+    f2.shutdown()
+    cols = ["host", "url_canon", "fetch_epoch"]
+    pd.testing.assert_frame_equal(
+        got_next[cols].sort_values(cols).reset_index(drop=True),
+        expected_next[cols].sort_values(cols).reset_index(drop=True),
+    )
+    assert len(first) == 4  # 2 hosts × budget 2
