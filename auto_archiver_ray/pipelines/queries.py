@@ -1574,36 +1574,23 @@ def q_pages_wayback(sf_dir: str):
     Oracled: the stub artifact is a pure function of the canonical-URL hash,
     and this corpus's tracker-param forms are expressible as one
     regexp_replace, so the whole submit→poll→join round trip is checked."""
-    import ray
-
-    from ..stages.externaljob import (
-        JobServiceActor,
-        join_results_stage,
-        poll_until_done,
-        submit_stage,
-    )
+    from ..stages.externaljob import ShardedJobGateway
 
     rd = _rd()
     ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
-    svc = JobServiceActor.remote(polls_to_done=1)
+    # sharded gateway (VERDICT r2 #4): no driver-side job-id list, each
+    # shard advances its own pending set, artifacts joined by batched
+    # per-shard lookup
+    gw = ShardedJobGateway(num_shards=4, polls_to_done=1)
     submitted = ds.select_columns(["url", "url_hash"]).map_batches(
-        submit_stage(svc), batch_format="pyarrow", batch_size=1024
+        gw.submit_stage(), batch_format="pyarrow", batch_size=1024
     ).materialize()
-    # page through job ids (control-plane metadata) instead of take_all —
-    # at 100× the id list streams in bounded batches
-    job_ids = [
-        j
-        for b in submitted.select_columns(["job_id"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        )
-        for j in b.column("job_id").to_pylist()
-    ]
-    artifacts = poll_until_done(svc, job_ids, timeout_s=60)
-    out = submitted.map_batches(join_results_stage(artifacts), batch_format="pyarrow")
+    gw.poll_all_until_done(timeout_s=60)
+    out = submitted.map_batches(gw.join_results_stage(), batch_format="pyarrow")
     df = out.select_columns(["url", "external_url"]).to_pandas()
-    ray.kill(svc)
+    gw.shutdown()
     return df
 
 

@@ -30,19 +30,24 @@ import ray
 
 @ray.remote(num_cpus=0.1)
 class JobServiceActor:
-    """Gateway to one external service. Stub: a job finishes after
-    ``polls_to_done`` status checks and returns a deterministic artifact."""
+    """Gateway to one external service (or ONE SHARD of the sharded
+    gateway). Stub: a job finishes after ``polls_to_done`` status checks and
+    returns a deterministic artifact. Tracks its own pending set, so a
+    sharded pool never needs the driver to hold job ids."""
 
-    def __init__(self, polls_to_done: int = 2):
+    def __init__(self, polls_to_done: int = 2, shard_id: int = 0):
         self.jobs: dict[str, dict] = {}
         self.polls_to_done = polls_to_done
+        self.shard_id = shard_id
+        self.pending: set[str] = set()
         self.counters = {"submitted": 0, "polled": 0, "done": 0}
 
     def submit(self, keys: list[str]) -> list[str]:
         out = []
         for k in keys:
-            job_id = f"job-{len(self.jobs):08d}"
+            job_id = f"job-{self.shard_id:03d}-{len(self.jobs):08d}"
             self.jobs[job_id] = {"key": k, "polls": 0, "status": "processing"}
+            self.pending.add(job_id)
             self.counters["submitted"] += 1
             out.append(job_id)
         return out
@@ -58,8 +63,39 @@ class JobServiceActor:
                     rec["status"] = "done"
                     rec["artifact"] = self._execute(rec["key"])
                     self.counters["done"] += 1
+                    self.pending.discard(j)
             out.append({"job_id": j, "status": rec["status"], "artifact": rec.get("artifact", "")})
         return out
+
+    def advance_pending(self) -> int:
+        """Poll every pending job once (shard-internal — no id payload over
+        the wire); returns how many are still processing."""
+        finished = []
+        for j in self.pending:
+            rec = self.jobs[j]
+            self.counters["polled"] += 1
+            rec["polls"] += 1
+            if rec["polls"] >= self.polls_to_done:
+                rec["status"] = "done"
+                rec["artifact"] = self._execute(rec["key"])
+                self.counters["done"] += 1
+                finished.append(j)
+        for j in finished:
+            self.pending.discard(j)
+        return len(self.pending)
+
+    def expire_pending(self) -> int:
+        """Timeout path: still-processing jobs resolve to the empty artifact
+        (the reference leaves the item unenriched on timeout)."""
+        n = len(self.pending)
+        for j in self.pending:
+            self.jobs[j]["status"] = "timeout"
+            self.jobs[j]["artifact"] = ""
+        self.pending.clear()
+        return n
+
+    def artifacts_for(self, job_ids: list[str]) -> list[str]:
+        return [self.jobs.get(j, {}).get("artifact", "") for j in job_ids]
 
     def _execute(self, key: str) -> str:
         # STUB: deterministic artifact (e.g. an archive URL / transcript id).
@@ -70,6 +106,104 @@ class JobServiceActor:
 
     def stats(self) -> dict:
         return dict(self.counters)
+
+
+class ShardedJobGateway:
+    """K gateway actors, jobs hash-routed by work key — no single actor or
+    driver list ever holds the full outstanding-job set (VERDICT r2 #4: at
+    10⁸ submits the single gateway's id list and per-round poll payload are
+    actor/driver-bound). Each shard tracks and advances its OWN pending
+    set; the driver's poll loop only moves per-shard pending counts; the
+    result join asks the owning shard for artifacts in batched RPCs instead
+    of broadcasting one dict."""
+
+    def __init__(self, num_shards: int = 4, polls_to_done: int = 2):
+        self.num_shards = num_shards
+        self.shards = [
+            JobServiceActor.remote(polls_to_done=polls_to_done, shard_id=i)
+            for i in range(num_shards)
+        ]
+
+    @staticmethod
+    def _route(keys: list[str], num_shards: int) -> "np.ndarray":
+        import numpy as np
+        import pandas as pd
+
+        arr = np.asarray(keys, dtype=object)
+        return (pd.util.hash_array(arr, categorize=False) % np.uint64(num_shards)).astype(np.int64)
+
+    def submit_stage(self, key_col: str = "url_hash"):
+        """map_batches callable: rows with ``key_col`` → + ``job_id`` column
+        (job ids encode the owning shard)."""
+        import numpy as np
+
+        shards, num_shards = self.shards, self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(key_col).to_pylist()
+            n = len(keys)
+            if n == 0:
+                return batch.append_column("job_id", pa.array([], pa.string()))
+            sid = ShardedJobGateway._route(keys, num_shards)
+            job_ids: list[str | None] = [None] * n
+            futs, idxs = [], []
+            for s in np.unique(sid):
+                idx = np.nonzero(sid == s)[0]
+                futs.append(shards[int(s)].submit.remote([keys[i] for i in idx]))
+                idxs.append(idx)
+            for fut, idx in zip(ray.get(futs), idxs):
+                for i, j in zip(idx, fut):
+                    job_ids[i] = j
+            return batch.append_column("job_id", pa.array(job_ids, pa.string()))
+
+        return fn
+
+    def poll_all_until_done(self, timeout_s: float = 30.0, base_backoff_s: float = 0.05) -> int:
+        """Advance every shard's pending set concurrently until all drained
+        or timeout (then still-processing jobs expire to ""). Returns the
+        number of jobs that timed out."""
+        deadline = time.monotonic() + timeout_s
+        backoff = base_backoff_s
+        while time.monotonic() < deadline:
+            still = sum(ray.get([s.advance_pending.remote() for s in self.shards]))
+            if still == 0:
+                return 0
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 1.0)
+        return sum(ray.get([s.expire_pending.remote() for s in self.shards]))
+
+    def join_results_stage(self, out_col: str = "external_url"):
+        """map_batches callable: job_id → artifact via batched per-shard
+        lookups (the artifact map never materializes anywhere whole)."""
+        import numpy as np
+
+        shards = self.shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            jobs = batch.column("job_id").to_pylist()
+            n = len(jobs)
+            if n == 0:
+                return batch.append_column(out_col, pa.array([], pa.string()))
+            sid = np.asarray([int(j.split("-")[1]) for j in jobs], dtype=np.int64)
+            vals: list[str | None] = [None] * n
+            futs, idxs = [], []
+            for s in np.unique(sid):
+                idx = np.nonzero(sid == s)[0]
+                futs.append(shards[int(s)].artifacts_for.remote([jobs[i] for i in idx]))
+                idxs.append(idx)
+            for fut, idx in zip(ray.get(futs), idxs):
+                for i, v in zip(idx, fut):
+                    vals[i] = v
+            return batch.append_column(out_col, pa.array(vals, pa.string()))
+
+        return fn
+
+    def stats(self) -> list[dict]:
+        return ray.get([s.stats.remote() for s in self.shards])
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
 
 
 def submit_stage(service):

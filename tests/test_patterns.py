@@ -321,3 +321,56 @@ def test_numeric_tweak_hash_is_independent_family():
     s = tweaked % np.uint64(2)
     sub_even = s[b % np.uint64(2) == 0]
     assert 0.4 < sub_even.mean() < 0.6
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_job_gateway_hundred_thousand_jobs():
+    """VERDICT r2 #4: the sharded gateway handles 1e5 outstanding stub jobs
+    with no driver-side id list — submit routes by key hash, every shard
+    advances its own pending set, artifacts join back per shard."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.externaljob import ShardedJobGateway
+
+    n = 100_000
+    keys = [f"{i:064x}" for i in range(n)]
+    ds = rd.from_arrow(pa.table({"url_hash": pa.array(keys, pa.string())}))
+    gw = ShardedJobGateway(num_shards=8, polls_to_done=2)
+    submitted = ds.map_batches(gw.submit_stage(), batch_format="pyarrow", batch_size=8192).materialize()
+    assert submitted.count() == n
+    timed_out = gw.poll_all_until_done(timeout_s=60)
+    assert timed_out == 0
+    stats = gw.stats()
+    assert sum(s["submitted"] for s in stats) == n
+    assert sum(s["done"] for s in stats) == n
+    # every shard actually carried load (hash routing spread the keys)
+    assert min(s["submitted"] for s in stats) > n // 32
+
+    joined = submitted.map_batches(gw.join_results_stage(), batch_format="pyarrow")
+    out = joined.to_pandas()
+    gw.shutdown()
+    assert (out["external_url"].str.startswith("https://archive.example/")).all()
+    # artifact is the deterministic stub function of the key
+    import hashlib
+
+    row = out.iloc[12345]
+    want = f"https://archive.example/{hashlib.sha256(row['url_hash'].encode()).hexdigest()[:16]}"
+    assert row["external_url"] == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sharded_job_gateway_timeout_expires_to_empty():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.externaljob import ShardedJobGateway
+
+    ds = rd.from_arrow(pa.table({"url_hash": pa.array([f"{i:x}" for i in range(20)], pa.string())}))
+    gw = ShardedJobGateway(num_shards=2, polls_to_done=10_000)
+    submitted = ds.map_batches(gw.submit_stage(), batch_format="pyarrow").materialize()
+    timed_out = gw.poll_all_until_done(timeout_s=0.3)
+    assert timed_out == 20
+    out = submitted.map_batches(gw.join_results_stage(), batch_format="pyarrow").to_pandas()
+    gw.shutdown()
+    assert (out["external_url"] == "").all()
