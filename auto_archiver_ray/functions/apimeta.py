@@ -186,3 +186,96 @@ def instagram_scrape_item(item: dict, context: str | None = None, minimize: bool
     out["media"] = media
     out["media_id"] = media_id
     return out
+
+
+# ---------------------------------------------------------------------------
+# Instaloader-path normalization (the session extractor's portable half,
+# ref:modules/instagram_extractor/instagram_extractor.py:24-162)
+# ---------------------------------------------------------------------------
+
+# The INTENDED patterns (documented at the reference's regex101 links). The
+# reference composes them with "{valid_url}".format(valid_url=<compiled
+# pattern>) — str() of a compiled regex is "re.compile('...')", so as
+# written (ref::25-29) neither post_pattern nor profile_pattern can ever
+# match and download() always returns None. We restore the documented
+# semantics (compose from .pattern) and keep the routing contract: post is
+# tested BEFORE profile (ref::24 "NB: post regex should be tested before
+# profile").
+INSTAGRAM_VALID_URL = r"(?:(?:http|https):\/\/)?(?:www.)?(?:instagram.com|instagr.am|instagr.com)\/"
+_IG_POST_RE = None
+_IG_PROFILE_RE = None
+
+
+def _ig_res():
+    global _IG_POST_RE, _IG_PROFILE_RE
+    if _IG_POST_RE is None:
+        import re
+
+        _IG_POST_RE = re.compile(rf"{INSTAGRAM_VALID_URL}(?:p|reel)\/(\w+)")
+        _IG_PROFILE_RE = re.compile(rf"{INSTAGRAM_VALID_URL}(\w+)")
+    return _IG_POST_RE, _IG_PROFILE_RE
+
+
+def instagram_url_kind(url: str) -> tuple[str, str]:
+    """('post', shortcode) | ('profile', username) | ('', '') — the
+    download() routing of ref::56-73 with post tested first."""
+    post_re, profile_re = _ig_res()
+    if m := post_re.findall(url):
+        return "post", m[0]
+    if m := profile_re.findall(url):
+        return "profile", m[0]
+    return "", ""
+
+
+def instaloader_profile_targets(username: str) -> dict[str, str]:
+    """The per-category download-target naming contract of
+    download_profile (ref::95-137) — posts, tagged, igtv, stories,
+    highlights."""
+    return {
+        "post": f"profile_post_{username}",
+        "tagged": f"tagged_post_{username}",
+        "igtv": f"igtv_post_{username}",
+        "story": f"story_item_{username}",
+        "highlight": f"highlight_item_{username}",
+    }
+
+
+def instaloader_media_plan(filenames: list[str]) -> list[str]:
+    """process_downloads' file walk (ref::147-158): drop ``*.txt``
+    sidecars, REQUIRE more than one remaining file (the reference's own
+    ``assert len(all_media) > 1`` — a post that downloaded a single media
+    file fails with "No uploaded media found"; quirk kept verbatim), sort
+    by filename DESCENDING. Returns [] on the failure path."""
+    media = [f for f in filenames if f[-4:] != ".txt"]
+    if len(media) <= 1:
+        return []
+    return sorted(media, reverse=True)
+
+
+def instaloader_metadata(
+    url: str, title: str, node: dict, date, filenames: list[str]
+) -> dict | None:
+    """process_downloads' Metadata assembly (ref::143-160): title, content =
+    str(node dict), timestamp, media in the plan order, success status
+    'instagram: success'. None on the no-media failure path (the reference
+    logs and returns None)."""
+    media = instaloader_media_plan(filenames)
+    if not media:
+        return None
+    return {
+        "url": url,
+        "title": title,
+        "content": str(node),
+        "timestamp": date,
+        "media": media,
+        "status": "instagram: success",
+    }
+
+
+def instaloader_post_title(url: str, post_title: str | None, owner: str | None) -> str:
+    """Post path title = post.title (download_post, ref::82-87); profile
+    path title = '@username' (download_profile, ref::141)."""
+    kind, token = instagram_url_kind(url)
+    if kind == "profile":
+        return f"@{token}"
+    return post_title or ""

