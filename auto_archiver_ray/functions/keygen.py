@@ -30,6 +30,33 @@ def _derived24(*parts: str) -> str:
     return h[:24]
 
 
+def hierarchical_path(url: str, max_segment: int = 64, max_depth: int = 8) -> str:
+    """GDrive-style folder-tree path: host + url path segments, each
+    slugified, nested. This is the portable half of GDriveStorage's keying
+    (ref:modules/gdrive_storage/gdrive_storage.py:62-95: the media key is
+    split on the path separator and each segment becomes a Drive folder
+    resolved-or-created under its parent; the Drive API calls themselves
+    are not portable). Query/fragment excluded; depth and per-segment
+    length capped so hostile URLs can't mint unbounded trees."""
+    from urllib.parse import urlparse
+
+    p = urlparse(url)
+    segs = [p.netloc] + [s for s in p.path.split("/") if s]
+    segs = [slugify(s)[:max_segment] for s in segs[:max_depth]]
+    segs = [s for s in segs if s]
+    return posixpath.join(*segs) if segs else ""
+
+
+def folder_walk(key: str) -> tuple[list[str], str]:
+    """(folder segments in create order, filename) — the upload walk of
+    ref:gdrive_storage.py:83-95 (each segment resolved-or-created under its
+    parent, file stored in the deepest folder)."""
+    parts = [p for p in key.split("/") if p]
+    if not parts:
+        return [], ""
+    return parts[:-1], parts[-1]
+
+
 def storage_key(
     url: str,
     media_id: str,
@@ -42,8 +69,10 @@ def storage_key(
     """Build the storage key ``<folder>/<path>/<filename><ext>``.
 
     path: flat → "", url → slugify(url)[:70], random → deterministic 24-hex
-    derived from the url. filename: static → content_hash[:24], random →
-    deterministic 24-hex derived from (url, media_id).
+    derived from the url, folders → GDrive-style nested folder tree from
+    the url's host + path segments (:func:`hierarchical_path`). filename:
+    static → content_hash[:24], random → deterministic 24-hex derived from
+    (url, media_id).
     """
     if path_generator == "flat":
         path = ""
@@ -51,6 +80,8 @@ def storage_key(
         path = slugify(url)[:70]
     elif path_generator == "random":
         path = _derived24("path", url)
+    elif path_generator == "folders":
+        path = hierarchical_path(url)
     else:
         raise ValueError(f"Invalid path_generator: {path_generator}")
 

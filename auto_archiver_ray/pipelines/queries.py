@@ -1639,6 +1639,43 @@ def q_media_store(sf_dir: str):
     return manifest[["storage_key", "n_bytes"]].sort_values("storage_key").reset_index(drop=True)
 
 
+def q_media_store_tree(sf_dir: str):
+    """q_media_store under the GDrive-style HIERARCHICAL key policy
+    (path_generator="folders"): nested folder tree from the media url's
+    host + path segments — the portable half of GDriveStorage's keying
+    (ref:modules/gdrive_storage/gdrive_storage.py:62-95). Behavior-pin
+    golden oracle."""
+    import hashlib
+    import tempfile
+
+    from ..pipelines.archive import archive_pages
+    from ..stages.media import add_storage_keys, explode_media
+    from ..stages.storage import store_media
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    m = m.map_batches(
+        add_storage_keys,
+        batch_format="pyarrow",
+        batch_size=4096,
+        fn_kwargs={"path_generator": "folders"},
+    )
+
+    def fake_payloads(batch: pa.Table) -> pa.Table:
+        urls = batch.column("media_url_best").to_pylist()
+        return batch.append_column(
+            "payload",
+            pa.array([hashlib.sha256(u.encode()).digest() for u in urls], pa.binary()),
+        )
+
+    m = m.map_batches(fake_payloads, batch_format="pyarrow", batch_size=4096)
+    root = tempfile.mkdtemp(prefix="aar_media_tree_")
+    manifest = store_media(m, root).to_pandas()
+    return manifest[["storage_key", "n_bytes"]].sort_values("storage_key").reset_index(drop=True)
+
+
 def q_timestamping(sf_dir: str):
     """Evidentiary hash-chain manifest per host (the timestamping enricher's
     pure data plane, ref:modules/timestamping_enricher/timestamping_enricher.py:51-104):
@@ -1802,6 +1839,7 @@ QUERIES = {
     "q_events_sessions": q_events_sessions,
     "q_media_features": q_media_features,
     "q_media_store": q_media_store,
+    "q_media_store_tree": q_media_store_tree,
     "q_pages_wayback": q_pages_wayback,
     "q_crawl_epochs": q_crawl_epochs,
     "q_wacz_media": q_wacz_media,
@@ -1976,6 +2014,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_media_store": (
             f"SELECT storage_key, n_bytes FROM read_parquet('{g}/q_media_store.parquet') "
+            "ORDER BY storage_key"
+        ),
+        "q_media_store_tree": (
+            f"SELECT storage_key, n_bytes FROM read_parquet('{g}/q_media_store_tree.parquet') "
             "ORDER BY storage_key"
         ),
     }

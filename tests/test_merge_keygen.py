@@ -132,3 +132,26 @@ def test_is_empty_parity():
     assert not mergekit.is_empty({**empty, "status": "x: success"})
     assert not mergekit.is_empty({**empty, "media": [{"m": 1}]})
     assert not mergekit.is_empty({**empty, "metadata": {**empty["metadata"], "title": "t"}})
+
+
+def test_hierarchical_path_policy():
+    """GDrive-style folder-tree keying (ref:gdrive_storage.py:62-95 minus
+    the Drive API): host + slugified path segments, nested; caps hold."""
+    from auto_archiver_ray.functions.keygen import folder_walk, hierarchical_path, storage_key
+
+    p = hierarchical_path("https://media.example.org/2024/May/photo%20set/img1.jpg?w=9")
+    assert p == "media-example-org/2024/may/photo-20set/img1-jpg"
+    # query excluded, segments slugified individually, nesting preserved
+    key = storage_key(
+        "https://media.example.org/a/b/c.jpg", "m1", ".jpg", "ab" * 32,
+        path_generator="folders", filename_generator="static",
+    )
+    assert key == "media-example-org/a/b/c-jpg/" + ("ab" * 32)[:24] + ".jpg"
+    folders, fname = folder_walk(key)
+    assert folders == ["media-example-org", "a", "b", "c-jpg"]
+    assert fname == ("ab" * 32)[:24] + ".jpg"
+    # depth cap: hostile deep paths cannot mint unbounded trees
+    deep = hierarchical_path("https://h.org/" + "/".join(str(i) for i in range(50)))
+    assert len(deep.split("/")) == 8
+    # determinism
+    assert p == hierarchical_path("https://media.example.org/2024/May/photo%20set/img1.jpg?w=9")
