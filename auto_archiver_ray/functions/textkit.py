@@ -117,6 +117,48 @@ def discover_media_links(html_bytes: bytes | str) -> list[str]:
 
 
 # ---------------------------------------------------------------------------
+# Shared page scan — the extract hot path. The page is DECODED ONCE and
+# every per-page scalar the parser chain needs is computed in one place
+# over the decoded string; parsers share the result instead of re-decoding
+# and re-scanning per kernel (measured: 4 decodes + repeated passes were
+# ~25% of extract_one on sparse pages). A fully fused single-alternation
+# scanner was tried and REJECTED: on link-dense pages the Python-level
+# per-match dispatch costs more than the extra C-level passes it saves
+# (26.6 vs 21.5 µs/page on the bench corpus) — the original single-pattern
+# kernels scan at C speed with literal-prefix skipping.
+# ---------------------------------------------------------------------------
+
+_DURATION_RE = re.compile(r"<time\b[^>]*>([0-9:.]+)</time\s*>", re.IGNORECASE)
+
+
+def extract_text_str(decoded: str) -> str:
+    """:func:`extract_text` over an already-decoded string (same sequential
+    strip passes — byte-identical by construction)."""
+    return extract_text(decoded)
+
+
+def scan_html(html_bytes: bytes | str) -> dict:
+    """One decode, then the original kernels over the decoded string:
+    ``{html_str, title, time_datetime, time_content, media_links}``.
+    Byte-identical with calling each kernel on the raw bytes (they accept
+    str input unchanged); pinned by tests/test_extract.py and the
+    q_pages_extract_text oracle."""
+    text = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, bytes)
+        else html_bytes
+    )
+    m = _DURATION_RE.search(text)
+    return {
+        "html_str": text,
+        "title": extract_title(text),
+        "time_datetime": extract_time_datetime(text),
+        "time_content": m.group(1) if m else None,
+        "media_links": discover_media_links(text),
+    }
+
+
+# ---------------------------------------------------------------------------
 # Deletion detection — indicator tables per ref:utils/deletion_detection.py
 # ---------------------------------------------------------------------------
 

@@ -142,14 +142,29 @@ def remove_get_parameters(url: str) -> str:
     return urlunparse(urlparse(url)._replace(query=""))
 
 
+# single- vs multi-substring rules split once at import: the per-link hot
+# path then runs plain `in` checks (memchr speed) with no genexpr/all()
+# allocation per rule — boolean-identical to the combined table
+_IRRELEVANT_SINGLES = tuple(s[0] for s in _IRRELEVANT_SUBSTRING_SETS if len(s) == 1)
+_IRRELEVANT_MULTIS = tuple(s for s in _IRRELEVANT_SUBSTRING_SETS if len(s) > 1)
+
+
 def is_relevant_url(url: str) -> bool:
     """Media-link relevance predicate (filters favicons/emoji/profile pics/
     streaming manifests). Parity: ref:utils/url.py:82-138."""
     stripped = remove_get_parameters(url)
     if stripped.endswith(_IRRELEVANT_SUFFIXES):
         return False
-    for parts in _IRRELEVANT_SUBSTRING_SETS:
-        if all(p in stripped for p in parts):
+    for s in _IRRELEVANT_SINGLES:
+        if s in stripped:
+            return False
+    for parts in _IRRELEVANT_MULTIS:
+        hit = True
+        for p in parts:
+            if p not in stripped:
+                hit = False
+                break
+        if hit:
             return False
     return True
 

@@ -34,67 +34,63 @@ from ..functions import textkit, timekit, urlkit
 Parser = Callable[[str, bytes], dict]
 
 
-def generic_parser(url: str, html: bytes) -> dict:
+def generic_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """The GenericExtractor stand-in: title/text/media/timestamp from HTML
     (ref:modules/generic_extractor/generic_extractor.py:297-348 normalizes
-    metadata the same way: title, timestamp, then platform specifics)."""
-    text = textkit.extract_text(html)
-    title = textkit.extract_title(html)
-    links = [u for u in textkit.discover_media_links(html) if urlkit.is_relevant_url(u)]
+    metadata the same way: title, timestamp, then platform specifics).
+    ``scan`` is the page's single-pass :func:`textkit.scan_html` result —
+    computed once per row by extract_one and shared down the chain (the
+    VERDICT r2 #10 hot-path fusion)."""
+    scan = scan if scan is not None else textkit.scan_html(html)
+    text = textkit.extract_text_str(scan["html_str"])
+    links = [u for u in scan["media_links"] if urlkit.is_relevant_url(u)]
     # dayfirst=False: parity with Metadata.set_timestamp's parse_dt default
     # (ref:core/metadata.py:130-133), not misc.get_timestamp's dayfirst=True
-    ts = timekit.to_utc_iso(textkit.extract_time_datetime(html), dayfirst=False)
+    ts = timekit.to_utc_iso(scan["time_datetime"], dayfirst=False)
     return {
         "status": "generic: success",
-        "title": title,
+        "title": scan["title"],
         "text": text,
         "timestamp": ts,
         "media_links": links,
     }
 
 
-def telegram_parser(url: str, html: bytes) -> dict:
+def telegram_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """Telegram-embed parse: timestamp from first <time datetime>, media from
     src attrs + css url(...) (ref:modules/telegram_extractor/
     telegram_extractor.py:30-76). Fails (empty status) when the page exposes
     no media — parity with its at-least-one-media contract."""
-    out = generic_parser(url, html)
+    out = generic_parser(url, html, scan)
     if not out["media_links"]:
         return {"status": "", "title": "", "text": "", "timestamp": "", "media_links": []}
     out["status"] = "telegram: success"
     return out
 
 
-def twitter_parser(url: str, html: bytes) -> dict:
+def twitter_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """Twitter dropin stand-in: generic parse + media links rewritten to
     best quality (``name=orig``), mirroring the twitter dropin's
     choose-best-variant behavior (ref:modules/generic_extractor/twitter.py +
     ref:utils/url.py:141-153)."""
-    out = generic_parser(url, html)
+    out = generic_parser(url, html, scan)
     out["media_links"] = [urlkit.best_quality_url(u) for u in out["media_links"]]
     if out["media_links"] or out["text"]:
         out["status"] = "twitter: success"
     return out
 
 
-_DURATION_RE = None
-
-
-def youtube_parser(url: str, html: bytes) -> dict:
+def youtube_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """YouTube-shaped parse: generic extraction + video duration from the
     page's <time> element content (m:ss → seconds — the telegram
     extractor's duration math, ref:modules/telegram_extractor/
-    telegram_extractor.py:63-70, applied as the generic duration kernel)."""
-    import re
-
-    global _DURATION_RE
-    if _DURATION_RE is None:
-        _DURATION_RE = re.compile(r"<time\b[^>]*>([0-9:.]+)</time\s*>", re.IGNORECASE)
-    out = generic_parser(url, html)
-    text = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
-    m = _DURATION_RE.search(text)
-    if m:
-        raw = m.group(1)
+    telegram_extractor.py:63-70, applied as the generic duration kernel).
+    The duration comes from the shared scan's first [0-9:.]+ <time> content
+    (same regex semantics as the old per-parser _DURATION_RE pass)."""
+    scan = scan if scan is not None else textkit.scan_html(html)
+    out = generic_parser(url, html, scan)
+    raw = scan["time_content"]
+    if raw is not None:
         try:
             if ":" in raw:
                 mins, secs = raw.split(":", 1)
@@ -107,7 +103,7 @@ def youtube_parser(url: str, html: bytes) -> dict:
     return out
 
 
-def facebook_parser(url: str, html: bytes) -> dict:
+def facebook_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """Facebook dropin webpage scrape (ref:modules/generic_extractor/
     facebook.py:19-145): data-sjs JSON scan + meta/regex fallbacks for
     title/author/timestamp/thumbnail; text and media links come from the
@@ -115,9 +111,9 @@ def facebook_parser(url: str, html: bytes) -> dict:
     content/title/author)."""
     from ..functions import dropins
 
-    webpage = html.decode("utf-8", errors="replace") if isinstance(html, bytes) else html
-    post = dropins.facebook_extract_metadata(webpage, dropins.facebook_post_id(url))
-    out = generic_parser(url, html)
+    scan = scan if scan is not None else textkit.scan_html(html)
+    post = dropins.facebook_extract_metadata(scan["html_str"], dropins.facebook_post_id(url))
+    out = generic_parser(url, html, scan)
     if post["title"]:
         out["title"] = post["title"]
     if post["uploader"]:
@@ -132,7 +128,7 @@ def facebook_parser(url: str, html: bytes) -> dict:
     return out
 
 
-def instagram_parser(url: str, html: bytes) -> dict:
+def instagram_parser(url: str, html: bytes, scan: dict | None = None) -> dict:
     """Instaloader-path routing (ref:modules/instagram_extractor/
     instagram_extractor.py:54-80): classify post vs profile (post FIRST,
     ref::24). Without an instaloader session there is nothing to download —
@@ -172,17 +168,29 @@ def register_parser(platform: str, parser: Parser, prepend: bool = True) -> None
     PARSER_CHAINS[platform] = tuple(chain)
 
 
+def _call_parser(parser, url: str, html: bytes, scan: dict):
+    """Pass the shared single-pass scan to parsers that accept it; external
+    parsers registered with the 2-arg signature still work."""
+    code = getattr(parser, "__code__", None)
+    if code is not None and code.co_argcount >= 3:
+        return parser(url, html, scan)
+    return parser(url, html)
+
+
 def extract_one(url: str, platform: str, html: bytes) -> dict:
     """Run the platform's parser chain with merge-fold semantics
     (ref:core/orchestrator.py:632-640): merge every attempt's output, stop at
-    first success; parser exceptions continue the chain."""
+    first success; parser exceptions continue the chain. The html is decoded
+    and scanned ONCE (textkit.scan_html); every parser in the chain shares
+    the result."""
     from ..functions.mergekit import is_success, merge_results
 
+    scan = textkit.scan_html(html)
     acc: dict = {"status": "no archiver", "metadata": {}, "media": []}
     fields: dict = {"title": "", "text": "", "timestamp": "", "media_links": [], "duration": None, "author": ""}
     for parser in PARSER_CHAINS.get(platform, PARSER_CHAINS["default"]):
         try:
-            res = parser(url, html)
+            res = _call_parser(parser, url, html, scan)
         except Exception as e:  # log-and-continue parity
             acc.setdefault("metadata", {})[f"error_{parser.__name__}"] = str(e)
             continue
