@@ -984,6 +984,88 @@ FROM g GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def _bench_ids(ids: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in eval set: every 50th doc."""
+    return ids % 50 == 0
+
+
+def q_doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (training-data hygiene): corpus docs
+    sharing ≥3 distinct word 8-grams with the stand-in eval set (doc_id %
+    50 == 0). Broadcast bench shingles + one vectorized map pass — no
+    shuffle. True SQL oracle (shingle self-join in DuckDB)."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = textstats.decontaminate_flags(ds, _bench_ids, n=8, min_overlap=3).to_pandas()
+    out = out.reindex(columns=["doc_id", "n_overlap"]).astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DECONTAMINATE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 6),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4]||' '||ws[i+5]||' '||ws[i+6]||' '||ws[i+7])
+    END AS shingles
+  FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+), bench AS (SELECT DISTINCT s FROM e WHERE doc_id % 50 = 0)
+SELECT e.doc_id, CAST(COUNT(DISTINCT e.s) AS BIGINT) AS n_overlap
+FROM e JOIN bench USING (s)
+WHERE e.doc_id % 50 <> 0
+GROUP BY e.doc_id HAVING COUNT(DISTINCT e.s) >= 3
+ORDER BY e.doc_id
+"""
+
+
+def q_doc_boilerplate(sf_dir: str):
+    """Boilerplate n-gram mining: top-20 word 5-grams by DOCUMENT frequency
+    (df ≥ 2) — the repeated-template detector a cleaning pipeline runs
+    before training. Per-batch distinct-per-doc partial counts →
+    grouped_topk (gram cardinality grows with the corpus; filter-after-topk
+    is exact because df ≥ 2 is downward-closed under the df-desc sort)."""
+    from ..stages.agg import grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partials = ds.map_batches(
+        textstats.ngram_doc_frequency_partials, batch_format="pyarrow", batch_size=2048
+    )
+    top = grouped_topk(
+        partials, ["gram"], {"df": "sum"}, k=20, sort_by=["df", "gram"], ascending=[False, True]
+    )
+    top = top[top["df"] >= 2].reset_index(drop=True)
+    top["df"] = top["df"].astype("int64")
+    return top[["gram", "df"]]
+
+
+SQL_DOC_BOILERPLATE = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 5 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 3),
+              i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]||' '||ws[i+3]||' '||ws[i+4])
+    END AS shingles
+  FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS gram FROM sh
+)
+SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+FROM e GROUP BY gram HAVING COUNT(*) >= 2
+ORDER BY df DESC, gram LIMIT 20
+"""
+
+
 def q_doc_fingerprint(sf_dir: str):
     """Winnowing fingerprints: docs grouped by rolled-up fingerprint key.
     Key cardinality grows with the corpus, so the rollup is partial counts
@@ -1849,6 +1931,8 @@ QUERIES = {
     "q_doc_quality": q_doc_quality,
     "q_doc_langid": q_doc_langid,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_decontaminate": q_doc_decontaminate,
+    "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -1976,6 +2060,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_knn": SQL_KNN,
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
+        "q_doc_boilerplate": SQL_DOC_BOILERPLATE,
         "q_doc_minhash_pairs": (
             f"SELECT id_a, id_b, est_jaccard FROM read_parquet('{g}/q_doc_minhash_pairs.parquet') "
             "ORDER BY id_a, id_b"

@@ -53,3 +53,102 @@ def fingerprint_stage(batch: pa.Table, text_col: str = "text", k: int = 5, windo
     return batch.append_column(
         "fingerprint", pa.array([[int(x) for x in fp] for fp in fps], pa.list_(pa.uint64()))
     ).append_column("fingerprint_key", pa.array(roll, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Training-data hygiene operators (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _word_ngram_strings(text: str, n: int) -> set[str]:
+    """Distinct lowercase word n-grams as STRINGS, with the same small-doc
+    fallback as textkit.word_shingles (all words joined when 0 < len < n)."""
+    words = (text or "").lower().split()
+    if not words:
+        return set()
+    if len(words) < n:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+def decontaminate_flags(ds, bench_fn, id_col: str = "doc_id", text_col: str = "text", n: int = 8, min_overlap: int = 3):
+    """Benchmark decontamination: flag corpus docs sharing ≥ ``min_overlap``
+    distinct word ``n``-grams with ANY benchmark document — the standard
+    eval-set leakage check run before training. Returns a Dataset of
+    (doc_id, n_overlap), benchmark rows excluded.
+
+    Scale shape: the benchmark side is SMALL (an eval set), so its distinct
+    shingle hashes broadcast once via ray.put as a sorted uint64 array
+    (zero-copy per task); the corpus streams through one map_batches doing
+    a vectorized sorted-membership intersection per doc — no shuffle at
+    all. ``bench_fn`` is a vectorized predicate (int64 id array → bool
+    mask) selecting the benchmark rows (e.g. ``lambda ids: ids % 50 == 0``
+    — a picklable top-level function in production)."""
+    import numpy as np
+    import ray
+
+    from ..functions import textkit
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(bench_fn(ids)))
+
+    def corpus_filter(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        return batch.filter(pa.array(~bench_fn(ids)))
+
+    parts = [
+        np.unique(
+            np.concatenate(
+                [textkit.word_shingles(t or "", n) for t in b.column(text_col).to_pylist()]
+                or [np.empty(0, dtype=np.uint64)]
+            )
+        )
+        for b in ds.map_batches(bench_filter, batch_format="pyarrow")
+        .select_columns([text_col])
+        .iter_batches(batch_size=4096, batch_format="pyarrow")
+    ]
+    bench_hashes = np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    ref = ray.put(bench_hashes)
+
+    def overlap_batch(batch: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id, out_n = [], []
+        for i, t in zip(ids, texts):
+            sh = np.unique(textkit.word_shingles(t or "", n))
+            if not sh.size or not bh.size:
+                continue
+            pos = np.searchsorted(bh, sh)
+            pos[pos >= len(bh)] = len(bh) - 1
+            cnt = int((bh[pos] == sh).sum())
+            if cnt >= min_overlap:
+                out_id.append(i)
+                out_n.append(cnt)
+        return pa.table(
+            {id_col: pa.array(out_id, pa.int64()), "n_overlap": pa.array(out_n, pa.int64())}
+        )
+
+    corpus = ds.map_batches(corpus_filter, batch_format="pyarrow")
+    return corpus.map_batches(overlap_batch, batch_format="pyarrow", batch_size=4096)
+
+
+def ngram_doc_frequency_partials(batch: pa.Table, text_col: str = "text", n: int = 5) -> pa.Table:
+    """Per-batch partial document-frequency counts over distinct word
+    n-gram STRINGS: one (gram, df) row per gram per batch. A doc lives
+    wholly in one batch row, so the per-doc distinct-set dedup is exact;
+    finish with grouped_topk / bucketed_group_agg (gram cardinality grows
+    with the corpus — never a driver reduce)."""
+    from collections import Counter
+
+    texts = batch.column(text_col).to_pylist()
+    c: Counter = Counter()
+    for t in texts:
+        c.update(_word_ngram_strings(t, n))
+    return pa.table(
+        {
+            "gram": pa.array(list(c.keys()), pa.string()),
+            "df": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
+        }
+    )

@@ -131,3 +131,58 @@ def test_checked_in_goldens_are_fresh_sf001():
         pd.testing.assert_frame_equal(stored, recompute(), check_dtype=False), name
     hll = pd.read_parquet(f"{GOLDEN}/q_events_distinct_users_approx.parquet")
     assert int(hll["approx_distinct_users"][0]) == gs.hll_estimate_serial(ev["user_id"].tolist())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_decontaminate_flags_planted_contamination():
+    """A corpus doc sharing a long span with a benchmark doc is flagged
+    with the exact distinct-8-gram overlap count; clean docs are not."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.textstats import decontaminate_flags
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                bench_text,                               # benchmark (id % 50 == 0)
+                "PAD " + bench_text + " tail words here", # contaminated: spans shared
+                "totally different words with no overlap at all whatsoever",
+            ],
+        }
+    )
+    out = (
+        decontaminate_flags(
+            rd.from_pandas(rows), lambda ids: ids % 50 == 0, n=8, min_overlap=1
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [1]
+    # bench has 3 distinct 8-grams (10 words); doc 1 contains all 3
+    assert int(out["n_overlap"][0]) == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_doc_frequency_counts_docs_not_occurrences():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.agg import grouped_topk
+    from auto_archiver_ray.stages.textstats import ngram_doc_frequency_partials
+
+    rep = "one two three four five"
+    rows = pd.DataFrame(
+        {
+            "doc_id": range(4),
+            # the 5-gram appears TWICE in doc 0 but df counts documents
+            "text": [rep + " " + rep, rep, "unrelated words entirely here now", rep],
+        }
+    )
+    partials = rd.from_pandas(rows).map_batches(
+        ngram_doc_frequency_partials, batch_format="pyarrow"
+    )
+    top = grouped_topk(partials, ["gram"], {"df": "sum"}, k=5, sort_by=["df", "gram"], ascending=[False, True])
+    assert top.iloc[0]["gram"] == rep and int(top.iloc[0]["df"]) == 3
