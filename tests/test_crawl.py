@@ -339,3 +339,65 @@ def test_crawl_streaming_resume_skips_written_epochs(tmp_path):
         resumed[cols].sort_values(cols).reset_index(drop=True),
         clean[cols].sort_values(cols).reset_index(drop=True),
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cursor_fed_streaming_frontier_interleaves_offers_and_epochs():
+    """The unbounded-seed story end to end: cursor epochs from a stub
+    service are OFFERED into the frontier between politeness-epoch
+    emissions; every admitted url is emitted exactly once, per-epoch
+    per-host budgets hold, and duplicate seeds across cursor pages are
+    dropped by the shard bloom."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.sources.cursor import cursor_epochs, make_stub_service
+    from auto_archiver_ray.stages import validate
+
+    # 30 items over two hosts; items 20..24 duplicate items 0..4 (replayed
+    # page tail — the at-least-once case the seen-filter must absorb)
+    items = [
+        {"id": i, "source_url": f"https://h{i % 2}.example.org/p/{i}", "visibility": "visible",
+         "status": "ready", "metadata": {}}
+        for i in range(20)
+    ] + [
+        {"id": 100 + i, "source_url": f"https://h{i % 2}.example.org/p/{i}", "visibility": "visible",
+         "status": "ready", "metadata": {}}
+        for i in range(5)
+    ]
+    fetch_page, _, _ = make_stub_service(items, page_size=4)
+
+    f = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="cursorstream")
+    emitted_frames = []
+    epoch_budget = 3
+    for seeds_ds, _cur in cursor_epochs(fetch_page, epoch_size=8):
+        def add_ts(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return batch.append_column(
+                "warc_ts", pa.array([pd.Timestamp("2024-01-01")] * n, pa.timestamp("us"))
+            )
+
+        keyed = seeds_ds.map_batches(add_ts, batch_format="pyarrow")
+        keyed = keyed.map_batches(validate.validate_batch, batch_format="pyarrow")
+        keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow")
+        keyed = keyed.select_columns(["host", "url_canon", "url_hash", "warc_ts"])
+        keyed.map_batches(f.offer_stage(), batch_format="pyarrow").sum("n_offered")
+        # drain ONE politeness epoch between cursor polls (interleaving)
+        if f.pending_total() > 0:
+            df = f.emit_epoch(epoch_budget).to_pandas()
+            assert df.groupby("host").size().max() <= epoch_budget
+            emitted_frames.append(df)
+    while f.pending_total() > 0:
+        df = f.emit_epoch(epoch_budget).to_pandas()
+        assert df.groupby("host").size().max() <= epoch_budget
+        emitted_frames.append(df)
+    f.shutdown()
+
+    out = pd.concat(emitted_frames, ignore_index=True)
+    # exactly the 20 distinct urls, each emitted once, duplicates absorbed
+    assert len(out) == 20
+    assert out["url_canon"].is_unique
+    assert sorted(out["url_canon"]) == sorted(
+        f"https://h{i % 2}.example.org/p/{i}" for i in range(20)
+    )
