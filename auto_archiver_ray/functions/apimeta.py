@@ -279,3 +279,65 @@ def instaloader_post_title(url: str, post_title: str | None, owner: str | None) 
     if kind == "profile":
         return f"@{token}"
     return post_title or ""
+
+
+# ---------------------------------------------------------------------------
+# Instagram-via-Telegram-bot normalization (the tbot extractor's portable
+# protocol half, ref:modules/instagram_tbot_extractor/instagram_tbot_extractor.py:69-126;
+# the Telethon session/network plumbing is not portable)
+# ---------------------------------------------------------------------------
+
+TBOT_FILLER = "The bot receives information through https://hikerapi.com/"
+TBOT_INVALID = "You must enter a URL to a post"
+TBOT_NOT_FOUND = "Media not found or unavailable"
+
+
+def tbot_collect(
+    posts: list[dict],
+    chat_id: int,
+    since_id: int,
+    seen_media: list[int] | None = None,
+) -> tuple[str, list[str], int, list[int]]:
+    """One polling attempt over the bot's replies (_process_messages inner
+    loop, ref::113-125): ``posts`` iterate NEWEST-FIRST with id > since_id
+    (telethon iter_messages order); the hikerapi filler post is skipped
+    entirely (its media too — the reference ``continue``s before the media
+    branch); unseen media posts yield download keys ``f"{chat_id}_{id}"``;
+    post texts concatenate in iteration order. Returns
+    (message_fragment, media_keys, new_since_id, seen_media)."""
+    seen_media = list(seen_media or [])
+    media_keys: list[str] = []
+    message = ""
+    for post in posts:
+        since_id = max(since_id, post["id"])
+        if TBOT_FILLER in (post.get("message") or ""):
+            continue
+        if post.get("media") and post["id"] not in seen_media:
+            media_keys.append(f"{chat_id}_{post['id']}")
+            seen_media.append(post["id"])
+        if post.get("message"):
+            message += post["message"]
+    return message, media_keys, since_id, seen_media
+
+
+def tbot_outcome(message: str, n_media: int) -> dict | None:
+    """The download() decision tree (ref::80-94): the invalid-link and
+    media-not-found bot replies fail; any text → content=message,
+    title=message[:128], status 'insta-via-bot: success'; no text but
+    media present → success with empty content; neither → None (the
+    reference's is_empty() fail path). ``message`` is the stripped
+    concatenation across attempts."""
+    message = message.strip()
+    if TBOT_INVALID in message:
+        return None
+    if TBOT_NOT_FOUND in message:
+        return None
+    if message:
+        return {
+            "content": message,
+            "title": message[:128],
+            "status": "insta-via-bot: success",
+        }
+    if n_media:
+        return {"content": "", "title": "", "status": "insta-via-bot: success"}
+    return None

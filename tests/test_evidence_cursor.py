@@ -269,3 +269,36 @@ def test_instaloader_profile_contract():
         apimeta.instaloader_post_title("https://www.instagram.com/p/C1/", "hello", "alice")
         == "hello"
     )
+
+
+def test_tbot_collect_protocol():
+    """Message-fold parity (ref::104-126): filler skipped wholly (even its
+    media), newest-first text concatenation, media dedup by post id,
+    since_id advances to the max seen."""
+    posts = [
+        {"id": 9, "message": "part2", "media": True},
+        {"id": 8, "message": apimeta.TBOT_FILLER + " details", "media": True},  # filler
+        {"id": 7, "message": "part1", "media": False},
+        {"id": 5, "message": "", "media": True},
+    ]
+    msg, keys, since, seen = apimeta.tbot_collect(posts, chat_id=42, since_id=4)
+    assert msg == "part2part1"
+    assert keys == ["42_9", "42_5"]  # filler's media (id 8) skipped
+    assert since == 9
+    # second attempt with overlapping posts: seen media not re-downloaded
+    msg2, keys2, since2, _ = apimeta.tbot_collect(
+        [{"id": 9, "message": "", "media": True}, {"id": 11, "message": "x", "media": True}],
+        chat_id=42, since_id=since, seen_media=seen,
+    )
+    assert keys2 == ["42_11"] and msg2 == "x" and since2 == 11
+
+
+def test_tbot_outcome_decision_tree():
+    assert apimeta.tbot_outcome("You must enter a URL to a post", 3) is None
+    assert apimeta.tbot_outcome("Media not found or unavailable", 0) is None
+    ok = apimeta.tbot_outcome("  hello world  ", 1)
+    assert ok == {"content": "hello world", "title": "hello world", "status": "insta-via-bot: success"}
+    long = "x" * 300
+    assert apimeta.tbot_outcome(long, 0)["title"] == "x" * 128
+    assert apimeta.tbot_outcome("", 2)["status"] == "insta-via-bot: success"
+    assert apimeta.tbot_outcome("", 0) is None
