@@ -81,6 +81,8 @@ class FrontierShard:
         # host → heap of (-priority, ts_us, url_canon, url_hash_hex):
         # shard-resident ordering state for incremental epoch emission
         self.pending: dict[str, list] = {}
+        # host → per-epoch budget override (robots Crawl-delay derived)
+        self.host_budgets: dict[str, int] = {}
 
     def check_and_add(self, digests, hosts: list[str]) -> list[bool]:
         """Membership-test-and-insert (vectorized); True = first sighting.
@@ -124,15 +126,24 @@ class FrontierShard:
     def pending_count(self) -> int:
         return sum(len(v) for v in self.pending.values())
 
+    def set_host_budgets(self, budgets: dict[str, int]) -> None:
+        """Per-host epoch-budget overrides (e.g. derived from robots
+        Crawl-delay: budget = epoch_seconds // delay). Hosts without an
+        override use emit_epoch's default budget."""
+        self.host_budgets = {h: max(1, int(b)) for h, b in budgets.items()}
+
     def emit_epoch(self, budget: int) -> pa.Table:
-        """Pop up to ``budget`` rows per host in (priority desc, warc_ts,
-        url_canon) order — one politeness epoch's members for this shard's
-        hosts. Incremental: heaps keep the residue ordered for the next
-        epoch; hosts whose heap drains are dropped."""
+        """Pop up to the host's budget (per-host override else ``budget``)
+        rows per host in (priority desc, warc_ts, url_canon) order — one
+        politeness epoch's members for this shard's hosts. Incremental:
+        heaps keep the residue ordered for the next epoch; hosts whose heap
+        drains are dropped."""
+        overrides = getattr(self, "host_budgets", {})
         hosts_o, canons_o, hashes_o, ts_o, pri_o = [], [], [], [], []
         for h in list(self.pending):
             heap = self.pending[h]
-            for _ in range(min(budget, len(heap))):
+            host_budget = overrides.get(h, budget)
+            for _ in range(min(host_budget, len(heap))):
                 negp, ts, canon, uh = heapq.heappop(heap)
                 hosts_o.append(h)
                 canons_o.append(canon)
@@ -193,6 +204,7 @@ class FrontierShard:
             # pending heaps are part of the crawl state: a resumed frontier
             # must re-emit the same residue in the same order
             "pending": self.pending,
+            "host_budgets": getattr(self, "host_budgets", {}),
         }
         blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
         tmp = path + ".tmp"
@@ -218,6 +230,7 @@ class FrontierShard:
         self.pending = {
             h: [tuple(e) for e in entries] for h, entries in meta.get("pending", {}).items()
         }
+        self.host_budgets = meta.get("host_budgets", {})
         self.bloom = BloomFilter.from_bytes(bloom_b)
         return True
 
@@ -326,6 +339,16 @@ class Frontier:
 
     def pending_total(self) -> int:
         return sum(ray.get([s.pending_count.remote() for s in self.shards]))
+
+    def set_host_budgets(self, budgets: dict[str, int]) -> None:
+        """Route per-host epoch-budget overrides to the owning shards (same
+        host partitioning as the seen-filter/robots state)."""
+        per_shard: dict[int, dict[str, int]] = {}
+        for host, b in budgets.items():
+            per_shard.setdefault(shard_for_host(host, self.num_shards), {})[host] = b
+        ray.get(
+            [self.shards[sid].set_host_budgets.remote(m) for sid, m in per_shard.items()]
+        )
 
     def set_robots(self, rules: dict[str, list[str]]) -> None:
         """Route each host's disallow-prefix list to the shard that owns the
@@ -512,3 +535,19 @@ def parse_crawl_delay(text: str, user_agent: str = "*") -> float | None:
                 if "*" in cur_agents and star is None:
                     star = d
     return exact if exact is not None else star
+
+
+def budgets_from_crawl_delays(
+    robots_texts: dict[str, str], epoch_seconds: float, user_agent: str = "*"
+) -> dict[str, int]:
+    """Per-host epoch budgets from robots.txt Crawl-delay directives: a
+    host allowing one request per ``delay`` seconds gets
+    ``max(1, epoch_seconds // delay)`` URLs per politeness epoch. Hosts
+    without a Crawl-delay are omitted (they use the default budget). Feed
+    to :meth:`Frontier.set_host_budgets`."""
+    out: dict[str, int] = {}
+    for host, text in robots_texts.items():
+        d = parse_crawl_delay(text, user_agent)
+        if d and d > 0:
+            out[host] = max(1, int(epoch_seconds // d))
+    return out

@@ -284,3 +284,46 @@ def test_streaming_frontier_checkpoint_restores_pending(tmp_path):
         expected_next[cols].sort_values(cols).reset_index(drop=True),
     )
     assert len(first) == 4  # 2 hosts × budget 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_delay_budget_overrides(tmp_path):
+    """robots Crawl-delay → per-host epoch budgets enforced by the shards'
+    emit loop; overrides survive the checkpoint."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import Frontier, budgets_from_crawl_delays
+
+    robots = {
+        "slow.org": "User-agent: *\nCrawl-delay: 30\nDisallow:",
+        "fast.org": "User-agent: *\nDisallow:",
+    }
+    budgets = budgets_from_crawl_delays(robots, epoch_seconds=60)
+    assert budgets == {"slow.org": 2}  # 60s epoch / 30s delay; fast.org default
+
+    rows = pd.DataFrame(
+        {
+            "host": ["slow.org"] * 6 + ["fast.org"] * 6,
+            "url_canon": [f"https://slow.org/p/{i}" for i in range(6)]
+            + [f"https://fast.org/p/{i}" for i in range(6)],
+            "url_hash": [f"{i:02x}" * 32 for i in range(12)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 12) + pd.to_timedelta(range(12), unit="m"),
+        }
+    )
+    f = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_cdbudget")
+    f.set_host_budgets(budgets)
+    rd.from_pandas(rows).map_batches(f.offer_stage(), batch_format="pyarrow").sum("n_offered")
+    e0 = f.emit_epoch(budget=5).to_pandas()
+    sizes = e0.groupby("host").size()
+    assert sizes["slow.org"] == 2   # crawl-delay override
+    assert sizes["fast.org"] == 5   # default budget
+    f.checkpoint(str(tmp_path))
+    f.shutdown()
+
+    f2 = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_cdbudget2")
+    assert f2.restore(str(tmp_path)) == 2
+    e1 = f2.emit_epoch(budget=5).to_pandas()
+    f2.shutdown()
+    sizes1 = e1.groupby("host").size()
+    assert sizes1["slow.org"] == 2 and sizes1["fast.org"] == 1  # residue drained
