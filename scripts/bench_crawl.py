@@ -15,6 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BUDGET = int(os.environ.get("GRAFT_CRAWL_BUDGET", "300000"))  # → 3 epochs on zipf hosts
 BUCKETED = os.environ.get("GRAFT_CRAWL_BUCKETED", "0") == "1"
+STREAMING = os.environ.get("GRAFT_CRAWL_STREAMING", "0") == "1"  # frontier-v3 heap emission
 
 
 def main():
@@ -26,7 +27,7 @@ def main():
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
 
-    from auto_archiver_ray.pipelines.crawl import crawl
+    from auto_archiver_ray.pipelines.crawl import crawl, crawl_streaming
     from auto_archiver_ray.sources.pages import ensure_pages
     from auto_archiver_ray.state.frontier import Frontier
 
@@ -50,11 +51,18 @@ def main():
         return rd.read_parquet(pages, columns=["url", "warc_ts", "html", "lang"])
 
     t0 = time.time()
-    writer, stats = crawl(
-        src(), out, frontier=f, per_host_budget=BUDGET,
-        extract_concurrency=(A, A), batch_size=512, checkpoint_dir=ck,
-        pages_source_factory=src, bucketed=BUCKETED,
-    )
+    if STREAMING:
+        writer, stats = crawl_streaming(
+            src(), out, frontier=f, per_host_budget=BUDGET,
+            extract_concurrency=(A, A), batch_size=512, checkpoint_dir=ck,
+            pages_source_factory=src,
+        )
+    else:
+        writer, stats = crawl(
+            src(), out, frontier=f, per_host_budget=BUDGET,
+            extract_concurrency=(A, A), batch_size=512, checkpoint_dir=ck,
+            pages_source_factory=src, bucketed=BUCKETED,
+        )
     wall = time.time() - t0
     done = writer.completed()
     n = sum(r["rows"] for r in done.values())
@@ -64,7 +72,7 @@ def main():
     print(json.dumps({
         "metric": "crawl_pipeline_wall_sec", "value": round(wall, 3), "unit": "sec",
         "urls_per_sec": round(n / wall, 1), "n_urls": n, "epochs": len(done),
-        "bucketed": BUCKETED, "num_cpus": NUM_CPUS,
+        "bucketed": BUCKETED, "streaming": STREAMING, "num_cpus": NUM_CPUS,
     }))
     ray.shutdown()
 
