@@ -28,7 +28,6 @@ blocks keep streaming.
 
 from __future__ import annotations
 
-import heapq
 import json
 import os
 
@@ -78,8 +77,13 @@ class FrontierShard:
         self.host_counts: dict[str, int] = {}
         self.counters = {"offered": 0, "admitted": 0, "duplicate": 0}
         self.epoch = 0
-        # host → heap of (-priority, ts_us, url_canon, url_hash_hex):
-        # shard-resident ordering state for incremental epoch emission
+        # host → [sorted_entries, offset, unsorted_tail] of
+        # (-priority, ts_us, url_canon, url_hash_hex) — SORT-ON-EMIT
+        # pending state: offer() only appends to the tail (O(1)/row, no
+        # per-row heappush — measured ~20% of streaming-crawl wall); the
+        # first emit after new offers merges tail into sorted (Timsort, C
+        # speed, near-linear on the sorted prefix) and later emits just
+        # advance the offset.
         self.pending: dict[str, list] = {}
         # host → per-epoch budget override (robots Crawl-delay derived)
         self.host_budgets: dict[str, int] = {}
@@ -114,17 +118,20 @@ class FrontierShard:
         pass needed before epochs can be emitted."""
         is_new = self.check_and_add(digests, hosts)
         admitted = 0
+        pending = self.pending
         for i, nw in enumerate(is_new):
             if nw:
-                heapq.heappush(
-                    self.pending.setdefault(hosts[i], []),
-                    (-int(priorities[i]), int(ts_us[i]), url_canons[i], url_hashes[i]),
+                slot = pending.get(hosts[i])
+                if slot is None:
+                    slot = pending[hosts[i]] = [[], 0, []]
+                slot[2].append(
+                    (-int(priorities[i]), int(ts_us[i]), url_canons[i], url_hashes[i])
                 )
                 admitted += 1
         return admitted
 
     def pending_count(self) -> int:
-        return sum(len(v) for v in self.pending.values())
+        return sum(len(s[0]) - s[1] + len(s[2]) for s in self.pending.values())
 
     def set_host_budgets(self, budgets: dict[str, int]) -> None:
         """Per-host epoch-budget overrides (e.g. derived from robots
@@ -141,16 +148,23 @@ class FrontierShard:
         overrides = getattr(self, "host_budgets", {})
         hosts_o, canons_o, hashes_o, ts_o, pri_o = [], [], [], [], []
         for h in list(self.pending):
-            heap = self.pending[h]
+            slot = self.pending[h]
+            srt, off, tail = slot
+            if tail:
+                srt = srt[off:] + tail
+                srt.sort()
+                slot[0], slot[1], slot[2] = srt, 0, []
+                off = 0
             host_budget = overrides.get(h, budget)
-            for _ in range(min(host_budget, len(heap))):
-                negp, ts, canon, uh = heapq.heappop(heap)
+            take = srt[off : off + host_budget]
+            slot[1] = off + len(take)
+            for negp, ts, canon, uh in take:
                 hosts_o.append(h)
                 canons_o.append(canon)
                 hashes_o.append(uh)
                 ts_o.append(ts)
                 pri_o.append(-negp)
-            if not heap:
+            if slot[1] >= len(slot[0]) and not slot[2]:
                 del self.pending[h]
         self.epoch += 1
         return pa.table(
@@ -201,9 +215,11 @@ class FrontierShard:
             "counters": self.counters,
             "host_counts": self.host_counts,
             "robots": self.robots,
-            # pending heaps are part of the crawl state: a resumed frontier
-            # must re-emit the same residue in the same order
-            "pending": self.pending,
+            # pending residue is part of the crawl state: a resumed frontier
+            # must re-emit the same rows in the same order. Stored FLAT
+            # (sorted remainder + tail); restore treats it as a tail and the
+            # next emit re-sorts — identical order by construction.
+            "pending": {h: s[0][s[1]:] + s[2] for h, s in self.pending.items()},
             "host_budgets": getattr(self, "host_budgets", {}),
         }
         blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
@@ -225,10 +241,13 @@ class FrontierShard:
         self.counters = meta["counters"]
         self.host_counts = meta["host_counts"]
         self.robots = meta["robots"]
-        # JSON round-trips heap entries as lists; heapq compares fine either
-        # way, but tuples keep parity with freshly-offered entries
+        # JSON round-trips entries as lists; restore them as the unsorted
+        # tail (tuples, parity with freshly-offered entries) — the next
+        # emit's merge-sort re-establishes the order
         self.pending = {
-            h: [tuple(e) for e in entries] for h, entries in meta.get("pending", {}).items()
+            h: [[], 0, [tuple(e) for e in entries]]
+            for h, entries in meta.get("pending", {}).items()
+            if entries
         }
         self.host_budgets = meta.get("host_budgets", {})
         self.bloom = BloomFilter.from_bytes(bloom_b)
