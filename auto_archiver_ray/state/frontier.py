@@ -142,9 +142,9 @@ class FrontierShard:
     def emit_epoch(self, budget: int) -> pa.Table:
         """Pop up to the host's budget (per-host override else ``budget``)
         rows per host in (priority desc, warc_ts, url_canon) order — one
-        politeness epoch's members for this shard's hosts. Incremental:
-        heaps keep the residue ordered for the next epoch; hosts whose heap
-        drains are dropped."""
+        politeness epoch's members for this shard's hosts. Incremental: the
+        sorted residue stays in place for the next epoch (offset advance);
+        hosts that drain are dropped."""
         overrides = getattr(self, "host_budgets", {})
         hosts_o, canons_o, hashes_o, ts_o, pri_o = [], [], [], [], []
         for h in list(self.pending):

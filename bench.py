@@ -64,8 +64,9 @@ def run_bench(skip_queries: bool = False) -> dict:
     def build(profile):
         # headline = fetch+extract throughput (the BASELINE.json metric);
         # content dedup is benched separately via q_pages_dedup
+        # batch_size=None → bytes-budget auto sizing (archive.auto_batch_size)
         return archive_pages(
-            profile, batch_size=512, extract_concurrency=(A, A)
+            profile, extract_concurrency=(A, A)
         ).drop_columns(["media_links"])
 
     # warmup: same pool size on the tiny profile → forks the worker
