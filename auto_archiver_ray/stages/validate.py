@@ -24,6 +24,9 @@ def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
 
     urls = batch.column(url_col).to_pylist()
     n = len(urls)
+    # flat (needle, name) pairs: plain `in` checks beat a genexpr-any per
+    # rule per row (the is_relevant_url lesson)
+    flat_rules = [(x, name) for needles, name in _PLATFORM_DOMAIN_RULES for x in needles]
     valid = [False] * n
     reason = [""] * n
     cleaned = [""] * n
@@ -48,11 +51,16 @@ def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
         if h == "localhost":
             reason[i] = "localhost"
             continue
-        try:
-            ip = ip_address(h)
-        except ValueError:
-            pass
-        else:
+        # every valid IP literal starts with a digit (v4) or contains a
+        # colon (v6) — skip the exception-heavy ip_address() attempt for
+        # ordinary domain names (the common case; behavior identical)
+        ip = None
+        if h[0].isdigit() or ":" in h:
+            try:
+                ip = ip_address(h)
+            except ValueError:
+                pass
+        if ip is not None:
             if not ip.is_global:
                 reason[i] = "ip_not_global"
                 continue
@@ -69,24 +77,38 @@ def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
         if parts.query:
             kept = [(k, v) for k, v in parse_qsl(parts.query) if k not in _TRACKER_PARAMS]
             clean_q = urlencode(kept)
+            # no tracker removed → the reconstruction is the input URL
+            # (fragmentless http(s) urls round-trip geturl identically);
+            # skip the urlunparse for the common clean case
+            if clean_q == parts.query and not parts.fragment:
+                cleaned[i] = u
+            else:
+                cleaned[i] = parts._replace(query=clean_q).geturl()
         else:
-            clean_q = parts.query
-        cleaned[i] = parts._replace(query=clean_q).geturl()
+            clean_q = ""
+            cleaned[i] = u if not parts.fragment else parts._replace(query="").geturl()
         hostport = h.lower()
         port = parts.port
         if port is not None and not (
             (parts.scheme == "http" and port == 80) or (parts.scheme == "https" and port == 443)
         ):
             hostport = f"{hostport}:{port}"
-        c = urlunparse(
-            (parts.scheme.lower(), hostport, parts.path or "/", parts.params, clean_q, "")
-        )
+        # direct reconstruction ≡ urlunparse((scheme, hostport, path or "/",
+        # params, clean_q, "")) for http(s) URLs: path is "" or absolute, so
+        # urlunsplit's "//"+netloc+path join reduces to this f-string
+        # (equivalence pinned by tests/test_validate_stage.py)
+        path = parts.path or "/"
+        c = f"{parts.scheme.lower()}://{hostport}{path}"
+        if parts.params:
+            c += f";{parts.params}"
+        if clean_q:
+            c += f"?{clean_q}"
         canon[i] = c
         host[i] = hostport
         url_hash[i] = hashlib.sha256(c.encode("utf-8")).hexdigest()
         netloc = parts.netloc
-        for needles, name in _PLATFORM_DOMAIN_RULES:
-            if any(x in netloc for x in needles):
+        for x, name in flat_rules:
+            if x in netloc:
                 platform[i] = name
                 break
         else:

@@ -99,3 +99,45 @@ def test_property_bloom_no_false_negatives(data):
     d = hashlib.sha256(data).digest()
     bf.add(d)
     assert d in bf
+
+
+def test_canon_reconstruction_matches_urlunparse():
+    """The f-string canon + cleaned fast paths must equal the urlunparse
+    composition they replaced, across tricky forms."""
+    import pyarrow as pa
+    from urllib.parse import parse_qsl, urlencode, urlparse, urlunparse
+
+    from auto_archiver_ray.functions.urlkit import _TRACKER_PARAMS
+    from auto_archiver_ray.stages.validate import validate_batch
+
+    urls = [
+        "https://a.example.org/p/1?utm_source=x&id=9",
+        "https://a.example.org/p/1?id=9",
+        "http://a.example.org",                       # empty path
+        "http://a.example.org:8080/x",                # non-default port
+        "https://a.example.org:443/x",                # default port dropped
+        "https://A.Example.ORG/Path?Q=1",             # host lowercased, path kept
+        "https://a.example.org/x;par?fbclid=1&k=v",   # params segment
+        "https://a.example.org/x#frag",               # fragment dropped in canon
+        "https://a.example.org/x?utm_campaign=1",     # all-tracker query
+        "https://8.8.8.8/x?id=1",                     # global IP host
+    ]
+    out = validate_batch(pa.table({"url": pa.array(urls, pa.string())}))
+    got_canon = out.column("url_canon").to_pylist()
+    got_clean = out.column("url_clean").to_pylist()
+    for u, gc, gcl in zip(urls, got_canon, got_clean):
+        parts = urlparse(u)
+        kept = [(k, v) for k, v in parse_qsl(parts.query) if k not in _TRACKER_PARAMS]
+        clean_q = urlencode(kept) if parts.query else parts.query
+        hostport = parts.hostname.lower()
+        port = parts.port
+        if port is not None and not (
+            (parts.scheme == "http" and port == 80) or (parts.scheme == "https" and port == 443)
+        ):
+            hostport = f"{hostport}:{port}"
+        want_canon = urlunparse(
+            (parts.scheme.lower(), hostport, parts.path or "/", parts.params, clean_q, "")
+        )
+        want_clean = parts._replace(query=clean_q).geturl()
+        assert gc == want_canon, (u, gc, want_canon)
+        assert gcl == want_clean, (u, gcl, want_clean)
