@@ -70,8 +70,16 @@ def _sentence(rng: np.random.Generator, lang: str, n_words: int) -> str:
     return " ".join(words).capitalize() + "."
 
 
-def _page_html(rng: np.random.Generator, row: int, host: str, lang: str) -> tuple[bytes, str]:
-    """Build one page's html; returns (html_bytes, deletion_platform_or_'')."""
+def _page_html(
+    rng: np.random.Generator, row: int, host: str, lang: str
+) -> tuple[bytes, str, list[tuple[str, str]]]:
+    """Build one page's html; returns (html_bytes, deletion_platform_or_'',
+    planted_media) where planted_media is [(media_url, intent)] in document
+    order. Intents: photo/video are relevant media; favicon/logo/profile are
+    planted to exercise the relevance filter (is_relevant_url drops them).
+    The intent list is GENERATOR GROUND TRUTH — the independent serial
+    derivation of the media plan (scripts/golden_serial.py:media_plan_serial)
+    starts from it, not from parsing the html."""
     title = _sentence(rng, lang, int(rng.integers(3, 8)))[:-1]
     n_paras = int(rng.integers(1, 5))
     paras = [_sentence(rng, lang, int(rng.integers(8, 40))) for _ in range(n_paras)]
@@ -93,14 +101,25 @@ def _page_html(rng: np.random.Generator, row: int, host: str, lang: str) -> tupl
         ts_attr = f'<time datetime="2024-0{int(rng.integers(1,10))}-1{int(rng.integers(0,10))}T0{int(rng.integers(0,10))}:00:00+00:00">posted</time>'
 
     media_bits = []
+    planted: list[tuple[str, str]] = []
     if rng.random() < 0.6:
-        media_bits.append(f'<img src="https://{host}/img/photo-{row}-1280x720.jpg">')
+        u = f"https://{host}/img/photo-{row}-1280x720.jpg"
+        media_bits.append(f'<img src="{u}">')
+        planted.append((u, "photo"))
     if rng.random() < 0.2:
-        media_bits.append(f'<video src="https://cdn.{host}/v/clip{row}.mp4"></video>')
+        u = f"https://cdn.{host}/v/clip{row}.mp4"
+        media_bits.append(f'<video src="{u}"></video>')
+        planted.append((u, "video"))
     if rng.random() < 0.3:  # irrelevant media: filtered by is_relevant_url
-        media_bits.append(f'<link href="https://{host}/favicon.ico"><img src="https://{host}/logo.svg">')
+        u1 = f"https://{host}/favicon.ico"
+        u2 = f"https://{host}/logo.svg"
+        media_bits.append(f'<link href="{u1}"><img src="{u2}">')
+        planted.append((u1, "favicon"))
+        planted.append((u2, "logo"))
     if rng.random() < 0.1:
-        media_bits.append('<img src="https://pbs.twimg.com/profile_images/u/x_400x400.jpg">')
+        u = "https://pbs.twimg.com/profile_images/u/x_400x400.jpg"
+        media_bits.append(f'<img src="{u}">')
+        planted.append((u, "profile"))
 
     body = "".join(f"<p>{p}</p>" for p in paras)
     html = (
@@ -110,10 +129,18 @@ def _page_html(rng: np.random.Generator, row: int, host: str, lang: str) -> tupl
         f"<body><h1>{title}</h1>{ts_attr}{body}{''.join(media_bits)}"
         f"<!-- gen row {row} --></body></html>"
     )
-    return html.encode("utf-8"), deleted
+    return html.encode("utf-8"), deleted, planted
 
 
-def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
+def generate_pages(
+    num_rows: int, seed: int = PAGES_SEED, return_media: bool = False
+) -> pa.Table | tuple[pa.Table, pa.Table]:
+    """With ``return_media=True`` also returns the planted-media sidecar
+    table ``(url, media_url, intent, pos)`` — one row per media link the
+    generator wrote into a page's html (duplicate-content pages inherit the
+    copied page's links; near-duplicate pages carry none). The sidecar is
+    independent ground truth for the media-plan golden oracle; the RNG draw
+    sequence and html bytes are identical either way."""
     rng = np.random.Generator(np.random.PCG64(seed))
     # Zipf-skewed host choice (bounded, mapped onto the host list).
     zipf_ranks = np.minimum(rng.zipf(1.3, size=num_rows), len(ALL_HOSTS)) - 1
@@ -125,8 +152,11 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
     langs: list[str] = []
     ts: list[datetime] = []
 
-    dup_pool: list[tuple[bytes, str, str]] = []  # (html, text, lang) for exact dups
+    # (html, text, lang, planted_media) for exact dups — a dup page copies
+    # the original's html, so it references the ORIGINAL's media urls
+    dup_pool: list[tuple[bytes, str, str, list[tuple[str, str]]]] = []
     near_pool: list[tuple[str, str, str]] = []  # (host, text, lang)
+    media_rows: list[tuple[str, str, str, int]] = []  # (url, media_url, intent, pos)
 
     for row in range(num_rows):
         host = ALL_HOSTS[int(zipf_ranks[row])]
@@ -145,8 +175,9 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
         elif r < 0.09:
             url = f"https://{host}/p/{row}?fbclid=abc{row}&ref=share"
 
+        planted: list[tuple[str, str]] = []
         if dup_pool and rng.random() < 0.02:  # exact duplicate content
-            html, text, lang = dup_pool[int(rng.integers(0, len(dup_pool)))]
+            html, text, lang, planted = dup_pool[int(rng.integers(0, len(dup_pool)))]
         elif near_pool and rng.random() < 0.03:  # near duplicate
             _, base_text, lang = near_pool[int(rng.integers(0, len(near_pool)))]
             extra = _sentence(rng, lang, 6)
@@ -154,12 +185,15 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
             html = html_s.encode("utf-8")
             text = textkit.extract_text(html)
         else:
-            html, _ = _page_html(rng, row, host, lang)
+            html, _, planted = _page_html(rng, row, host, lang)
             text = textkit.extract_text(html)
             if len(dup_pool) < 50 and rng.random() < 0.1:
-                dup_pool.append((html, text, lang))
+                dup_pool.append((html, text, lang, planted))
             if len(near_pool) < 50 and rng.random() < 0.1:
                 near_pool.append((host, " ".join(text.split()[:40]), lang))
+        if return_media:
+            for pos, (mu, intent) in enumerate(planted):
+                media_rows.append((url, mu, intent, pos))
 
         urls.append(url)
         htmls.append(html)
@@ -167,7 +201,7 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
         langs.append(lang)
         ts.append(base_ts + timedelta(seconds=row * 13))
 
-    return pa.table(
+    tbl = pa.table(
         {
             "url": pa.array(urls, pa.string()),
             "warc_ts": pa.array(ts, pa.timestamp("us")),
@@ -176,10 +210,21 @@ def generate_pages(num_rows: int, seed: int = PAGES_SEED) -> pa.Table:
             "lang": pa.array(langs, pa.string()),
         }
     )
+    if not return_media:
+        return tbl
+    sidecar = pa.table(
+        {
+            "url": pa.array([r[0] for r in media_rows], pa.string()),
+            "media_url": pa.array([r[1] for r in media_rows], pa.string()),
+            "intent": pa.array([r[2] for r in media_rows], pa.string()),
+            "pos": pa.array([r[3] for r in media_rows], pa.int32()),
+        }
+    )
+    return tbl, sidecar
 
 
 # rows per sf directory name (keyed by basename of the testdata dir)
-SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000, "bench": 1_200_000, "bench2x": 2_400_000}
+SF_ROWS = {"sf0.001": 300, "sf0.01": 3000, "sf0.1": 100_000, "bench": 1_200_000, "bench2x": 2_400_000, "bench4x": 4_800_000}
 
 
 # rows per output file — many files so Ray's read parallelizes per file

@@ -267,3 +267,128 @@ def knn_ivf_serial(
         for rank, oi in enumerate(order, 1):
             rows.append((qi, int(mids[oi]), rank))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "rank"]).astype("int64")
+
+
+# ------------------------------------------------------------- media plan
+#
+# Independent serial derivation of the media plan from the page generator's
+# planted-media sidecar (sources/pages.py generate_pages(return_media=True)).
+# It starts from GENERATOR INTENT (which links were written into each page
+# and why), not from parsing html or calling the package's url kernels — a
+# match against the distributed q_pages_media_plan validates the whole
+# discover → relevance-filter → platform-chain → best-quality → canonical
+# hash → global dedup → storage-key path end to end.
+#
+# Spec shared with the engine (not code): relevance drops favicon/.svg/
+# profile-image links (the reference's irrelevant-URL list); twitter-routed
+# pages emit best-quality-rewritten links (the twitter dropin's
+# choose-best-variant); best-quality strips a "-WxH" sized-basename suffix;
+# the URL identity is sha256 of the canonical form (identity for these
+# already-canonical urls); dedup keeps the minimum page_url per identity;
+# storage keys are slugify(page_url)[:70] + "/" + hash[:24] + ext.
+
+import re as _re
+from urllib.parse import urlparse as _urlparse
+
+_SIZED_RE = _re.compile(r"^(.+)-\d+x\d+(\.[a-zA-Z0-9]+)$")
+_SLUG_RE = _re.compile(r"[^a-z0-9]+")
+
+
+def _serial_page_valid(url: str) -> bool:
+    p = _urlparse(url)
+    if p.scheme not in ("http", "https"):
+        return False
+    host = (p.hostname or "").lower()
+    if host in ("localhost", "127.0.0.1") or host.startswith("192.168."):
+        return False
+    return True
+
+
+def _serial_best(url: str) -> str:
+    head, _, base = url.rpartition("/")
+    m = _SIZED_RE.match(base)
+    return f"{head}/{m.group(1)}{m.group(2)}" if m else url
+
+
+def media_exploded_serial(sidecar: pd.DataFrame) -> pd.DataFrame:
+    """One row per (valid page, relevant media link) BEFORE any global
+    dedup: (page_url, media_url, media_url_best, media_ext, media_url_hash)
+    in per-page document order."""
+    import hashlib as _hl
+
+    rows = []
+    sidecar = sidecar.sort_values(["url", "pos"], kind="mergesort")
+    for page_url, g in sidecar.groupby("url", sort=False):
+        if not _serial_page_valid(page_url):
+            continue
+        host = (_urlparse(page_url).hostname or "").lower()
+        is_twitter = host in ("twitter.com", "x.com") or host.endswith(".twitter.com")
+        seen: set[str] = set()
+        for mu, intent in zip(g["media_url"], g["intent"]):
+            if intent not in ("photo", "video"):  # favicon/logo/profile: irrelevant
+                continue
+            if mu in seen:  # discover's first-occurrence-wins
+                continue
+            seen.add(mu)
+            emitted = _serial_best(mu) if is_twitter else mu
+            best = _serial_best(emitted)
+            base = best.rpartition("/")[2]
+            ext = "." + base.rpartition(".")[2] if "." in base else ""
+            h = _hl.sha256(best.encode("utf-8")).hexdigest()
+            rows.append((page_url, emitted, best, ext, h))
+    return pd.DataFrame(
+        rows,
+        columns=["page_url", "media_url", "media_url_best", "media_ext", "media_url_hash"],
+    )
+
+
+def _serial_flat_key(page_url: str, h: str, ext: str) -> str:
+    slug = _SLUG_RE.sub("-", page_url.lower()).strip("-")[:70]
+    return f"{slug}/{h[:24]}{ext}"
+
+
+def _serial_tree_key(page_url: str, h: str, ext: str) -> str:
+    p = _urlparse(page_url)
+    segs = [p.netloc] + [s for s in p.path.split("/") if s]
+    segs = [_SLUG_RE.sub("-", s.lower()).strip("-")[:64] for s in segs[:8]]
+    segs = [s for s in segs if s]
+    return "/".join(segs + [f"{h[:24]}{ext}"])
+
+
+def media_plan_serial(sidecar: pd.DataFrame) -> pd.DataFrame:
+    """(page_url, media_url, media_url_best, media_ext, media_url_hash,
+    storage_key), one row per distinct media identity — the global exact
+    dedup keeps the minimum page_url per identity; storage keys follow the
+    url/static policy (slug of the winner page / hash[:24] + ext)."""
+    df = media_exploded_serial(sidecar)
+    df = df.sort_values(["media_url_hash", "page_url"], kind="mergesort")
+    df = df.drop_duplicates("media_url_hash", keep="first").reset_index(drop=True)
+    df["storage_key"] = [
+        _serial_flat_key(p, h, e)
+        for p, h, e in zip(df["page_url"], df["media_url_hash"], df["media_ext"])
+    ]
+    return df
+
+
+def media_store_serial(sidecar: pd.DataFrame, tree: bool = False) -> pd.DataFrame:
+    """(storage_key, n_bytes) write manifest: every exploded media row gets
+    a storage key (url/static policy — or the GDrive-style folder tree from
+    the PAGE url with tree=True), the store dedups by storage_key (the S3
+    exists-check: a key is written once), and each blob is the 32-byte fake
+    payload sha256(media_url_best).digest(). Keys embed the page slug, so
+    the same media referenced from two pages legitimately writes two blobs
+    — the identity-level dedup is the PLAN's job (media_plan_serial)."""
+    df = media_exploded_serial(sidecar)
+    keyfn = _serial_tree_key if tree else _serial_flat_key
+    df["storage_key"] = [
+        keyfn(p, h, e)
+        for p, h, e in zip(df["page_url"], df["media_url_hash"], df["media_ext"])
+    ]
+    df = df.sort_values(["storage_key", "media_url_hash"], kind="mergesort")
+    df = df.drop_duplicates("storage_key", keep="first")
+    return (
+        df[["storage_key"]]
+        .assign(n_bytes=np.int64(32))
+        .sort_values("storage_key", kind="mergesort")
+        .reset_index(drop=True)
+    )

@@ -186,3 +186,51 @@ def test_ngram_doc_frequency_counts_docs_not_occurrences():
     )
     top = grouped_topk(partials, ["gram"], {"df": "sum"}, k=5, sort_by=["df", "gram"], ascending=[False, True])
     assert top.iloc[0]["gram"] == rep and int(top.iloc[0]["df"]) == 3
+
+
+def _sidecar(sf):
+    from auto_archiver_ray.sources.pages import PAGES_SEED, SF_ROWS, generate_pages
+
+    tag = os.path.basename(os.path.normpath(sf))
+    _, side = generate_pages(SF_ROWS[tag], PAGES_SEED, return_media=True)
+    return side.to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_plan_distributed_matches_serial_sf0001():
+    """The whole discover → relevance → platform chain → best-quality →
+    hash → global dedup → storage-key path vs the generator-intent serial
+    derivation (no html parsing on the serial side)."""
+    from auto_archiver_ray.pipelines import queries as q
+
+    got = (
+        q.q_pages_media_plan(SF_SMALL)
+        .to_pandas()
+        .sort_values("media_url_hash")
+        .reset_index(drop=True)
+    )
+    want = gs.media_plan_serial(_sidecar(SF_SMALL))
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_media_store_distributed_matches_serial_sf0001():
+    from auto_archiver_ray.pipelines import queries as q
+
+    side = _sidecar(SF_SMALL)
+    got = q.q_media_store(SF_SMALL).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, gs.media_store_serial(side), check_dtype=False)
+    got_tree = q.q_media_store_tree(SF_SMALL).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_tree, gs.media_store_serial(side, tree=True), check_dtype=False)
+
+
+def test_media_goldens_are_fresh_sf001():
+    """Staleness guard for the media-plane serial goldens at sf0.01."""
+    side = _sidecar(SF_ORACLE)
+    for name, want in [
+        ("q_pages_media_plan", gs.media_plan_serial(side)),
+        ("q_media_store", gs.media_store_serial(side)),
+        ("q_media_store_tree", gs.media_store_serial(side, tree=True)),
+    ]:
+        stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
+        pd.testing.assert_frame_equal(stored[want.columns.tolist()], want, check_dtype=False)
