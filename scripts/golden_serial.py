@@ -392,3 +392,33 @@ def media_store_serial(sidecar: pd.DataFrame, tree: bool = False) -> pd.DataFram
         .sort_values("storage_key", kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def media_features_serial(sidecar: pd.DataFrame, dim: int = 32) -> pd.DataFrame:
+    """(media_id, width, height, decode_ok, feature_sha) for every exploded
+    media row (no dedup — the feature stage runs per discovered link).
+    Shares only the stub SPEC with the engine: payload is the 128-byte
+    sha256(best_url)*4 fake blob; pseudo-dims are 64 + digest-byte*4;
+    the feature is a PCG64(first-8-digest-bytes) unit-norm normal vector,
+    digested to 8-byte blake2b hex over its float32 bytes."""
+    import hashlib as _hl
+
+    df = media_exploded_serial(sidecar)
+    rows = []
+    for h, best in zip(df["media_url_hash"], df["media_url_best"]):
+        payload = _hl.sha256(best.encode("utf-8")).digest() * 4
+        d = _hl.sha256(payload).digest()
+        seed = int.from_bytes(d[:8], "little")
+        rng = np.random.Generator(np.random.PCG64(seed))
+        v = rng.standard_normal(dim).astype(np.float32)
+        v /= np.linalg.norm(v) or 1.0
+        sha = _hl.blake2b(v.tobytes(), digest_size=8).hexdigest()
+        rows.append((h, 64 + d[0] * 4, 64 + d[1] * 4, True, sha))
+    out = pd.DataFrame(
+        rows, columns=["media_id", "width", "height", "decode_ok", "feature_sha"]
+    )
+    out["width"] = out["width"].astype("int32")
+    out["height"] = out["height"].astype("int32")
+    return (
+        out.sort_values(["media_id", "feature_sha"], kind="mergesort").reset_index(drop=True)
+    )

@@ -1,28 +1,22 @@
 """Generate the golden-oracle parquet files under tests/golden/sf0.01/.
 
-Two classes of golden (both checked in; regenerate with
+Every golden is INDEPENDENT serial ground truth (scripts/golden_serial.py —
+no auto_archiver_ray imports; checked in; regenerate with
 ``python scripts/make_golden_oracles.py [sf_dir]`` after an intentional
-algorithm change):
+algorithm change): minhash / simhash pair sets, winnowing fingerprints,
+the HLL distinct estimate, embedding sign-LSH pairs, IVF ANN ranks, and
+the media plane. A distributed-vs-serial match validates the sharded
+banding / rejoin / cap / dedup machinery against a single-process spec.
 
-1. INDEPENDENT serial ground truth (scripts/golden_serial.py — no
-   auto_archiver_ray imports): minhash / simhash pair sets, winnowing
-   fingerprints, the HLL distinct estimate, embedding sign-LSH pairs, and
-   IVF ANN ranks. A distributed-vs-serial match validates the sharded
-   banding / rejoin / cap / dedup machinery against a single-process spec.
-2. BEHAVIOR PINS for deterministic pure-function pipelines whose serial
-   re-derivation would duplicate the whole extract stack (q_media_features'
-   stub decode/feature path): generated by running the Ray query once,
-   reviewed, and pinned — the reference's own golden-value test style
-   (ref:tests/enrichers/test_hash_enricher.py:8-28). A pin catches any
-   behavior drift; it does not independently prove the first run.
-
-Round-3 upgrade: the media plan/store goldens moved from class 2 to
-class 1 — the page generator records which media links it planted into
-each page (the sidecar of generate_pages(return_media=True)), and
-golden_serial.media_plan_serial/media_store_serial re-derive the expected
-plan from that intent record alone: the discover → relevance → platform
-chain → best-quality → hash → dedup → storage-key path is then checked
-against ground truth the extract stack never touches.
+Round-3 upgrade: the media-plane goldens (plan / store / store_tree /
+features), formerly behavior pins of a reviewed pipeline run, are now
+class-1 too — the page generator records which media links it planted
+into each page (the sidecar of generate_pages(return_media=True)), and
+golden_serial.media_*_serial re-derive the expected outputs from that
+intent record alone: the discover → relevance → platform chain →
+best-quality → hash → dedup → storage-key / stub-decode path is checked
+against ground truth the extract stack never touches. No behavior pins
+remain.
 """
 
 from __future__ import annotations
@@ -74,29 +68,8 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.media_store_serial(sidecar, tree=True).to_parquet(
         f"{out_dir}/q_media_store_tree.parquet", index=False
     )
+    gs.media_features_serial(sidecar).to_parquet(f"{out_dir}/q_media_features.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
-
-
-def behavior_pins(sf_dir: str, out_dir: str) -> None:
-    import ray
-
-    if not ray.is_initialized():
-        ray.init(address="local", num_cpus=8, include_dashboard=False, logging_level="ERROR")
-    from ray.data import DataContext
-
-    DataContext.get_current().enable_progress_bars = False
-    from auto_archiver_ray.pipelines import queries as q
-
-    def to_df(res):
-        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
-
-    for name, fn, sort_cols in [
-        ("q_media_features", q.q_media_features, ["media_id"]),
-    ]:
-        df = to_df(fn(sf_dir)).sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
-        df.to_parquet(f"{out_dir}/{name}.parquet", index=False)
-        print(f"pinned {name}: {len(df)} rows")
-    ray.shutdown()
 
 
 if __name__ == "__main__":
@@ -104,5 +77,3 @@ if __name__ == "__main__":
     tag = os.path.basename(os.path.normpath(sf))
     out = os.path.join(REPO, "tests", "golden", tag)
     serial_goldens(sf, out)
-    if "--serial-only" not in sys.argv:
-        behavior_pins(sf, out)

@@ -222,6 +222,14 @@ def test_media_store_distributed_matches_serial_sf0001():
     pd.testing.assert_frame_equal(got, gs.media_store_serial(side), check_dtype=False)
     got_tree = q.q_media_store_tree(SF_SMALL).reset_index(drop=True)
     pd.testing.assert_frame_equal(got_tree, gs.media_store_serial(side, tree=True), check_dtype=False)
+    feats = (
+        q.q_media_features(SF_SMALL)
+        .to_pandas()
+        .sort_values(["media_id", "feature_sha"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    want = gs.media_features_serial(side)
+    pd.testing.assert_frame_equal(feats[want.columns.tolist()], want, check_dtype=False)
 
 
 def test_media_goldens_are_fresh_sf001():
@@ -231,6 +239,7 @@ def test_media_goldens_are_fresh_sf001():
         ("q_pages_media_plan", gs.media_plan_serial(side)),
         ("q_media_store", gs.media_store_serial(side)),
         ("q_media_store_tree", gs.media_store_serial(side, tree=True)),
+        ("q_media_features", gs.media_features_serial(side)),
     ]:
         stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
         pd.testing.assert_frame_equal(stored[want.columns.tolist()], want, check_dtype=False)
