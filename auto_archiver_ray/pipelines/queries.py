@@ -1894,6 +1894,108 @@ def q_crawl_epochs(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# training-data hygiene (round 3, second wave)
+# ---------------------------------------------------------------------------
+
+# token-position CTE shared by the repetition / top-terms oracles: DuckDB
+# aligns unnest() with generate_subscripts() in the same SELECT, giving
+# (doc_id, pos, tok) rows that match Python's str.split() (generated text is
+# single-space separated; the empty-string filter covers leading/trailing)
+_SQL_DOC_TOKS = r"""
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\s+'), x -> x <> ''), 1) AS pos
+  FROM documents
+)
+"""
+
+
+def q_doc_repetition(sf_dir: str):
+    """Gopher-style repetition filter (Rae et al. 2021 §A1.1) — per-doc
+    top-bigram / repeated-trigram coverage with integer keep thresholds.
+    Pure stateless map_batches: streams at any scale, no shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textstats.repetition_stats, batch_format="pyarrow", batch_size=4096)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_REPETITION = f"""
+WITH {_SQL_DOC_TOKS},
+nt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id),
+bgc AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM (
+    SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+    FROM toks
+  ) WHERE bg IS NOT NULL GROUP BY doc_id, bg
+),
+mb AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_bigram_count FROM bgc GROUP BY doc_id),
+tgc AS (
+  SELECT doc_id, tg, COUNT(*) AS c FROM (
+    SELECT doc_id,
+           tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+               || ' ' || lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS tg
+    FROM toks
+  ) WHERE tg IS NOT NULL GROUP BY doc_id, tg
+),
+rt AS (
+  SELECT doc_id, CAST(COALESCE(SUM(c) FILTER (c >= 2), 0) AS BIGINT) AS rep_trigram_occ
+  FROM tgc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(nt.n_tokens, 0) AS n_tokens,
+       COALESCE(mb.max_bigram_count, 0) AS max_bigram_count,
+       COALESCE(rt.rep_trigram_occ, 0) AS rep_trigram_occ,
+       (COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(mb.max_bigram_count, 0)
+        AND COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(rt.rep_trigram_occ, 0)) AS keep
+FROM documents d
+LEFT JOIN nt USING (doc_id) LEFT JOIN mb USING (doc_id) LEFT JOIN rt USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_doc_top_terms(sf_dir: str):
+    """Top-3 distinctive terms per doc by (tf DESC, df ASC, term ASC) —
+    the integer-ordered TF-IDF shape. Two passes: (1) per-batch partial
+    document-frequency + driver reduce (vocabulary is sublinear in corpus
+    size); (2) the sorted (term, df) arrays broadcast once via ray.put,
+    per-doc top-k via searchsorted + lexsort inside map_batches — the
+    small-side broadcast join, no shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    df_tbl = driver_reduce(
+        ds.map_batches(textstats.term_df_partials, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        {"df": "sum"},
+    ).sort_values("term")
+    fn = textstats.top_terms_stage(
+        np.asarray(df_tbl["term"].to_numpy(), dtype=object),
+        df_tbl["df"].to_numpy().astype(np.int64),
+        k=3,
+    )
+    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+
+SQL_DOC_TOP_TERMS = f"""
+WITH {_SQL_DOC_TOKS},
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, tok AS term FROM toks) GROUP BY term
+),
+r AS (
+  SELECT doc_id, term, tf, df,
+         row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term ASC) AS rnk
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rank, term, tf, df
+FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1933,6 +2035,8 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_decontaminate": q_doc_decontaminate,
     "q_doc_boilerplate": q_doc_boilerplate,
+    "q_doc_repetition": q_doc_repetition,
+    "q_doc_top_terms": q_doc_top_terms,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2059,6 +2163,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
         "q_knn": SQL_KNN,
         # --- golden / independent-serial oracles (round 3) ---
+        "q_doc_repetition": SQL_DOC_REPETITION,
+        "q_doc_top_terms": SQL_DOC_TOP_TERMS,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "q_doc_boilerplate": SQL_DOC_BOILERPLATE,

@@ -152,3 +152,121 @@ def ngram_doc_frequency_partials(batch: pa.Table, text_col: str = "text", n: int
             "df": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
         }
     )
+
+
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition metrics per document (Rae et al. 2021 §A1.1
+    repetition filters, re-expressed over whitespace tokens with integer
+    thresholds so the distributed result hash-matches a SQL oracle):
+
+    - ``n_tokens``      — whitespace token count
+    - ``max_bigram_count`` — occurrences of the single most frequent 2-gram
+    - ``rep_trigram_occ``  — total occurrences of 3-grams appearing ≥2×
+    - ``keep``          — ``n_tokens >= 10*max_bigram_count AND
+                           n_tokens >= 10*rep_trigram_occ``
+      (top-bigram token coverage 2*max/n ≤ 0.2 and repeated-trigram
+      coverage 3*occ/n ≤ 0.3, cleared of float division)
+
+    Vectorized per doc: tokens → integer codes via ``np.unique``; bigrams
+    are ``code[:-1]*K + code[1:]``; trigrams re-encode the bigram codes
+    (two-level pairing — no K³ overflow). Stateless, shuffle-free: the
+    filter decision streams with the batch at any scale."""
+    ids = batch.column(id_col)
+    texts = batch.column(text_col).to_pylist()
+    n_toks = np.empty(len(texts), dtype=np.int64)
+    max_bg = np.zeros(len(texts), dtype=np.int64)
+    rep_tg = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        n = len(toks)
+        n_toks[i] = n
+        if n < 2:
+            continue
+        _, inv = np.unique(np.asarray(toks, dtype=object), return_inverse=True)
+        inv = inv.astype(np.int64)
+        k = np.int64(len(_))
+        bg = inv[:-1] * k + inv[1:]
+        bcodes, binv = np.unique(bg, return_inverse=True)
+        bcounts = np.bincount(binv)
+        max_bg[i] = bcounts.max()
+        if n >= 3:
+            tri = binv[:-1].astype(np.int64) * k + inv[2:]
+            tc = np.unique(tri, return_counts=True)[1]
+            rep_tg[i] = tc[tc >= 2].sum()
+    keep = (n_toks >= 10 * max_bg) & (n_toks >= 10 * rep_tg)
+    return pa.table(
+        {
+            id_col: ids,
+            "n_tokens": pa.array(n_toks),
+            "max_bigram_count": pa.array(max_bg),
+            "rep_trigram_occ": pa.array(rep_tg),
+            "keep": pa.array(keep),
+        }
+    )
+
+
+def term_df_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial DOCUMENT frequency: one (term, df) row per
+    distinct term per batch. Each doc lives wholly in one batch row, so
+    summing the partials over batches is the exact global df."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        c.update(set((t or "").split()))
+    return pa.table(
+        {
+            "term": pa.array(list(c.keys()), pa.string()),
+            "df": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
+        }
+    )
+
+
+def top_terms_stage(df_terms: np.ndarray, df_counts: np.ndarray, k: int = 3):
+    """Build a map_batches fn emitting each doc's top-``k`` distinctive
+    terms ranked by (tf DESC, df ASC, term ASC) — the TF-IDF ordering for
+    single-occurrence-per-doc idf, kept in INTEGERS so the distributed
+    result is bit-identical to SQL (``tf * ln(N/df)`` ranks identically to
+    (tf, -df) per (tf, df) pair at fixed N... not in general, so the
+    integer ordering IS the contract, documented as "distinctive terms").
+
+    ``df_terms``/``df_counts``: the global document-frequency table as
+    SORTED parallel numpy arrays, broadcast once via ``ray.put`` by the
+    caller — zero-copy searchsorted lookup per task, no shuffle join.
+    Scale shape: natural-language vocabulary is sublinear in corpus size
+    (~1e7 terms at web scale — a few hundred MB broadcast); for unbounded
+    synthetic keys use bucketed_group_agg + a bucketed hash join instead."""
+    import ray
+
+    terms_ref = ray.put(df_terms) if not isinstance(df_terms, ray.ObjectRef) else df_terms
+    counts_ref = ray.put(df_counts) if not isinstance(df_counts, ray.ObjectRef) else df_counts
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        vocab = ray.get(terms_ref)
+        dfc = ray.get(counts_ref)
+        out_id, out_rank, out_term, out_tf, out_df = [], [], [], [], []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            toks = np.asarray((t or "").split(), dtype=object)
+            if not toks.size:
+                continue
+            uniq, tf = np.unique(toks, return_counts=True)
+            pos = np.searchsorted(vocab, uniq)
+            dfs = dfc[pos]  # every term of every doc is in the global vocab
+            order = np.lexsort((uniq, dfs, -tf))[:k]
+            for r, j in enumerate(order, start=1):
+                out_id.append(i)
+                out_rank.append(r)
+                out_term.append(str(uniq[j]))
+                out_tf.append(int(tf[j]))
+                out_df.append(int(dfs[j]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, pa.int64()),
+                "rank": pa.array(out_rank, pa.int64()),
+                "term": pa.array(out_term, pa.string()),
+                "tf": pa.array(out_tf, pa.int64()),
+                "df": pa.array(out_df, pa.int64()),
+            }
+        )
+
+    return fn

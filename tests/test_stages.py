@@ -30,6 +30,64 @@ def test_lang_quality_fingerprint_batches():
     assert len(f.column("fingerprint_key").to_pylist()[0]) == 16
 
 
+def test_repetition_stats_batch():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "spam spam spam spam spam spam spam spam spam spam",  # one bigram 9x
+                "a b c d e f g h i j k l m n o p q r s t",  # all unique
+                "",  # empty
+                "x y z x y z x y w",  # "x y" 3x; trigrams xyz/yzx/zxy each 2x
+            ],
+        }
+    )
+    out = textstats.repetition_stats(batch)
+    assert out.column("n_tokens").to_pylist() == [10, 20, 0, 9]
+    assert out.column("max_bigram_count").to_pylist() == [9, 1, 0, 3]
+    # doc 0: trigram "spam spam spam" occurs 8x (>=2) -> 8 occurrences
+    # doc 3: xyz 2x + yzx 2x + zxy 2x -> 6
+    assert out.column("rep_trigram_occ").to_pylist() == [8, 0, 0, 6]
+    assert out.column("keep").to_pylist() == [False, True, True, False]
+
+
+def test_repetition_no_false_trigram_collision():
+    # all bigrams unique => all trigrams unique => rep_trigram_occ == 0
+    # (regression: two-level pairing must multiply by the TOKEN vocab size)
+    txt = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14"
+    out = textstats.repetition_stats(pa.table({"doc_id": [0], "text": [txt]}))
+    assert out.column("rep_trigram_occ").to_pylist() == [0]
+
+
+def test_term_df_and_top_terms(ray_session):
+    import ray as _ray
+
+    batch = pa.table({"doc_id": [0, 1], "text": ["apple apple pear", "pear plum"]})
+    dfp = textstats.term_df_partials(batch)
+    dfd = dict(zip(dfp.column("term").to_pylist(), dfp.column("df").to_pylist()))
+    assert dfd == {"apple": 1, "pear": 2, "plum": 1}
+    terms = np.asarray(sorted(dfd), dtype=object)
+    counts = np.asarray([dfd[t] for t in terms], dtype=np.int64)
+    fn = textstats.top_terms_stage(terms, counts, k=2)
+    out = fn(batch)
+    rows = list(
+        zip(
+            out.column("doc_id").to_pylist(),
+            out.column("rank").to_pylist(),
+            out.column("term").to_pylist(),
+            out.column("tf").to_pylist(),
+            out.column("df").to_pylist(),
+        )
+    )
+    # doc 0: apple (tf=2) then pear; doc 1: plum (df=1 beats pear df=2) then pear
+    assert rows == [
+        (0, 1, "apple", 2, 1),
+        (0, 2, "pear", 1, 2),
+        (1, 1, "plum", 1, 1),
+        (1, 2, "pear", 1, 2),
+    ]
+
+
 def test_explode_media_and_keys():
     batch = pa.table(
         {
