@@ -1995,6 +1995,187 @@ FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
 """
 
 
+_DUPSPAN_W = 5  # repeated-span window width (tokens), shared with the oracle
+
+
+def q_doc_dupspans(sf_dir: str):
+    """Cross-corpus repeated-span detection (Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better"): flag every ``_DUPSPAN_W``-
+    token window that occurs >= 2 times anywhere in the corpus (another doc
+    or a repeat within the same doc) and roll up per-doc duplicated-window
+    coverage with an integer keep threshold (<= 20%).
+
+    Scale shape: windows shuffle as (16B md5 key, doc_id, occ) projections
+    to hash(win)%B coarse buckets where corpus-wide totals are summed
+    vectorized; per-doc dup partials then UNION with the per-doc window
+    totals (same layout, no join) into one bucketed_group_agg keyed by
+    doc_id. Two bounded exchanges, no window text ever shuffled, nothing on
+    the driver."""
+    from ..stages.agg import _add_key_bucket_fn, bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    wins = ds.map_batches(
+        textstats.window_occ_partials, batch_format="pyarrow", batch_size=4096
+    ).map_batches(_add_key_bucket_fn(["win_key"], 64), batch_format="pyarrow")
+
+    def bucket_dup(g: pd.DataFrame) -> pd.DataFrame:
+        out = textstats.dup_span_partials(g)
+        out.insert(1, "n_windows", np.zeros(len(out), dtype=np.int64))
+        return out[["doc_id", "n_windows", "dup_windows"]]
+
+    dup_partials = wins.groupby("__tb").map_groups(bucket_dup, batch_format="pandas")
+    totals = ds.map_batches(textstats.window_count_stage, batch_format="pyarrow", batch_size=4096)
+    merged = bucketed_group_agg(
+        totals.union(dup_partials),
+        ["doc_id"],
+        {"n_windows": "sum", "dup_windows": "sum"},
+        num_buckets=64,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["keep"] = 5 * df["dup_windows"] <= df["n_windows"]
+        return df
+
+    out = merged.map_batches(finish, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DUPSPANS = f"""
+WITH {_SQL_DOC_TOKS},
+wins AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS win
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+v AS (SELECT doc_id, win FROM wins WHERE win IS NOT NULL),
+wtot AS (SELECT win, COUNT(*) AS tot FROM v GROUP BY win),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+         CAST(SUM(CASE WHEN tot >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_windows
+  FROM v JOIN wtot USING (win) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_windows, 0) AS n_windows,
+       COALESCE(p.dup_windows, 0) AS dup_windows,
+       (5 * COALESCE(p.dup_windows, 0) <= COALESCE(p.n_windows, 0)) AS keep
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_doc_stratified_sample(sf_dir: str):
+    """Deterministic per-source quota sample (domain-mixing primitive): keep
+    the 10 docs per source ranked by md5(doc_id) — a reproducible stratified
+    sample any engine can recompute. Per-key top-k over UNBOUNDED sources:
+    hash(source)%64 coarse buckets, vectorized sort + grouped cumcount
+    inside each bucket (one Ray group per bucket, never per source)."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        rk = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        src = np.asarray([str(s) for s in batch.column("source").to_pylist()], dtype=object)
+        hb = (pd.util.hash_array(src, categorize=False) % np.uint64(64)).astype(np.int64)
+        return batch.append_column("rk", pa.array(rk, pa.string())).append_column(
+            "__kb", pa.array(hb)
+        )
+
+    def bucket_quota(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        g["sample_rank"] = (g.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        g = g[g["sample_rank"] <= 10]
+        return g[["source", "doc_id", "sample_rank"]]
+
+    out = (
+        ds.map_batches(add_keys, batch_format="pyarrow", batch_size=8192)
+        .groupby("__kb")
+        .map_groups(bucket_quota, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "sample_rank"]).reset_index(drop=True)
+
+
+SQL_DOC_STRATIFIED_SAMPLE = """
+SELECT source, doc_id, CAST(rnk AS BIGINT) AS sample_rank
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rnk
+  FROM documents
+)
+WHERE rnk <= 10 ORDER BY source, sample_rank
+"""
+
+
+def q_doc_length_quantiles(sf_dir: str):
+    """EXACT discrete length quantiles (p10/p25/p50/p75/p90/p99 of per-doc
+    token counts) via a distributed histogram: per-batch (n_tokens, cnt)
+    partials — distinct lengths are bounded by the max doc length, not the
+    corpus — reduced on the driver, then quantiles read off the cumulative
+    histogram with pure integer thresholds ceil(pct*total/100). No global
+    sort, no t-digest approximation, one streaming pass."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    hist = driver_reduce(
+        ds.map_batches(textstats.length_hist_partials, batch_format="pyarrow", batch_size=8192),
+        ["n_tokens"],
+        {"cnt": "sum"},
+    ).sort_values("n_tokens")
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    lens = hist["n_tokens"].to_numpy()
+    rows = []
+    for pct in (10, 25, 50, 75, 90, 99):
+        thr = (pct * total + 99) // 100
+        rows.append((pct, int(lens[int(np.searchsorted(cum, thr))])))
+    return pd.DataFrame(rows, columns=["pct", "n_tokens"]).astype("int64")
+
+
+SQL_DOC_LENGTH_QUANTILES = f"""
+WITH {_SQL_DOC_TOKS},
+lens AS (
+  SELECT d.doc_id, COALESCE(nt.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id) nt USING (doc_id)
+),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n) AS rn, COUNT(*) OVER () AS cnt FROM lens),
+pcts AS (SELECT * FROM (VALUES (10), (25), (50), (75), (90), (99)) v(pct))
+SELECT CAST(pct AS BIGINT) AS pct, CAST(MIN(n) AS BIGINT) AS n_tokens
+FROM pcts JOIN ranked ON rn >= (pct * cnt + 99) // 100
+GROUP BY pct ORDER BY pct
+"""
+
+
+def q_doc_pii(sf_dir: str):
+    """PII scan + redaction over the documents table (C4/Dolma hygiene
+    pass): per-doc email/IPv4/phone detection counts on the raw text and a
+    sequentially redacted text column. Stateless single map_batches — the
+    RE2-safe patterns run identically in the SQL oracle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(textstats.pii_scan, batch_format="pyarrow", batch_size=4096)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_doc_pii() -> str:
+    from ..stages.textstats import _PII_PATTERNS
+
+    counts = ",\n  ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) AS n_{name}"
+        for name, pat, _ in _PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, repl in _PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{repl}', 'g')"
+    return f"SELECT doc_id,\n  {counts},\n  {red} AS text_redacted\nFROM documents ORDER BY doc_id"
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2037,6 +2218,10 @@ QUERIES = {
     "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_repetition": q_doc_repetition,
     "q_doc_top_terms": q_doc_top_terms,
+    "q_doc_dupspans": q_doc_dupspans,
+    "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_length_quantiles": q_doc_length_quantiles,
+    "q_doc_pii": q_doc_pii,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2165,6 +2350,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_repetition": SQL_DOC_REPETITION,
         "q_doc_top_terms": SQL_DOC_TOP_TERMS,
+        "q_doc_dupspans": SQL_DOC_DUPSPANS,
+        "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+        "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
+        "q_doc_pii": _sql_doc_pii(),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "q_doc_boilerplate": SQL_DOC_BOILERPLATE,

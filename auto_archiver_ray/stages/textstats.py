@@ -270,3 +270,126 @@ def top_terms_stage(df_terms: np.ndarray, df_counts: np.ndarray, k: int = 3):
         )
 
     return fn
+
+
+def window_occ_partials(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", w: int = 5
+) -> pa.Table:
+    """Per-doc DISTINCT ``w``-token window occurrences: one row per distinct
+    window per doc — ``(win_key, doc_id, occ)`` where ``win_key`` is the
+    md5-16 hex of the space-joined window and ``occ`` its position count in
+    the doc. Feeds the cross-corpus repeated-span detector
+    (:func:`dup_span_partials`): only (16B key, id, count) projections cross
+    the shuffle, never window text — the Lee et al. 2021 "Deduplicating
+    Training Data" signal re-expressed for a bucketed exchange."""
+    import hashlib
+    from collections import Counter
+
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    out_key, out_id, out_occ = [], [], []
+    for i, t in zip(ids, texts):
+        toks = (t or "").split()
+        if len(toks) < w:
+            continue
+        c: Counter = Counter(
+            " ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)
+        )
+        for win, occ in c.items():
+            out_key.append(hashlib.md5(win.encode("utf-8")).hexdigest())
+            out_id.append(i)
+            out_occ.append(occ)
+    return pa.table(
+        {
+            "win_key": pa.array(out_key, pa.string()),
+            id_col: pa.array(out_id, pa.int64()),
+            "occ": pa.array(out_occ, pa.int64()),
+        }
+    )
+
+
+def dup_span_partials(g, id_col: str = "doc_id"):
+    """Inside one coarse ``hash(win_key) % B`` bucket: total the corpus-wide
+    occurrences of each window (a window lives wholly in one bucket) and
+    credit each doc with its positions on windows occurring >= 2 times
+    anywhere (another doc OR a repeat in the same doc). Emits per-doc
+    partials ``(doc_id, dup_windows)`` — summed across buckets downstream."""
+    import pandas as pd
+
+    tot = g.groupby("win_key", sort=False)["occ"].transform("sum")
+    dup = g[tot >= 2]
+    if not len(dup):
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"), "dup_windows": pd.Series([], dtype="int64")})
+    out = dup.groupby(id_col, as_index=False, sort=False)["occ"].sum()
+    return out.rename(columns={"occ": "dup_windows"})
+
+
+def window_count_stage(
+    batch: pa.Table, id_col: str = "doc_id", text_col: str = "text", w: int = 5
+) -> pa.Table:
+    """Per-doc total window-position count ``max(n_tokens - w + 1, 0)`` —
+    the denominator side of the dup-span rollup, emitted in the same
+    (doc_id, n_windows, dup_windows) layout so the two streams union into
+    one bucketed sum with no join."""
+    texts = batch.column(text_col).to_pylist()
+    n = np.asarray([max(len((t or "").split()) - w + 1, 0) for t in texts], dtype=np.int64)
+    return pa.table(
+        {
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "n_windows": pa.array(n),
+            "dup_windows": pa.array(np.zeros(len(texts), dtype=np.int64)),
+        }
+    )
+
+
+_PII_PATTERNS: "list[tuple[str, str, str]]" = [
+    # (name, pattern, replacement) — RE2-safe (no lookaround/backrefs) so the
+    # exact same pattern string runs in DuckDB regexp_* and Python re with
+    # identical leftmost, non-overlapping matches.
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+[0-9][0-9()\- ]{6,18}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scan(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """PII detection + redaction (C4/Dolma-style hygiene): count and mask
+    emails, IPv4 literals and international phone numbers. Counts are
+    independent detections on the RAW text; redaction applies the patterns
+    sequentially (email -> ip -> phone). Patterns are RE2-compatible, so a
+    SQL engine reproduces both counts and the redacted text byte-for-byte.
+    Stateless, shuffle-free; regexes compiled once per process."""
+    import re
+
+    compiled = getattr(pii_scan, "_compiled", None)
+    if compiled is None:
+        compiled = [(name, re.compile(pat), repl) for name, pat, repl in _PII_PATTERNS]
+        pii_scan._compiled = compiled
+    texts = batch.column(text_col).to_pylist()
+    counts = {name: np.zeros(len(texts), dtype=np.int64) for name, _, _ in compiled}
+    red = []
+    for i, t in enumerate(texts):
+        s = t or ""
+        for name, rx, _ in compiled:
+            counts[name][i] = len(rx.findall(s))
+        for _, rx, repl in compiled:
+            s = rx.sub(repl, s)
+        red.append(s)
+    out = pa.table({id_col: batch.column(id_col).cast(pa.int64())})
+    for name, _, _ in compiled:
+        out = out.append_column(f"n_{name}", pa.array(counts[name]))
+    return out.append_column("text_redacted", pa.array(red, pa.string()))
+
+
+def length_hist_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch histogram of whitespace token counts: one (n_tokens, cnt)
+    row per distinct length per batch. Distinct lengths are bounded by the
+    max document length (not the corpus size), so the summed histogram is a
+    tiny driver-side reduce from which EXACT discrete quantiles fall out —
+    no sort, no sketch approximation."""
+    from collections import Counter
+
+    c: Counter = Counter(len((t or "").split()) for t in batch.column(text_col).to_pylist())
+    ks = np.fromiter(c.keys(), dtype=np.int64, count=len(c))
+    vs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+    return pa.table({"n_tokens": pa.array(ks), "cnt": pa.array(vs)})

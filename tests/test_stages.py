@@ -88,6 +88,66 @@ def test_term_df_and_top_terms(ray_session):
     ]
 
 
+def test_window_occ_and_dup_span_partials():
+    import pandas as pd
+
+    batch = pa.table(
+        {
+            "doc_id": [0, 1, 2],
+            "text": [
+                "a b c d e f",  # windows: abcde, bcdef
+                "z a b c d e x",  # contains abcde -> shared with doc 0
+                "p q r",  # too short for w=5
+            ],
+        }
+    )
+    wins = textstats.window_occ_partials(batch, w=5)
+    assert wins.num_rows == 2 + 3  # doc0: 2 distinct, doc1: 3 distinct
+    g = wins.to_pandas()
+    g["__tb"] = 0
+    dup = textstats.dup_span_partials(g)
+    # only "a b c d e" occurs twice (docs 0 and 1): one credit each
+    assert sorted(zip(dup.doc_id, dup.dup_windows)) == [(0, 1), (1, 1)]
+    counts = textstats.window_count_stage(batch, w=5)
+    assert counts.column("n_windows").to_pylist() == [2, 3, 0]
+
+
+def test_window_occ_counts_within_doc_repeats():
+    batch = pa.table({"doc_id": [7], "text": ["x y z w v x y z w v"]})
+    wins = textstats.window_occ_partials(batch, w=5)
+    g = wins.to_pandas()
+    g["__tb"] = 0
+    dup = textstats.dup_span_partials(g)
+    # "x y z w v" occurs twice within the single doc -> dup credit 2
+    assert (7, 2) in list(zip(dup.doc_id, dup.dup_windows))
+
+
+def test_pii_scan_counts_and_redaction():
+    batch = pa.table(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "mail me at jo.doe+x@example.co.uk or 10.0.0.1 / +44 20 7946 0958 ok",
+                "no pii here",
+            ],
+        }
+    )
+    out = textstats.pii_scan(batch)
+    assert out.column("n_email").to_pylist() == [1, 0]
+    assert out.column("n_ipv4").to_pylist() == [1, 0]
+    assert out.column("n_phone").to_pylist() == [1, 0]
+    red = out.column("text_redacted").to_pylist()
+    assert red[0] == "mail me at <EMAIL> or <IP> / <PHONE> ok"
+    assert red[1] == "no pii here"
+
+
+def test_length_hist_partials():
+    batch = pa.table({"text": ["a b", "c d", "", "e f g"]})
+    out = textstats.length_hist_partials(batch)
+    d = dict(zip(out.column("n_tokens").to_pylist(), out.column("cnt").to_pylist()))
+    assert d == {2: 2, 0: 1, 3: 1}
+
+
 def test_explode_media_and_keys():
     batch = pa.table(
         {
