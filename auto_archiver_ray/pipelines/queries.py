@@ -2152,6 +2152,85 @@ GROUP BY pct ORDER BY pct
 """
 
 
+def q_doc_token_shards(sf_dir: str, range_size: int = 256, shard_tokens: int = 2000):
+    """Pack the corpus into fixed-budget training shards: docs in doc_id
+    order are assigned ``shard_id = floor(tokens_before_doc / shard_tokens)``
+    — the concat-and-chunk step that ends every LLM data pipeline, requiring
+    a GLOBAL prefix sum over doc order.
+
+    Distributed scan in two passes: (1) per-range token sums (range =
+    doc_id // range_size — contiguous id ranges, so ranges are bounded by
+    id-space/range_size, not corpus rows) reduced on the driver into
+    exclusive range offsets; (2) the offsets broadcast once via ray.put,
+    then a per-range vectorized cumsum inside coarse map_groups adds the
+    range base. The driver holds one int per range; doc rows never leave
+    the cluster. Result is invariant to range_size (tune it so a range ~
+    one block at scale)."""
+    import ray
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = np.asarray(
+            [len((t or "").split()) for t in batch.column("text").to_pylist()], dtype=np.int64
+        )
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "n_tokens": pa.array(n),
+                "rng": pa.array(ids // range_size),
+            }
+        )
+
+    nt = ds.map_batches(counts, batch_format="pyarrow", batch_size=8192)
+    range_sums = driver_reduce(nt, ["rng"], {"n_tokens": "sum"}).sort_values("rng")
+    ranges = range_sums["rng"].to_numpy(dtype=np.int64)
+    bases = np.concatenate(
+        [[0], range_sums["n_tokens"].to_numpy(dtype=np.int64).cumsum()[:-1]]
+    )
+    rng_ref = ray.put(ranges)
+    base_ref = ray.put(bases)
+
+    def range_scan(g: pd.DataFrame) -> pd.DataFrame:
+        rngs, base = ray.get(rng_ref), ray.get(base_ref)
+        g = g.sort_values("doc_id", kind="mergesort")
+        off = base[np.searchsorted(rngs, int(g["rng"].iloc[0]))]
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        tok_off = off + np.concatenate([[0], n.cumsum()[:-1]])
+        return pd.DataFrame(
+            {
+                "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+                "n_tokens": n,
+                "tok_offset": tok_off,
+                "shard_id": tok_off // shard_tokens,
+            }
+        )
+
+    out = nt.groupby("rng").map_groups(range_scan, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_TOKEN_SHARDS = f"""
+WITH {_SQL_DOC_TOKS},
+lens AS (
+  SELECT d.doc_id, COALESCE(nt.n, 0) AS n
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id) nt USING (doc_id)
+),
+scan AS (
+  SELECT doc_id, n,
+         CAST(COALESCE(SUM(n) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM lens
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, off AS tok_offset, off // 2000 AS shard_id
+FROM scan ORDER BY doc_id
+"""
+
+
 def q_doc_pii(sf_dir: str):
     """PII scan + redaction over the documents table (C4/Dolma hygiene
     pass): per-doc email/IPv4/phone detection counts on the raw text and a
@@ -2221,6 +2300,7 @@ QUERIES = {
     "q_doc_dupspans": q_doc_dupspans,
     "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_doc_length_quantiles": q_doc_length_quantiles,
+    "q_doc_token_shards": q_doc_token_shards,
     "q_doc_pii": q_doc_pii,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
@@ -2353,6 +2433,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_dupspans": SQL_DOC_DUPSPANS,
         "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
+        "q_doc_token_shards": SQL_DOC_TOKEN_SHARDS,
         "q_doc_pii": _sql_doc_pii(),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

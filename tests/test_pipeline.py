@@ -125,3 +125,24 @@ def test_archive_sharded_resume(tmp_path):
     w2 = archive_pages_sharded("/root/testdata/sf0.001", out, files_per_part=1, extract_concurrency=2)
     assert w2.completed() == done1
     assert os.path.getmtime(f"{out}/MANIFEST.jsonl") == mtime
+
+
+def test_token_shards_scan_crosses_ranges(ray_session):
+    """The distributed prefix-sum must be exact across range boundaries:
+    force many small ranges and compare with a serial cumsum."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from auto_archiver_ray.pipelines.queries import q_doc_token_shards
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_token_shards(sf, range_size=32, shard_tokens=500)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    t = t.sort_values("doc_id").reset_index(drop=True)
+    n = t["text"].fillna("").str.split().str.len().to_numpy(dtype=np.int64)
+    off = np.concatenate([[0], n.cumsum()[:-1]])
+    assert (out["doc_id"].to_numpy() == t["doc_id"].to_numpy()).all()
+    assert (out["n_tokens"].to_numpy() == n).all()
+    assert (out["tok_offset"].to_numpy() == off).all()
+    assert (out["shard_id"].to_numpy() == off // 500).all()
+    assert out["shard_id"].nunique() > 3  # the packing actually splits
