@@ -1160,6 +1160,63 @@ def q_doc_neardup_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_webtext_corpus(sf_dir: str):
+    """Flagship composite: the end-to-end webtext training-corpus pipeline
+    (validate → extract → repetition/length hygiene → global content dedup
+    → fixed-token shard packing). See pipelines/webtext.py for the scale
+    shape; the oracle re-derives the whole chain in one SQL statement."""
+    from .webtext import webtext_corpus
+
+    out = webtext_corpus(sf_dir).to_pandas()
+    return out.sort_values("tok_offset").reset_index(drop=True)
+
+
+SQL_WEBTEXT_CORPUS = f"""
+WITH pages AS (SELECT url, text, html FROM __PAGES__ WHERE {_VALID_SQL}),
+toks AS (
+  SELECT url,
+         unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS pos
+  FROM pages
+),
+nt AS (SELECT url, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY url),
+bgc AS (
+  SELECT url, bg, COUNT(*) AS c FROM (
+    SELECT url, tok || ' ' || lead(tok) OVER (PARTITION BY url ORDER BY pos) AS bg FROM toks
+  ) WHERE bg IS NOT NULL GROUP BY url, bg
+),
+mb AS (SELECT url, CAST(MAX(c) AS BIGINT) AS max_bg FROM bgc GROUP BY url),
+tgc AS (
+  SELECT url, tg, COUNT(*) AS c FROM (
+    SELECT url,
+           tok || ' ' || lead(tok, 1) OVER (PARTITION BY url ORDER BY pos)
+               || ' ' || lead(tok, 2) OVER (PARTITION BY url ORDER BY pos) AS tg
+    FROM toks
+  ) WHERE tg IS NOT NULL GROUP BY url, tg
+),
+rt AS (SELECT url, CAST(COALESCE(SUM(c) FILTER (c >= 2), 0) AS BIGINT) AS rep_tg FROM tgc GROUP BY url),
+filt AS (
+  SELECT p.url, COALESCE(nt.n_tokens, 0) AS n_tokens, sha256(decode(p.html)) AS h
+  FROM pages p
+  LEFT JOIN nt USING (url) LEFT JOIN mb USING (url) LEFT JOIN rt USING (url)
+  WHERE COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(mb.max_bg, 0)
+    AND COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(rt.rep_tg, 0)
+    AND COALESCE(nt.n_tokens, 0) >= 5
+),
+win AS (SELECT h, MIN(url) AS url FROM filt GROUP BY h),
+surv AS (SELECT f.url, f.n_tokens FROM filt f JOIN win w ON f.url = w.url),
+scan AS (
+  SELECT url, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY md5(url), url ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS off
+  FROM surv
+)
+SELECT url, n_tokens, off AS tok_offset, off // 2000 AS shard_id
+FROM scan ORDER BY tok_offset
+"""
+
+
 # ---------------------------------------------------------------------------
 # pages queries (synthetic input_hint table; oracle reads the parquet path)
 # ---------------------------------------------------------------------------
@@ -2302,6 +2359,7 @@ QUERIES = {
     "q_doc_length_quantiles": q_doc_length_quantiles,
     "q_doc_token_shards": q_doc_token_shards,
     "q_doc_pii": q_doc_pii,
+    "q_webtext_corpus": q_webtext_corpus,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2435,6 +2493,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
         "q_doc_token_shards": SQL_DOC_TOKEN_SHARDS,
         "q_doc_pii": _sql_doc_pii(),
+        "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "q_doc_boilerplate": SQL_DOC_BOILERPLATE,

@@ -1,0 +1,128 @@
+"""End-to-end webtext training-corpus pipeline — the 100-TB deliverable
+that ties the crawl plane to the LLM hygiene plane:
+
+    pages (url, html)
+      → validate/canonicalize (vectorized kernels)
+      → extract text (actor pool; byte-identical to the stored column,
+        pinned by q_pages_extract_text)
+      → hygiene filters (Gopher repetition + min-length, streaming)
+      → global exact content dedup (coarse-bucket shuffle, min-url winner)
+      → fixed-token shard packing (distributed prefix scan over md5(url)
+        order — hash-prefix ranges generalize the integer-range scan of
+        q_doc_token_shards to string keys)
+
+Every stage is a bounded exchange or a stream: html never crosses a
+shuffle (dedup moves (sha256, url) projections), the driver holds one
+token count per 256 hash-prefix ranges, and the output is a Dataset ready
+for partitioned ``write_parquet`` keyed by ``shard_id``.
+
+Reference scope: composes the reference's archiving data plane
+(ref:core/orchestrator.py:589-668 stages 1/3, ref:s3_storage.py:50-64
+no-dups dedup) with the training-data hygiene operators this engine adds.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..sources.pages import ensure_pages
+from ..stages import enrich, textstats, validate
+from ..stages.dedup import exact_dedup
+from ..stages.extract import ExtractStage
+from ..stages.join import semi_join
+
+N_RANGES = 256  # md5-prefix ranges for the prefix scan (one byte)
+
+
+def webtext_corpus(
+    sf_dir: str,
+    shard_tokens: int = 2000,
+    min_tokens: int = 5,
+    extract_concurrency=(1, 8),
+):
+    """Returns a Dataset of (url, n_tokens, tok_offset, shard_id): the kept
+    corpus packed into fixed-token training shards, deterministically
+    ordered by md5(url)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=512)
+    ds = ds.map_batches(
+        ExtractStage, batch_format="pyarrow", batch_size=256, concurrency=extract_concurrency
+    )
+
+    def hygiene(batch: pa.Table) -> pa.Table:
+        # repetition_stats preserves row order -> positional realignment
+        rep = textstats.repetition_stats(batch, id_col="url", text_col="text_extracted")
+        out = pa.table(
+            {
+                "url": batch["url"],
+                "sha256": batch["sha256"],
+                "n_tokens": rep["n_tokens"],
+            }
+        )
+        mask = pc.and_(rep["keep"], pc.greater_equal(rep["n_tokens"], min_tokens))
+        return out.filter(mask)
+
+    filtered = ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024)
+
+    # global content dedup: min-url winner per payload hash; only the
+    # (sha256, url) projection shuffles, survivors rejoin by url through
+    # the sharded key-set semi join (urls are unique per input contract)
+    winners = exact_dedup(
+        filtered.select_columns(["sha256", "url"]), "sha256", "url", strategy="shuffle"
+    )
+    surv = semi_join(
+        filtered.select_columns(["url", "n_tokens"]),
+        winners.select_columns(["url"]),
+        on="url",
+        strategy="sharded",
+    )
+
+    # distributed prefix scan in md5(url) order: pass 1 reduces one token
+    # sum per hash-prefix range on the driver; pass 2 adds the range base
+    # to a vectorized within-range cumsum (q_doc_token_shards generalized
+    # to string keys via contiguous-hash-prefix ranges)
+    def add_scan_keys(batch: pa.Table) -> pa.Table:
+        rks = [hashlib.md5(u.encode("utf-8")).hexdigest() for u in batch.column("url").to_pylist()]
+        rng = np.asarray([int(r[:2], 16) for r in rks], dtype=np.int64)
+        return batch.append_column("rk", pa.array(rks, pa.string())).append_column(
+            "rng", pa.array(rng)
+        )
+
+    keyed = surv.map_batches(add_scan_keys, batch_format="pyarrow", batch_size=8192)
+
+    from ..stages.agg import driver_reduce
+
+    range_sums = driver_reduce(
+        keyed.select_columns(["rng", "n_tokens"]), ["rng"], {"n_tokens": "sum"}
+    ).sort_values("rng")
+    ranges = range_sums["rng"].to_numpy(dtype=np.int64)
+    bases = np.concatenate([[0], range_sums["n_tokens"].to_numpy(dtype=np.int64).cumsum()[:-1]])
+    rng_ref = ray.put(ranges)
+    base_ref = ray.put(bases)
+
+    def range_scan(g: pd.DataFrame) -> pd.DataFrame:
+        rngs, base = ray.get(rng_ref), ray.get(base_ref)
+        g = g.sort_values(["rk", "url"], kind="mergesort")
+        off = base[np.searchsorted(rngs, int(g["rng"].iloc[0]))]
+        n = g["n_tokens"].to_numpy(dtype=np.int64)
+        tok_off = off + np.concatenate([[0], n.cumsum()[:-1]])
+        return pd.DataFrame(
+            {
+                "url": g["url"].to_numpy(),
+                "n_tokens": n,
+                "tok_offset": tok_off,
+                "shard_id": tok_off // shard_tokens,
+            }
+        )
+
+    return keyed.groupby("rng").map_groups(range_scan, batch_format="pandas")

@@ -146,3 +146,30 @@ def test_token_shards_scan_crosses_ranges(ray_session):
     assert (out["tok_offset"].to_numpy() == off).all()
     assert (out["shard_id"].to_numpy() == off // 500).all()
     assert out["shard_id"].nunique() > 3  # the packing actually splits
+
+
+def test_webtext_corpus_end_to_end(ray_session):
+    """Composite pipeline invariants at sf0.001: survivors are unique by
+    url, offsets are a consistent prefix sum in md5(url) order, and both
+    the hygiene filter and the content dedup actually removed rows."""
+    import hashlib
+
+    import numpy as np
+
+    from auto_archiver_ray.pipelines.webtext import webtext_corpus
+
+    out = (
+        webtext_corpus("/root/testdata/sf0.001", extract_concurrency=2)
+        .to_pandas()
+        .sort_values("tok_offset")
+        .reset_index(drop=True)
+    )
+    assert len(out) > 50
+    assert out["url"].is_unique
+    # offsets: exclusive prefix sum of n_tokens in output order
+    n = out["n_tokens"].to_numpy(dtype=np.int64)
+    assert (out["tok_offset"].to_numpy() == np.concatenate([[0], n.cumsum()[:-1]])).all()
+    assert (out["shard_id"].to_numpy() == out["tok_offset"].to_numpy() // 2000).all()
+    # order is md5(url) ascending
+    rks = [hashlib.md5(u.encode()).hexdigest() for u in out["url"]]
+    assert rks == sorted(rks)
