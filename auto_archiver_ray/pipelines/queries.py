@@ -1376,6 +1376,64 @@ GROUP BY platform ORDER BY platform
 """
 
 
+def q_pages_host_quality(sf_dir: str):
+    """Domain-reputation table (the crawl-side quality gate every webtext
+    pipeline applies before training): per-host page and deleted-page
+    counts, hosts flagged when >= 20% of their pages hit deletion
+    indicators (integer threshold 5*n_deleted >= n_pages). Per-batch Arrow
+    partials -> bucketed distributed groupby (hosts are UNBOUNDED at crawl
+    scale — never a driver reduce) -> stateless flag map. The flagged set
+    is what a production run would broadcast back as a page filter (the
+    exact_dedup winner-broadcast pattern)."""
+    from ..stages.agg import bucketed_group_agg
+    from .archive import archive_pages
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_pages": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "n_deleted": pc.cast(batch["deletion_detected"], pa.int64()),
+            }
+        )
+        return t.group_by("host").aggregate(
+            [("n_pages", "sum"), ("n_deleted", "sum")]
+        ).rename_columns(["host", "n_pages", "n_deleted"])
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"n_pages": "sum", "n_deleted": "sum"},
+        num_buckets=64,
+    )
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["flagged"] = 5 * df["n_deleted"] >= df["n_pages"]
+        return df
+
+    out = agg.map_batches(flag, batch_format="pandas").to_pandas()
+    out["n_pages"] = out["n_pages"].astype("int64")
+    out["n_deleted"] = out["n_deleted"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_pages_host_quality() -> str:
+    return f"""
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_pages,
+       CAST(SUM(CASE WHEN {_deleted_case_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       (5 * SUM(CASE WHEN {_deleted_case_sql()} THEN 1 ELSE 0 END) >= COUNT(*)) AS flagged
+FROM (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+         {_platform_case_sql()} AS platform, text
+  FROM __PAGES__ WHERE {_VALID_SQL}
+)
+GROUP BY host ORDER BY host
+"""
+
+
 def q_pages_media_plan(sf_dir: str):
     """Media plane (rows-only): discovered links → relevance filter →
     best-quality → dedup by media url hash → storage keys."""
@@ -2288,6 +2346,45 @@ FROM scan ORDER BY doc_id
 """
 
 
+def q_doc_rank_perplexity(sf_dir: str):
+    """Unigram-LM quality proxy (the CCNet-style perplexity filter kept
+    integer-exact): score = sum over tokens of the token's global frequency
+    rank (rank 1 = most common; low sums ≈ common language, high sums ≈
+    gibberish/rare-token soup). Global tf via per-batch partials + driver
+    reduce (vocabulary is sublinear in corpus size); ranks broadcast once
+    as sorted parallel arrays; one scoring map pass — no shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf_tbl = driver_reduce(
+        ds.map_batches(textstats.term_tf_partials, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        {"tf": "sum"},
+    )
+    tf_tbl = tf_tbl.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort")
+    tf_tbl["rank"] = np.arange(1, len(tf_tbl) + 1, dtype=np.int64)
+    tf_tbl = tf_tbl.sort_values("term")
+    fn = textstats.rank_score_stage(
+        np.asarray(tf_tbl["term"].to_numpy(), dtype=object),
+        tf_tbl["rank"].to_numpy().astype(np.int64),
+    )
+    out = ds.map_batches(fn, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_RANK_PERPLEXITY = f"""
+WITH {_SQL_DOC_TOKS},
+tf AS (SELECT tok AS term, COUNT(*) AS c FROM toks GROUP BY tok),
+r AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rnk FROM tf),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(rnk) AS BIGINT) AS rank_sum
+  FROM toks JOIN r ON tok = r.term GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, COALESCE(p.rank_sum, 0) AS rank_sum
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_doc_pii(sf_dir: str):
     """PII scan + redaction over the documents table (C4/Dolma hygiene
     pass): per-doc email/IPv4/phone detection counts on the raw text and a
@@ -2358,8 +2455,10 @@ QUERIES = {
     "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_doc_length_quantiles": q_doc_length_quantiles,
     "q_doc_token_shards": q_doc_token_shards,
+    "q_doc_rank_perplexity": q_doc_rank_perplexity,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
+    "q_pages_host_quality": q_pages_host_quality,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2492,8 +2591,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
         "q_doc_token_shards": SQL_DOC_TOKEN_SHARDS,
+        "q_doc_rank_perplexity": SQL_DOC_RANK_PERPLEXITY,
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
+        "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "q_doc_boilerplate": SQL_DOC_BOILERPLATE,

@@ -393,3 +393,57 @@ def length_hist_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ks = np.fromiter(c.keys(), dtype=np.int64, count=len(c))
     vs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
     return pa.table({"n_tokens": pa.array(ks), "cnt": pa.array(vs)})
+
+
+def term_tf_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial TOTAL term frequency (occurrence counts, unlike
+    :func:`term_df_partials`'s document counts): one (term, tf) row per
+    distinct term per batch; summing over batches is the exact corpus tf."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        c.update((t or "").split())
+    return pa.table(
+        {
+            "term": pa.array(list(c.keys()), pa.string()),
+            "tf": pa.array(np.fromiter(c.values(), dtype=np.int64, count=len(c))),
+        }
+    )
+
+
+def rank_score_stage(vocab_sorted: np.ndarray, ranks: np.ndarray):
+    """Build a map_batches fn scoring each doc by the sum of its tokens'
+    GLOBAL frequency ranks (rank 1 = most frequent term; ties broken by
+    term) — an integer-exact unigram-LM perplexity proxy (the CCNet-style
+    quality signal without float log-probs, so the distributed result
+    hash-matches SQL). ``vocab_sorted``/``ranks``: parallel arrays sorted
+    by term, broadcast once via ray.put — searchsorted lookup per batch,
+    no shuffle (natural-language vocabulary is sublinear in corpus size)."""
+    import ray
+
+    vocab_ref = ray.put(vocab_sorted) if not isinstance(vocab_sorted, ray.ObjectRef) else vocab_sorted
+    rank_ref = ray.put(ranks) if not isinstance(ranks, ray.ObjectRef) else ranks
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        vocab, rk = ray.get(vocab_ref), ray.get(rank_ref)
+        ids = batch.column(id_col).to_pylist()
+        n_out = np.zeros(len(ids), dtype=np.int64)
+        s_out = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = np.asarray((t or "").split(), dtype=object)
+            if not toks.size:
+                continue
+            uniq, cnt = np.unique(toks, return_counts=True)
+            pos = np.searchsorted(vocab, uniq)  # every token is in the corpus vocab
+            n_out[i] = cnt.sum()
+            s_out[i] = int((cnt * rk[pos]).sum())
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_tokens": pa.array(n_out),
+                "rank_sum": pa.array(s_out),
+            }
+        )
+
+    return fn

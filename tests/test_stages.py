@@ -306,3 +306,21 @@ def test_audio_feature_stage():
         AudioFeatureStage, batch_format="pyarrow", concurrency=1
     ).to_pandas()
     assert np.allclose(np.asarray(out2["audio_feature"][0]), f)
+
+
+def test_rank_score_stage(ray_session):
+    batch = pa.table({"doc_id": [0, 1, 2], "text": ["the the cat", "zyzzyva", ""]})
+    # corpus tf: the=2(rank1), cat=1(rank2 by term), zyzzyva=1(rank3)
+    tf = {"the": 2, "cat": 1, "zyzzyva": 1}
+    import numpy as np
+
+    order = sorted(tf, key=lambda t: (-tf[t], t))
+    ranks = {t: i + 1 for i, t in enumerate(order)}
+    vocab = np.asarray(sorted(tf), dtype=object)
+    rk = np.asarray([ranks[t] for t in vocab], dtype=np.int64)
+    from auto_archiver_ray.stages.textstats import rank_score_stage
+
+    out = rank_score_stage(vocab, rk)(batch)
+    assert out.column("n_tokens").to_pylist() == [3, 1, 0]
+    # doc 0: the(1)*2 + cat(2)*1 = 4; doc 1: zyzzyva rank 3
+    assert out.column("rank_sum").to_pylist() == [4, 3, 0]
