@@ -72,7 +72,13 @@ def webtext_corpus(
         mask = pc.and_(rep["keep"], pc.greater_equal(rep["n_tokens"], min_tokens))
         return out.filter(mask)
 
-    filtered = ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024)
+    # materialize at the branch point: `filtered` feeds BOTH the winner
+    # selection and the survivor rejoin — without pinning, Ray's lineage
+    # would re-run the whole validate→extract chain once per consumer.
+    # This is the skinny (url, sha256, n_tokens) projection (~120 B/row;
+    # html/text already dropped), spillable object-store state, never
+    # driver-resident.
+    filtered = ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024).materialize()
 
     # global content dedup: min-url winner per payload hash; only the
     # (sha256, url) projection shuffles, survivors rejoin by url through
@@ -98,7 +104,14 @@ def webtext_corpus(
             "rng", pa.array(rng)
         )
 
-    keyed = surv.map_batches(add_scan_keys, batch_format="pyarrow", batch_size=8192)
+    # materialize the SKINNY survivor projection (url, n_tokens, rk, rng —
+    # ~100 B/row; html/text were dropped stages ago) before the scan: both
+    # scan passes consume it, and without pinning, pass 2's groupby would
+    # re-execute the dedup/join lineage a second time (this pin plus the
+    # branch-point pin above measured 30.8 s → 7.7 s at sf0.1). At 100 TB
+    # this is ~100 B × survivors in the object store — spillable, still
+    # never on the driver.
+    keyed = surv.map_batches(add_scan_keys, batch_format="pyarrow", batch_size=8192).materialize()
 
     from ..stages.agg import driver_reduce
 

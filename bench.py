@@ -89,6 +89,8 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_minhash_pairs",
             "q_pages_dedup",
             "q_knn",
+            "q_doc_dupspans",
+            "q_webtext_corpus",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
