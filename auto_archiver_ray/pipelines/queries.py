@@ -1160,6 +1160,55 @@ def q_doc_neardup_dedup(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_segment_dedup(sf_dir: str):
+    """CCNet-style segment-level dedup (Wenzek et al. 2020 §3.1): every
+    distinct 15-token segment survives exactly once corpus-wide (first
+    occurrence = min doc_id, then min seg_idx) and each doc is rebuilt from
+    its surviving segments. Only (md5(seg), doc_id, seg_idx) keys shuffle;
+    dropped-occurrence lists live in a doc-sharded actor pool and the corpus
+    streams through a stateless rebuild — see stages/dedup.segment_dedup."""
+    from ..stages.dedup import segment_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = segment_dedup(ds).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# segment s (0-based) of a doc = tokens [s*15+1 .. s*15+15] (1-based list
+# slice, clipped); the first global occurrence of each distinct segment text
+# is ordered by (doc_id, seg_idx)
+SQL_DOC_SEGMENT_DEDUP = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+  FROM documents
+),
+segs AS (
+  SELECT doc_id, i AS seg_idx,
+         array_to_string(ws[i * 15 + 1 : i * 15 + 15], ' ') AS seg
+  FROM (SELECT doc_id, ws, unnest(range(0, (len(ws) + 14) // 15)) AS i FROM t)
+),
+kept AS (
+  SELECT doc_id, seg_idx, seg FROM (
+    SELECT doc_id, seg_idx, seg,
+           row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS occ
+    FROM segs
+  ) WHERE occ = 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(ns.n, 0) AS BIGINT) AS n_segments,
+       CAST(COALESCE(ks.n, 0) AS BIGINT) AS kept_segments,
+       COALESCE(ks.txt, '') AS clean_text
+FROM documents d
+LEFT JOIN (SELECT doc_id, COUNT(*) AS n FROM segs GROUP BY doc_id) ns USING (doc_id)
+LEFT JOIN (
+  SELECT doc_id, COUNT(*) AS n, string_agg(seg, ' ' ORDER BY seg_idx) AS txt
+  FROM kept GROUP BY doc_id
+) ks USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 def q_webtext_corpus(sf_dir: str):
     """Flagship composite: the end-to-end webtext training-corpus pipeline
     (validate → extract → repetition/length hygiene → global content dedup
@@ -2464,6 +2513,7 @@ QUERIES = {
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
     "q_doc_clusters": q_doc_clusters,
     "q_doc_neardup_dedup": q_doc_neardup_dedup,
+    "q_doc_segment_dedup": q_doc_segment_dedup,
     "q_pages_extract_text": q_pages_extract_text,
     "q_pages_hosts": q_pages_hosts,
     "q_pages_dedup": q_pages_dedup,
@@ -2596,6 +2646,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,
         "q_doc_boilerplate": SQL_DOC_BOILERPLATE,
         "q_doc_minhash_pairs": (

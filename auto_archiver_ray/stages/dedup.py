@@ -878,3 +878,150 @@ def embedding_neardup_pairs(
     return pairs.map_batches(add_pb, batch_format="pyarrow").groupby("__pb").map_groups(
         dedup_pairs, batch_format="pandas"
     )
+
+
+# ---------------------------------------------------------------------------
+# segment-level (CCNet-style paragraph) dedup
+# ---------------------------------------------------------------------------
+
+
+def _lazy_droplist_shard():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class DropListShard:
+        """Holds dropped (doc_id -> [seg_idx...]) lists for one hash shard.
+
+        State is proportional to the DUPLICATE mass only (kept occurrences
+        are never stored), so at 100 TB the pool holds the duplicated-segment
+        tail, not the corpus."""
+
+        def __init__(self):
+            self._d: dict = {}
+
+        def add(self, ids, idxs) -> int:
+            d = self._d
+            for i, x in zip(ids.tolist(), idxs.tolist()):
+                d.setdefault(i, []).append(x)
+            return len(ids)
+
+        def get(self, ids):
+            d = self._d
+            return [d.get(i) for i in ids.tolist()]
+
+    return DropListShard
+
+
+def _doc_segments(text: str, seg_tokens: int) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i : i + seg_tokens]) for i in range(0, len(toks), seg_tokens)]
+
+
+def segment_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seg_tokens: int = 15,
+    num_buckets: int = 256,
+    num_shards: int = 16,
+):
+    """CCNet-style segment-level dedup (Wenzek et al. 2020 §3.1, adapted to
+    newline-free docs): split each doc into consecutive ``seg_tokens``-token
+    segments, keep exactly the FIRST occurrence (min doc_id, then min
+    seg_idx) of every distinct segment text corpus-wide, and rebuild each doc
+    from its surviving segments.
+
+    Scale shape (100 TB): the only all-to-all moves (md5(seg), doc_id,
+    seg_idx) occurrence keys — never text; winner election is a vectorized
+    ``duplicated(keep='first')`` inside hash(seg)%num_buckets coarse buckets;
+    the dropped-occurrence lists (duplicate mass only) are pushed into a
+    doc-sharded actor pool; documents then STREAM through a stateless rebuild
+    with batched per-shard lookups — the corpus itself is never shuffled.
+
+    Returns a Dataset of (doc_id, n_segments, kept_segments, clean_text).
+    """
+    import hashlib
+
+    import ray
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        ids, idxs, keys = [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            for j, seg in enumerate(_doc_segments(text or "", seg_tokens)):
+                ids.append(did)
+                idxs.append(j)
+                keys.append(hashlib.md5(seg.encode("utf-8")).hexdigest())
+        t = pa.table(
+            {
+                "seg_key": pa.array(keys, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "seg_idx": pa.array(idxs, pa.int64()),
+            }
+        )
+        return t.append_column("__kb", pa.array(_coarse_u64(keys, num_buckets)))
+
+    def elect_dropped(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["seg_key", id_col, "seg_idx"], kind="mergesort")
+        dropped = g[g.duplicated("seg_key", keep="first")]
+        return dropped[[id_col, "seg_idx"]]
+
+    dropped = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(occ_rows, batch_format="pyarrow", batch_size=2048)
+        .groupby("__kb")
+        .map_groups(elect_dropped, batch_format="pandas")
+    )
+
+    DropListShard = _lazy_droplist_shard()
+    shards = [DropListShard.remote() for _ in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        idxs = np.asarray(batch.column("seg_idx").to_pylist(), dtype=np.int64)
+        sid = _coarse_u64(ids, num_shards)
+        futs = [shards[int(s)].add.remote(ids[sid == s], idxs[sid == s]) for s in np.unique(sid)]
+        ray.get(futs)  # delivery barrier — rows are shard-resident before the task ends
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    # tiny one-row-per-batch output just drives execution of the push
+    dropped.map_batches(push, batch_format="pyarrow").sum("n")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n = len(ids)
+        drop_lists: list = [None] * n
+        if n:
+            arr = np.asarray(ids, dtype=np.int64)
+            sid = _coarse_u64(arr, num_shards)
+            futs, idx_groups = [], []
+            for s in np.unique(sid):
+                sel = np.nonzero(sid == s)[0]
+                futs.append(shards[int(s)].get.remote(arr[sel]))
+                idx_groups.append(sel)
+            for fut, sel in zip(ray.get(futs), idx_groups):
+                for pos, lst in zip(sel, fut):
+                    drop_lists[pos] = lst
+        n_segs, kept, clean = [], [], []
+        for text, drops in zip(texts, drop_lists):
+            segs = _doc_segments(text or "", seg_tokens)
+            if drops:
+                skip = set(drops)
+                keep_segs = [s for j, s in enumerate(segs) if j not in skip]
+            else:
+                keep_segs = segs
+            n_segs.append(len(segs))
+            kept.append(len(keep_segs))
+            clean.append(" ".join(keep_segs))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_segments": pa.array(n_segs, pa.int64()),
+                "kept_segments": pa.array(kept, pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rebuild, batch_format="pyarrow", batch_size=2048
+    )

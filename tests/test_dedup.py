@@ -283,3 +283,39 @@ def test_neardup_dedup_keeps_cluster_min():
         .to_pandas()["doc_id"]
     )
     assert kept == list(range(10)) + [100]  # cluster 100-103 → min id 100 survives
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_segment_dedup_planted_duplicates():
+    """Planted shared segments: first occurrence (min doc_id, min seg_idx)
+    survives, later occurrences drop, docs rebuild from surviving segments."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import segment_dedup
+
+    seg_a = " ".join(f"alpha{i}" for i in range(15))     # shared by docs 0,1,2
+    seg_b = " ".join(f"beta{i}" for i in range(15))      # shared inside doc 3
+    uniq = [" ".join(f"u{d}w{i}" for i in range(15)) for d in range(4)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                seg_a + " " + uniq[0],          # owner of seg_a
+                uniq[1] + " " + seg_a,          # later doc: seg_a dropped
+                seg_a,                          # later doc: everything dropped
+                seg_b + " " + seg_b + " tail",  # in-doc repeat: 2nd copy dropped
+            ],
+        }
+    )
+    out = (
+        segment_dedup(rd.from_pandas(docs), num_buckets=8, num_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_segments"].tolist() == [2, 2, 1, 3]
+    assert out["kept_segments"].tolist() == [2, 1, 0, 2]
+    assert out.loc[0, "clean_text"] == seg_a + " " + uniq[0]
+    assert out.loc[1, "clean_text"] == uniq[1]
+    assert out.loc[2, "clean_text"] == ""
+    assert out.loc[3, "clean_text"] == seg_b + " tail"
