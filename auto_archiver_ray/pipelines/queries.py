@@ -1483,6 +1483,87 @@ GROUP BY host ORDER BY host
 """
 
 
+def q_crawl_incremental(sf_dir: str):
+    """Incremental (snapshot-over-snapshot) crawl admission: a new sweep is
+    probed against the PRIOR crawl's archived-URL manifest and only unseen
+    URLs are admitted to the frontier. The manifest is a Dataset streamed
+    into the sharded key-set actor pool (8 B/key per shard) and the sweep
+    streams through batched contains() probes — the real
+    ``stages.join.anti_join(strategy="sharded")`` path, no driver key set,
+    works for an arbitrary external manifest table at 10^10-URL scale.
+
+    Sandbox determinism: no second crawl exists, so the prior manifest is
+    derived from the same table as the ~50% of valid URLs with
+    md5(url)[0] < '8' — the SQL oracle can therefore shortcut the anti-join
+    to a predicate, while the Ray side exercises the full manifest-join
+    machinery."""
+    import hashlib
+
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+    # pin the branch point: the key-only projection feeds BOTH the manifest
+    # build and the probe side (lazy lineage would re-run validate twice)
+    keys = ds.select_columns(["url", "host"]).materialize()
+
+    def manifest_mask(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        m = [hashlib.md5(u.encode()).hexdigest()[0] < "8" for u in urls]
+        return batch.filter(pa.array(m, pa.bool_()))
+
+    prior = keys.map_batches(manifest_mask, batch_format="pyarrow").select_columns(["url"])
+    admitted = anti_join(keys, prior, on="url", strategy="sharded")
+    return admitted.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+SQL_CRAWL_INCREMENTAL = f"""
+WITH v AS (
+  SELECT url, regexp_extract(url, '^https?://([^/?#]+)', 1) AS host
+  FROM __PAGES__ WHERE {_VALID_SQL}
+)
+SELECT url, host FROM v WHERE substr(md5(url), 1, 1) >= '8' ORDER BY url
+"""
+
+
+def q_pages_urlfilter(sf_dir: str):
+    """UT1-style URL hygiene gate (lexical spam needles + digit-ratio /
+    depth / param-count heuristics, cf. RefinedWeb §3.1): per-URL feature
+    columns + keep flag, every feature a single pyarrow-compute kernel call
+    over the batch. Stateless map — streams at any scale, zero shuffles."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    out = ds.map_batches(validate.url_feature_batch, batch_format="pyarrow", batch_size=8192)
+    return out.to_pandas().sort_values("url").reset_index(drop=True)
+
+
+def _sql_pages_urlfilter() -> str:
+    from ..stages.validate import URL_MAX_DEPTH, URL_MAX_LEN, URL_MAX_PARAMS, URL_SPAM_NEEDLES
+
+    spam = " OR ".join(f"lower(url) LIKE '%{n}%'" for n in URL_SPAM_NEEDLES)
+    return f"""
+SELECT url,
+       CAST(length(url) AS BIGINT) AS url_len,
+       CAST(length(regexp_replace(url, '[^0-9]', '', 'g')) AS BIGINT) AS n_digits,
+       CAST(length(url) - length(replace(url, '/', '')) AS BIGINT) AS depth,
+       CAST(CASE WHEN contains(url, '?')
+                 THEN length(url) - length(replace(url, '&', '')) + 1
+                 ELSE 0 END AS BIGINT) AS n_params,
+       ({spam}) AS spam,
+       contains(url, 'utm_') AS has_tracker,
+       (length(url) <= {URL_MAX_LEN}
+        AND length(url) - length(replace(url, '/', '')) <= {URL_MAX_DEPTH}
+        AND CASE WHEN contains(url, '?')
+                 THEN length(url) - length(replace(url, '&', '')) + 1
+                 ELSE 0 END <= {URL_MAX_PARAMS}
+        AND 10 * length(regexp_replace(url, '[^0-9]', '', 'g')) <= length(url)
+        AND NOT ({spam})) AS keep
+FROM __PAGES__ ORDER BY url
+"""
+
+
 def q_pages_media_plan(sf_dir: str):
     """Media plane (rows-only): discovered links → relevance filter →
     best-quality → dedup by media url hash → storage keys."""
@@ -2277,6 +2358,79 @@ WHERE rnk <= 10 ORDER BY source, sample_rank
 """
 
 
+def q_doc_source_mix(sf_dir: str):
+    """Temperature-scaled source mixing (the sqrt-downweighting idiom of
+    multilingual/multi-source sampling, e.g. XLM-R): each source gets a
+    TOKEN budget of 8*sqrt(its total tokens) — big sources are sublinearly
+    represented — filled greedily by md5(doc_id)-ranked docs while the
+    per-source running token count stays within budget. One shuffle of
+    (source, doc_id, rank-key, ntok) rows to hash(source)%64 coarse buckets;
+    budget + rank + prefix-sum all vectorized inside the bucket (sources
+    UNBOUNDED — never one Ray group per source). sqrt is IEEE
+    correctly-rounded on integer input, the cumsum is integer, so the
+    selection is bit-identical to the SQL oracle."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        rk = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        ntok = np.asarray([len((t or "").split()) for t in texts], dtype=np.int64)
+        src = np.asarray([str(s) for s in batch.column("source").to_pylist()], dtype=object)
+        hb = (pd.util.hash_array(src, categorize=False) % np.uint64(64)).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "doc_id": batch["doc_id"],
+                "rk": pa.array(rk, pa.string()),
+                "ntok": pa.array(ntok),
+                "__kb": pa.array(hb),
+            }
+        )
+
+    def bucket_mix(g: pd.DataFrame) -> pd.DataFrame:
+        tot = g.groupby("source")["ntok"].transform("sum").to_numpy().astype(np.float64)
+        g = g.assign(budget=8.0 * np.sqrt(tot))
+        g = g.sort_values(["source", "rk", "doc_id"], kind="mergesort")
+        g["mix_rank"] = (g.groupby("source", sort=False).cumcount() + 1).astype("int64")
+        g["cum_tokens"] = g.groupby("source", sort=False)["ntok"].cumsum().astype("int64")
+        g = g[g["cum_tokens"] <= g["budget"]]
+        return g[["source", "doc_id", "mix_rank", "cum_tokens"]]
+
+    out = (
+        ds.map_batches(add_keys, batch_format="pyarrow", batch_size=8192)
+        .groupby("__kb")
+        .map_groups(bucket_mix, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values(["source", "mix_rank"]).reset_index(drop=True)
+
+
+SQL_DOC_SOURCE_MIX = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok
+  FROM documents
+),
+b AS (SELECT source, 8.0 * sqrt(CAST(SUM(ntok) AS DOUBLE)) AS budget FROM t GROUP BY source),
+r AS (
+  SELECT source, doc_id, ntok,
+         row_number() OVER w AS rnk,
+         SUM(ntok) OVER (
+           PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM t WINDOW w AS (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+)
+SELECT r.source, r.doc_id, CAST(r.rnk AS BIGINT) AS mix_rank, CAST(r.cum AS BIGINT) AS cum_tokens
+FROM r JOIN b USING (source) WHERE r.cum <= b.budget
+ORDER BY source, mix_rank
+"""
+
+
 def q_doc_length_quantiles(sf_dir: str):
     """EXACT discrete length quantiles (p10/p25/p50/p75/p90/p99 of per-doc
     token counts) via a distributed histogram: per-batch (n_tokens, cnt)
@@ -2502,12 +2656,15 @@ QUERIES = {
     "q_doc_top_terms": q_doc_top_terms,
     "q_doc_dupspans": q_doc_dupspans,
     "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_source_mix": q_doc_source_mix,
     "q_doc_length_quantiles": q_doc_length_quantiles,
     "q_doc_token_shards": q_doc_token_shards,
     "q_doc_rank_perplexity": q_doc_rank_perplexity,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
+    "q_pages_urlfilter": q_pages_urlfilter,
+    "q_crawl_incremental": q_crawl_incremental,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -2639,12 +2796,15 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_top_terms": SQL_DOC_TOP_TERMS,
         "q_doc_dupspans": SQL_DOC_DUPSPANS,
         "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
+        "q_doc_source_mix": SQL_DOC_SOURCE_MIX,
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
         "q_doc_token_shards": SQL_DOC_TOKEN_SHARDS,
         "q_doc_rank_perplexity": SQL_DOC_RANK_PERPLEXITY,
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
+        "q_pages_urlfilter": _sql_pages(sf_dir, _sql_pages_urlfilter()),
+        "q_crawl_incremental": _sql_pages(sf_dir, SQL_CRAWL_INCREMENTAL),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -130,3 +130,60 @@ def keep_valid(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 
     return batch.filter(pc.field("valid"))
+
+
+# UT1-blacklist-style lexical spam markers (the public adult/fraud URL
+# heuristic family); deterministic constants shared verbatim with the
+# q_pages_urlfilter SQL oracle.
+URL_SPAM_NEEDLES = ("casino", "viagra", "porn", "xxx", "win-money")
+
+URL_MAX_LEN = 120
+URL_MAX_DEPTH = 6
+URL_MAX_PARAMS = 3
+
+
+def url_feature_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Vectorized URL hygiene gate (UT1-style lexical filtering + the
+    digit-ratio / depth / param-count heuristics of web-corpus curation,
+    cf. Penedo et al. 2023 RefinedWeb §3.1 URL filtering). Every feature is
+    one pyarrow-compute kernel call over the batch — no per-row Python.
+
+    keep = len<=120 AND depth<=6 AND params<=3 AND 10*digits<=len AND no
+    spam needle. ``has_tracker`` is informational (cleaning strips utm_*).
+    """
+    import pyarrow.compute as pc
+
+    url = batch.column(url_col)
+    url_len = pc.cast(pc.utf8_length(url), pa.int64())
+    n_digits = pc.cast(pc.count_substring_regex(url, "[0-9]"), pa.int64())
+    depth = pc.cast(pc.count_substring(url, "/"), pa.int64())
+    n_amp = pc.cast(pc.count_substring(url, "&"), pa.int64())
+    has_q = pc.greater(pc.count_substring(url, "?"), 0)
+    n_params = pc.if_else(has_q, pc.add(n_amp, 1), pa.scalar(0, pa.int64()))
+    lower = pc.utf8_lower(url)
+    spam = pc.match_substring(lower, URL_SPAM_NEEDLES[0])
+    for needle in URL_SPAM_NEEDLES[1:]:
+        spam = pc.or_(spam, pc.match_substring(lower, needle))
+    has_tracker = pc.match_substring(url, "utm_")
+    keep = pc.and_(
+        pc.and_(
+            pc.and_(pc.less_equal(url_len, URL_MAX_LEN), pc.less_equal(depth, URL_MAX_DEPTH)),
+            pc.and_(
+                pc.less_equal(n_params, URL_MAX_PARAMS),
+                pc.less_equal(pc.multiply(n_digits, pa.scalar(10, pa.int64())), url_len),
+            ),
+        ),
+        pc.invert(spam),
+    )
+    return pa.table(
+        {
+            url_col: url,
+            "url_len": url_len,
+            "n_digits": n_digits,
+            "depth": depth,
+            "n_params": n_params,
+            "spam": spam,
+            "has_tracker": has_tracker,
+            "keep": keep,
+        }
+    )

@@ -324,3 +324,77 @@ def test_rank_score_stage(ray_session):
     assert out.column("n_tokens").to_pylist() == [3, 1, 0]
     # doc 0: the(1)*2 + cat(2)*1 = 4; doc 1: zyzzyva rank 3
     assert out.column("rank_sum").to_pylist() == [4, 3, 0]
+
+
+def test_url_feature_batch_gate():
+    from auto_archiver_ray.stages.validate import url_feature_batch
+
+    urls = [
+        "https://ok.example.org/p/1",                        # clean -> keep
+        "https://spam.example.org/free-casino-chips",        # spam needle
+        "https://d.example.org/1234567890123456",            # digit-heavy
+        "https://q.example.org/p?a=1&b=2&c=3&d=4",           # 4 params
+        "https://deep.example.org/a/b/c/d/e/f/g/h",          # depth > 6
+        "https://t.example.org/p/2?utm_source=x",            # tracker, kept
+    ]
+    out = url_feature_batch(pa.table({"url": urls}))
+    assert out.column("keep").to_pylist() == [True, False, False, False, False, True]
+    assert out.column("spam").to_pylist() == [False, True, False, False, False, False]
+    assert out.column("has_tracker").to_pylist() == [False, False, False, False, False, True]
+    assert out.column("n_params").to_pylist() == [0, 0, 0, 4, 0, 1]
+    row2 = out.slice(2, 1)
+    assert row2.column("n_digits").to_pylist() == [16]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_source_mix_budget_prefix():
+    """Selection is a per-source md5-ranked prefix within the 8*sqrt(token)
+    budget — re-derived serially with pandas."""
+    import hashlib
+
+    import pandas as pd
+
+    from auto_archiver_ray.pipelines.queries import q_doc_source_mix
+
+    sf = "/root/testdata/sf0.001"
+    out = q_doc_source_mix(sf)
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source", "text"])
+    docs["ntok"] = docs["text"].map(lambda t: len((t or "").split()))
+    docs["rk"] = docs["doc_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    expect = []
+    for src, g in docs.groupby("source"):
+        budget = 8.0 * np.sqrt(float(g["ntok"].sum()))
+        g = g.sort_values(["rk", "doc_id"], kind="mergesort")
+        cum = g["ntok"].cumsum()
+        sel = g[cum <= budget]
+        expect.extend(sel["doc_id"].tolist())
+    assert sorted(out["doc_id"].tolist()) == sorted(expect)
+    # ranks are a contiguous 1..k prefix per source
+    for _, g in out.groupby("source"):
+        assert g["mix_rank"].tolist() == list(range(1, len(g) + 1))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_incremental_partitions_valid_set():
+    """Admitted set is exactly the valid sweep minus the prior manifest."""
+    import hashlib
+
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_crawl_incremental
+    from auto_archiver_ray.sources.pages import ensure_pages
+    from auto_archiver_ray.stages import validate as v
+
+    sf = "/root/testdata/sf0.001"
+    out = q_crawl_incremental(sf)
+    valid = (
+        rd.read_parquet(ensure_pages(sf), columns=["url"])
+        .map_batches(v.validate_batch, batch_format="pyarrow")
+        .map_batches(v.keep_valid, batch_format="pyarrow")
+        .to_pandas()["url"]
+        .tolist()
+    )
+    admitted = set(out["url"])
+    manifest = {u for u in valid if hashlib.md5(u.encode()).hexdigest()[0] < "8"}
+    assert admitted == set(valid) - manifest
+    assert not admitted & manifest
