@@ -2612,6 +2612,123 @@ def _sql_doc_pii() -> str:
     return f"SELECT doc_id,\n  {counts},\n  {red} AS text_redacted\nFROM documents ORDER BY doc_id"
 
 
+def q_doc_classifier(sf_dir: str):
+    """Hashed-feature linear classifier scoring (the fastText architecture:
+    unigram + adjacent-bigram features hashed into 2^16 buckets, scored by a
+    broadcast weight vector). The weights are a deterministic integer
+    fixture standing in for trained parameters — see
+    :class:`textstats.HashedLinearStage` — so the SQL oracle re-derives the
+    identical scores from the closed-form weight expression. Actor-pool
+    map_batches (weights materialized once per actor), no shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        textstats.HashedLinearStage,
+        batch_format="pyarrow",
+        batch_size=4096,
+        concurrency=4,
+    )
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_CLASSIFIER = f"""
+WITH {_SQL_DOC_TOKS},
+uni AS (SELECT doc_id, tok AS f FROM toks),
+bi AS (
+  SELECT a.doc_id, a.tok || ' ' || b.tok AS f
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+feats AS (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi),
+scored AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_features,
+         CAST(SUM((CAST(md5_number_lower(f) % 65536 AS BIGINT) * 2654435761 + 99991) % 2000001 - 1000000) AS BIGINT) AS clf_score
+  FROM feats GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_features, 0) AS n_features,
+       COALESCE(s.clf_score, 0) AS clf_score,
+       COALESCE(s.clf_score, 0) >= 0 AS keep
+FROM documents d LEFT JOIN scored s USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_doc_dsir(sf_dir: str):
+    """DSIR-style importance selection (Xie et al. 2023) in integer rank
+    form: one combined pass computes per-term frequencies under BOTH the
+    raw corpus and the target subset (lang='en'); each distribution ranks
+    the union vocabulary (tf DESC, term); a doc's importance contrast is
+    sum(rank_raw - rank_target) over its tokens — positive means the doc's
+    vocabulary sits higher in the target distribution than in the raw one.
+    Partials + driver reduce for the term table (vocabulary sublinear in
+    corpus), rank arrays broadcast once via ray.put, one scoring map pass —
+    no shuffle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    tf_tbl = driver_reduce(
+        ds.map_batches(
+            lambda b: textstats.term_tf_lang_partials(b, target_lang="en"),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ),
+        ["term"],
+        {"tf": "sum", "tf_t": "sum"},
+    )
+    tf_tbl = tf_tbl.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort")
+    tf_tbl["r_raw"] = np.arange(1, len(tf_tbl) + 1, dtype=np.int64)
+    tf_tbl = tf_tbl.sort_values(["tf_t", "term"], ascending=[False, True], kind="mergesort")
+    tf_tbl["r_tgt"] = np.arange(1, len(tf_tbl) + 1, dtype=np.int64)
+    tf_tbl = tf_tbl.sort_values("term")
+    fn = textstats.rank_contrast_stage(
+        np.asarray(tf_tbl["term"].to_numpy(), dtype=object),
+        tf_tbl["r_raw"].to_numpy().astype(np.int64),
+        tf_tbl["r_tgt"].to_numpy().astype(np.int64),
+    )
+    out = ds.drop_columns(["lang"]).map_batches(fn, batch_format="pyarrow", batch_size=4096)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_DSIR = f"""
+WITH {_SQL_DOC_TOKS},
+tl AS (SELECT t.doc_id, t.tok, d.lang FROM toks t JOIN documents d USING (doc_id)),
+tf AS (
+  SELECT tok AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tf_t
+  FROM tl GROUP BY tok
+),
+r AS (
+  SELECT term,
+         CAST(row_number() OVER (ORDER BY tf DESC, term) AS BIGINT) AS r_raw,
+         CAST(row_number() OVER (ORDER BY tf_t DESC, term) AS BIGINT) AS r_tgt
+  FROM tf
+),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(r_raw - r_tgt) AS BIGINT) AS contrast_sum
+  FROM toks JOIN r ON tok = r.term GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.contrast_sum, 0) AS contrast_sum,
+       COALESCE(p.contrast_sum, 0) > 0 AS selected
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q_embed_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup over the embeddings table: bounded-sample
+    k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
+    vector with a lower-id neighbor at cosine >= 0.35 (the threshold the
+    embedding near-dup family uses on this synthetic table). Survivors as
+    (vec_id, cluster). Golden-checked against an independent serial
+    replay of the same spec (scripts/golden_serial.semdedup_serial)."""
+    rd = _rd()
+    from ..stages.similarity import semantic_dedup
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = semantic_dedup(ds, nlist=16, threshold=0.35).to_pandas()
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2660,6 +2777,9 @@ QUERIES = {
     "q_doc_length_quantiles": q_doc_length_quantiles,
     "q_doc_token_shards": q_doc_token_shards,
     "q_doc_rank_perplexity": q_doc_rank_perplexity,
+    "q_doc_classifier": q_doc_classifier,
+    "q_doc_dsir": q_doc_dsir,
+    "q_embed_semdedup": q_embed_semdedup,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -2800,6 +2920,12 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
         "q_doc_token_shards": SQL_DOC_TOKEN_SHARDS,
         "q_doc_rank_perplexity": SQL_DOC_RANK_PERPLEXITY,
+        "q_doc_classifier": SQL_DOC_CLASSIFIER,
+        "q_doc_dsir": SQL_DOC_DSIR,
+        "q_embed_semdedup": (
+            f"SELECT vec_id, cluster FROM read_parquet('{g}/q_embed_semdedup.parquet') "
+            "ORDER BY vec_id"
+        ),
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),

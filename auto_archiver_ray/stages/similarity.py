@@ -140,3 +140,78 @@ def knn_ivf(
         return batch.filter(pa.array(mask))
 
     return knn_brute_force(ds.map_batches(cell_filter, batch_format="pyarrow", batch_size=8192), q, k, id_col, vec_col)
+
+
+def semantic_dedup(
+    ds,
+    nlist: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+    chunk: int = 512,
+):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding space, then drop
+    within each cluster every vector that has a LOWER-id neighbor at cosine
+    >= ``threshold`` (the deterministic keep-one-representative rule; the
+    comparison runs against all lower-id members, dropped or not, so chains
+    a~b~c collapse to their minimum id). Returns the survivors as a Dataset
+    of ``(vec_id, cluster)``.
+
+    Scale shape: centroids come from a BOUNDED sample (never scales with
+    the corpus) and are broadcast once via ``ray.put``; the only shuffle
+    moves ``(id, cluster, unit-vector)`` rows — d float32s per row, no
+    payload. Per-cluster work is the O(m^2/chunk) chunked lower-triangle
+    matmul SemDeDup itself costs; at 100 TB you grow ``nlist``
+    proportionally (the paper's k ∝ N recipe) so cluster size — and the
+    m×d member matrix each group holds — stays bounded. ``chunk`` bounds
+    the sims buffer to chunk×m floats; the chunked evaluation order is part
+    of the spec (the serial golden replays it) so float comparisons at the
+    threshold are reproducible."""
+    import ray
+
+    cent = train_ivf_centroids(ds, nlist, vec_col, sample_rows, seed, iters)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "unit": pa.array([], pa.list_(pa.float32())),
+                }
+            )
+        unit = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        cl = (unit @ c.T).argmax(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "cluster": pa.array(cl),
+                "unit": pa.array(list(unit), pa.list_(pa.float32())),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
+
+    def cluster_survivors(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = np.asarray(g["unit"].tolist(), dtype=np.float32)
+        n = len(g)
+        dropped = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m.T  # (e-s, n)
+            for r in range(s, e):
+                if r > 0 and (sims[r - s, :r] >= threshold).any():
+                    dropped[r] = True
+        keep = g.loc[~dropped, [id_col, "cluster"]]
+        return keep
+
+    # one group per k-means cell — nlist is a bounded, caller-chosen constant,
+    # so per-key map_groups is safe here (unlike unbounded-key groupbys).
+    return assigned.groupby("cluster").map_groups(cluster_survivors, batch_format="pandas")

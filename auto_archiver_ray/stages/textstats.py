@@ -447,3 +447,153 @@ def rank_score_stage(vocab_sorted: np.ndarray, ranks: np.ndarray):
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear classifier (fastText architecture)
+# ---------------------------------------------------------------------------
+
+CLF_DIM = 1 << 16  # feature-hash buckets
+
+
+def fixture_weights(dim: int = CLF_DIM) -> np.ndarray:
+    """Deterministic INTEGER weight vector standing in for trained fastText
+    parameters (the container has no trained model; a real deployment loads
+    its weights here and broadcasts them the same way). w(b) in
+    [-1e6, 1e6], a fixed affine-mod mix of the bucket index — the identical
+    closed form is evaluated in the SQL oracle, so scores hash-match."""
+    b = np.arange(dim, dtype=np.uint64)
+    return ((b * np.uint64(2654435761) + np.uint64(99991)) % np.uint64(2000001)).astype(
+        np.int64
+    ) - 1000000
+
+
+class HashedLinearStage:
+    """fastText-style document scoring: whitespace unigrams + adjacent-word
+    bigrams, feature-hashed into ``dim`` buckets (md5 low-8-bytes mod dim —
+    the exact hash DuckDB's ``md5_number_lower`` computes, so an oracle can
+    re-derive scores), scored by a linear layer ``score = sum w[bucket]``
+    over occurrences (fastText's mean-of-embeddings collapsed to 1-d and
+    kept in integers so distributed == SQL bit-for-bit).
+
+    Actor-pool stage: the weight vector is materialized ONCE per actor in
+    ``__init__`` (model load position); ``__call__`` is the batched
+    inference pass. Per-batch cost is dominated by hashing the batch's
+    UNIQUE features — duplicates are folded by np.unique before any md5.
+    No shuffle; streams at any scale."""
+
+    def __init__(self, weights: np.ndarray | None = None, bigrams: bool = True):
+        self.w = fixture_weights() if weights is None else np.asarray(weights, dtype=np.int64)
+        self.dim = len(self.w)
+        self.bigrams = bigrams
+
+    def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        import hashlib
+
+        ids = batch.column(id_col).to_pylist()
+        feats: list[str] = []
+        offsets = [0]
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            feats.extend(toks)
+            if self.bigrams and len(toks) > 1:
+                feats.extend(a + " " + b for a, b in zip(toks, toks[1:]))
+            offsets.append(len(feats))
+        arr = np.asarray(feats, dtype=object)
+        seg = np.diff(offsets)
+        score = np.zeros(len(ids), dtype=np.int64)
+        if arr.size:
+            uniq, inv = np.unique(arr, return_inverse=True)
+            buckets = np.fromiter(
+                (
+                    int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[8:16], "little")
+                    % self.dim
+                    for u in uniq
+                ),
+                dtype=np.int64,
+                count=len(uniq),
+            )
+            per_feat = self.w[buckets][inv]
+            cs = np.concatenate([[0], np.cumsum(per_feat)])
+            score = cs[offsets[1:]] - cs[offsets[:-1]]
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_features": pa.array(seg.astype(np.int64)),
+                "clf_score": pa.array(score),
+                "keep": pa.array(score >= 0),
+            }
+        )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance contrast (Xie et al. 2023, integer rank form)
+# ---------------------------------------------------------------------------
+
+
+def term_tf_lang_partials(batch: pa.Table, target_lang: str, text_col: str = "text") -> pa.Table:
+    """Per-batch partial term frequencies for TWO distributions at once:
+    the raw corpus (``tf``) and the target subset ``lang == target_lang``
+    (``tf_t``). One (term, tf, tf_t) row per distinct term per batch."""
+    from collections import Counter
+
+    c_all: Counter = Counter()
+    c_tgt: Counter = Counter()
+    langs = batch.column("lang").to_pylist()
+    for lang, t in zip(langs, batch.column(text_col).to_pylist()):
+        toks = (t or "").split()
+        c_all.update(toks)
+        if lang == target_lang:
+            c_tgt.update(toks)
+    terms = list(c_all.keys())
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(np.fromiter((c_all[t] for t in terms), dtype=np.int64, count=len(terms))),
+            "tf_t": pa.array(np.fromiter((c_tgt[t] for t in terms), dtype=np.int64, count=len(terms))),
+        }
+    )
+
+
+def rank_contrast_stage(vocab_sorted: np.ndarray, rank_raw: np.ndarray, rank_target: np.ndarray):
+    """DSIR-style importance scoring without float log-likelihoods: each
+    token contributes ``rank_raw(tok) - rank_target(tok)`` (ranks over the
+    UNION vocabulary, ordered by the respective distribution's tf DESC then
+    term; a term common in the target but rare overall scores high). The
+    per-doc sum is the integer analogue of DSIR's
+    ``log p_target(x) - log p_raw(x)`` importance weight — order-free
+    integer addition, so the distributed sum hash-matches SQL.
+
+    The three parallel arrays (sorted by term) are broadcast once via
+    ``ray.put``; lookup is one searchsorted per batch. Vocabulary is
+    sublinear in corpus size — the same scale argument as
+    :func:`top_terms_stage`."""
+    import ray
+
+    vocab_ref = ray.put(vocab_sorted) if not isinstance(vocab_sorted, ray.ObjectRef) else vocab_sorted
+    raw_ref = ray.put(rank_raw) if not isinstance(rank_raw, ray.ObjectRef) else rank_raw
+    tgt_ref = ray.put(rank_target) if not isinstance(rank_target, ray.ObjectRef) else rank_target
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        vocab, rr, rt = ray.get(vocab_ref), ray.get(raw_ref), ray.get(tgt_ref)
+        ids = batch.column(id_col).to_pylist()
+        n_out = np.zeros(len(ids), dtype=np.int64)
+        s_out = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column(text_col).to_pylist()):
+            toks = np.asarray((t or "").split(), dtype=object)
+            if not toks.size:
+                continue
+            uniq, cnt = np.unique(toks, return_counts=True)
+            pos = np.searchsorted(vocab, uniq)  # every token is in the union vocab
+            n_out[i] = cnt.sum()
+            s_out[i] = int((cnt * (rr[pos] - rt[pos])).sum())
+        return pa.table(
+            {
+                id_col: pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_tokens": pa.array(n_out),
+                "contrast_sum": pa.array(s_out),
+                "selected": pa.array(s_out > 0),
+            }
+        )
+
+    return fn

@@ -422,3 +422,56 @@ def media_features_serial(sidecar: pd.DataFrame, dim: int = 32) -> pd.DataFrame:
     return (
         out.sort_values(["media_id", "feature_sha"], kind="mergesort").reset_index(drop=True)
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup_serial(
+    emb: pd.DataFrame,
+    nlist: int = 16,
+    threshold: float = 0.9,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+    chunk: int = 512,
+) -> pd.DataFrame:
+    """(vec_id, cluster) survivors of the SemDeDup spec: fixed-seed
+    bounded-sample k-means, per-cluster chunked cosine scan (the chunked
+    evaluation order is part of the spec), drop any vector with a lower-id
+    member of the same cluster at cosine >= threshold."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))
+    x = unit[:sample_rows]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+    cl = (unit @ cent.T).argmax(axis=1).astype(np.int64)
+    rows = []
+    for c in np.unique(cl):
+        sel = np.nonzero(cl == c)[0]
+        order = np.argsort(ids[sel], kind="stable")
+        sel = sel[order]
+        m = unit[sel]
+        n = len(sel)
+        dropped = np.zeros(n, dtype=bool)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            sims = m[s:e] @ m.T
+            for r in range(s, e):
+                if r > 0 and (sims[r - s, :r] >= threshold).any():
+                    dropped[r] = True
+        for i in np.nonzero(~dropped)[0]:
+            rows.append((int(ids[sel][i]), int(c)))
+    return (
+        pd.DataFrame(rows, columns=["vec_id", "cluster"])
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        .astype("int64")
+    )

@@ -54,6 +54,9 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/q_embed_neardup.parquet", index=False
     )
     gs.knn_ivf_serial(emb).to_parquet(f"{out_dir}/q_knn_ivf.parquet", index=False)
+    gs.semdedup_serial(emb, nlist=16, threshold=0.35).to_parquet(
+        f"{out_dir}/q_embed_semdedup.parquet", index=False
+    )
 
     # media plane — independent serial derivation from the page generator's
     # planted-media sidecar (generator intent, no html parsing, no package

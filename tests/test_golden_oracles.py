@@ -81,6 +81,26 @@ def test_embed_neardup_distributed_matches_serial_sf0001():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_semdedup_distributed_matches_serial_sf0001():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.similarity import semantic_dedup
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    got = (
+        semantic_dedup(rd.from_pandas(emb), nlist=16, threshold=0.35)
+        .to_pandas()
+        .astype("int64")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = gs.semdedup_serial(emb, nlist=16, threshold=0.35)
+    pd.testing.assert_frame_equal(got[["vec_id", "cluster"]], want, check_dtype=False)
+    # the scan actually dedups something on this table
+    assert len(got) < len(emb)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_matches_serial_sf0001():
     import ray.data as rd
 
@@ -125,6 +145,7 @@ def test_checked_in_goldens_are_fresh_sf001():
         "doc_fingerprints": lambda: gs.fingerprints_serial(docs),
         "q_embed_neardup": lambda: gs.embed_neardup_serial(emb, threshold=0.35, num_planes=6),
         "q_knn_ivf": lambda: gs.knn_ivf_serial(emb),
+        "q_embed_semdedup": lambda: gs.semdedup_serial(emb, nlist=16, threshold=0.35),
     }
     for name, recompute in checks.items():
         stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
