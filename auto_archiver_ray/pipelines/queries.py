@@ -2714,6 +2714,79 @@ ORDER BY d.doc_id
 """
 
 
+def q_pages_hostrank(sf_dir: str):
+    """Host-level PageRank over the stored-media link graph (page host →
+    media host edges from the deduplicated media plan) — the crawl-priority
+    authority signal, in integer fixed-point so the result hash-matches the
+    oracle's independent SQL iteration over the golden edge set. Scale
+    shape: :func:`..stages.graph.host_pagerank` — coarse-bucketed
+    iterations, no per-node Ray groups, no driver state."""
+    from ..pipelines.archive import archive_pages
+    from ..stages.dedup import exact_dedup
+    from ..stages.graph import host_pagerank
+    from ..stages.media import explode_media
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    m = exact_dedup(m, "media_url_hash", "page_url")
+
+    from ..functions.urlkit import domain_for_url
+
+    def hostify(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(
+                    [domain_for_url(u) for u in batch.column("page_url").to_pylist()]
+                ),
+                "dst": pa.array(
+                    [domain_for_url(u) for u in batch.column("media_url_best").to_pylist()]
+                ),
+            }
+        )
+
+    edges = m.map_batches(hostify, batch_format="pyarrow", batch_size=4096)
+    out = host_pagerank(edges, iters=5).to_pandas()
+    out = out.rename(columns={"node": "host"})
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_hostrank(golden_dir: str, iters: int = 5, scale: int = 10**12) -> str:
+    """Independent SQL re-derivation of the integer PageRank spec over the
+    GOLDEN media-plan edge set (the q_doc_clusters pattern: the edges
+    themselves are serial-golden-checked; the iteration is DuckDB's own)."""
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    parts = [
+        f"""WITH e AS (
+  SELECT DISTINCT regexp_extract(page_url, '^https?://([^/]+)', 1) AS src,
+                  regexp_extract(media_url_best, '^https?://([^/]+)', 1) AS dst
+  FROM read_parquet('{g}')
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, CAST(SUM((r.rank * 17) // (20 * od.outdeg)) AS BIGINT) AS contrib
+  FROM e JOIN r{i-1} r ON r.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST((3 * {scale}) // (20 * (SELECT n FROM nn)) + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT node AS host, rank FROM r{iters} ORDER BY host"
+    )
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: bounded-sample
     k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
@@ -2780,6 +2853,7 @@ QUERIES = {
     "q_doc_classifier": q_doc_classifier,
     "q_doc_dsir": q_doc_dsir,
     "q_embed_semdedup": q_embed_semdedup,
+    "q_pages_hostrank": q_pages_hostrank,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -2926,6 +3000,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"SELECT vec_id, cluster FROM read_parquet('{g}/q_embed_semdedup.parquet') "
             "ORDER BY vec_id"
         ),
+        "q_pages_hostrank": _sql_hostrank(g),
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),

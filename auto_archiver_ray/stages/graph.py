@@ -1,0 +1,179 @@
+"""Link-graph analytics over host edges — the crawl-priority signal.
+
+The reference's frontier has no notion of link authority (it archives a
+seed list, `ref:core/orchestrator.py:543-553`); at 10^10-URL frontier
+scale, PageRank-style host authority is the standard priority input
+(alongside the politeness budgets `state/frontier.py` already enforces).
+
+:func:`host_pagerank` is the 100-TB shape of the computation: every
+shuffle keys on a COARSE bucket (hash(node) % num_buckets) exactly like
+:func:`..stages.dedup.label_propagate` — never one Ray group per graph
+node — and each iteration is two bucketed exchanges (ranks∪edges by src,
+messages by dst) of fixed-width rows. Arithmetic is INTEGER fixed-point
+(damping 17/20 at a 1e12 scale) so the distributed result hash-matches an
+independent SQL re-derivation: float PageRank sums would depend on
+reduction order.
+
+Spec (shared with the SQL oracle):
+  N        = |{src} ∪ {dst}| over the DISTINCT edge set
+  outdeg(u)= distinct out-neighbors of u
+  r_0(v)   = scale // N
+  r_{i+1}(v) = (3*scale) // (20*N)
+             + Σ_{(u,v) ∈ E} (r_i(u) * 17) // (20 * outdeg(u))
+Dangling-node mass (outdeg 0) is dropped — the usual simplification; ranks
+therefore sum to < scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _coarse_u64
+
+_RANK_SENTINEL = ""  # peer value marking a rank row inside the tagged union
+
+
+def _bucket_on(col: str, num_buckets: int):
+    def fn(batch: pa.Table) -> pa.Table:
+        hb = _coarse_u64(batch.column(col).to_pylist(), num_buckets)
+        return batch.append_column("__cb", pa.array(hb))
+
+    return fn
+
+
+def host_pagerank(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+    num_buckets: int = 256,
+):
+    """Integer fixed-point PageRank over an edge Dataset. Returns a Dataset
+    of ``(node, rank)`` (rank int64 at ``scale`` fixed-point units).
+
+    Input edges need not be distinct: all rows of one ``src`` land in one
+    coarse bucket, so the per-bucket drop_duplicates is globally exact."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(src_col).cast(pa.string()),
+                "peer": batch.column(dst_col).cast(pa.string()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_and_outdeg(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[["node", "peer", "__cb"]].drop_duplicates(["node", "peer"])
+        return e
+
+    edges = edges.groupby("__cb").map_groups(distinct_and_outdeg, batch_format="pandas").materialize()
+
+    # node table: every src with its outdeg, every dst with outdeg 0;
+    # bucketed max-reduce by node makes it exact and distinct.
+    def node_seed(g: pd.DataFrame) -> pd.DataFrame:
+        od = g.groupby("node", as_index=False).size().rename(columns={"size": "outdeg"})
+        dsts = pd.DataFrame({"node": g["peer"].unique()})
+        dsts["outdeg"] = 0
+        return pd.concat([od, dsts], ignore_index=True)[["node", "outdeg"]]
+
+    node_msgs = (
+        edges.groupby("__cb")
+        .map_groups(node_seed, batch_format="pandas")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+    )
+
+    def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["outdeg"].max()
+        r["__cb"] = g["__cb"].iloc[0]
+        return r
+
+    nodes = node_msgs.groupby("__cb").map_groups(node_reduce, batch_format="pandas").materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.drop_columns(["outdeg", "__cb"])
+    r0 = scale // n_nodes
+    base = (3 * scale) // (20 * n_nodes)
+
+    def init_rank(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "rank", pa.array(np.full(batch.num_rows, r0, dtype=np.int64))
+        )
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": batch.column("peer"),
+                "__cb": batch.column("__cb"),
+                "outdeg": neg,
+                "rank": neg,
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+
+        def tag_ranks(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "peer": pa.array([_RANK_SENTINEL] * batch.num_rows, pa.string()),
+                    "__cb": batch.column("__cb"),
+                    "outdeg": batch.column("outdeg"),
+                    "rank": batch.column("rank"),
+                }
+            )
+
+        tagged = edges_tagged.union(ranks.map_batches(tag_ranks, batch_format="pyarrow"))
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            rk = g.loc[g["peer"] == _RANK_SENTINEL, ["node", "outdeg", "rank"]]
+            e = g.loc[g["peer"] != _RANK_SENTINEL, ["node", "peer"]].merge(rk, on="node", how="left")
+            contrib = np.zeros(len(e), dtype=np.int64)
+            has = e["outdeg"].to_numpy() > 0
+            contrib[has] = (e.loc[has, "rank"].to_numpy(dtype=np.int64) * 17) // (
+                20 * e.loc[has, "outdeg"].to_numpy(dtype=np.int64)
+            )
+            msgs = pd.DataFrame(
+                {
+                    "node": pd.concat([rk["node"], e["peer"]], ignore_index=True),
+                    "contrib": np.concatenate(
+                        [np.zeros(len(rk), dtype=np.int64), contrib]
+                    ),
+                    "outdeg": np.concatenate(
+                        [rk["outdeg"].to_numpy(dtype=np.int64), np.full(len(e), -1, dtype=np.int64)]
+                    ),
+                }
+            )
+            return msgs
+
+        messages = (
+            tagged.groupby("__cb")
+            .map_groups(emit, batch_format="pandas")
+            .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        )
+
+        def reduce_rank(g: pd.DataFrame) -> pd.DataFrame:
+            r = g.groupby("node", as_index=False).agg(
+                contrib=("contrib", "sum"), outdeg=("outdeg", "max")
+            )
+            r["rank"] = base + r["contrib"].to_numpy(dtype=np.int64)
+            r["__cb"] = g["__cb"].iloc[0]
+            return r[["node", "outdeg", "rank", "__cb"]]
+
+        ranks = messages.groupby("__cb").map_groups(reduce_rank, batch_format="pandas").materialize()
+
+    return ranks.drop_columns(["outdeg", "__cb"])
