@@ -2714,13 +2714,10 @@ ORDER BY d.doc_id
 """
 
 
-def q_pages_hostrank(sf_dir: str):
-    """Host-level PageRank over the stored-media link graph (page host →
-    media host edges from the deduplicated media plan) — the crawl-priority
-    authority signal, in integer fixed-point so the result hash-matches the
-    oracle's independent SQL iteration over the golden edge set. Scale
-    shape: :func:`..stages.graph.host_pagerank` — coarse-bucketed
-    iterations, no per-node Ray groups, no driver state."""
+def _host_authority(sf_dir: str):
+    """PageRank Dataset (node, rank) over the stored-media link graph
+    (page host → media host edges from the deduplicated media plan)."""
+    from ..functions.urlkit import domain_for_url
     from ..pipelines.archive import archive_pages
     from ..stages.dedup import exact_dedup
     from ..stages.graph import host_pagerank
@@ -2731,8 +2728,6 @@ def q_pages_hostrank(sf_dir: str):
         explode_media, batch_format="pyarrow", batch_size=1024
     )
     m = exact_dedup(m, "media_url_hash", "page_url")
-
-    from ..functions.urlkit import domain_for_url
 
     def hostify(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -2747,18 +2742,80 @@ def q_pages_hostrank(sf_dir: str):
         )
 
     edges = m.map_batches(hostify, batch_format="pyarrow", batch_size=4096)
-    out = host_pagerank(edges, iters=5).to_pandas()
-    out = out.rename(columns={"node": "host"})
+    return host_pagerank(edges, iters=5)
+
+
+def q_pages_hostrank(sf_dir: str):
+    """Host-level PageRank over the stored-media link graph — the
+    crawl-priority authority signal, in integer fixed-point so the result
+    hash-matches the oracle's independent SQL iteration over the golden
+    edge set. Scale shape: :func:`..stages.graph.host_pagerank` —
+    coarse-bucketed iterations, no per-node Ray groups, no driver state."""
+    out = _host_authority(sf_dir).to_pandas().rename(columns={"node": "host"})
     return out.sort_values("host").reset_index(drop=True)
 
 
-def _sql_hostrank(golden_dir: str, iters: int = 5, scale: int = 10**12) -> str:
-    """Independent SQL re-derivation of the integer PageRank spec over the
-    GOLDEN media-plan edge set (the q_doc_clusters pattern: the edges
-    themselves are serial-golden-checked; the iteration is DuckDB's own)."""
+def q_crawl_authority(sf_dir: str):
+    """Authority-weighted politeness plan: hosts whose PageRank mass is at
+    least HALF the uniform share (scale // (2*n_nodes) — integer floor
+    losses and dangling-mass decay pull even self-sustaining hosts a few
+    fixed-point units under the full share) earn a doubled per-epoch
+    budget (20 vs 10); epochs then honor the per-host budgets exactly.
+    The composition the north rule's priority frontier wants: link-graph
+    authority feeding the crawl scheduler. Ranks are a tiny table
+    broadcast once via ray.put as sorted parallel arrays (zero-copy
+    searchsorted lookup per batch; at 1e8-host scale swap in the sharded
+    key-set join)."""
+    import ray
+
+    from ..state.frontier import assign_crawl_epochs
+
+    ranks = _host_authority(sf_dir).to_pandas().sort_values("node")
+    n_nodes = len(ranks)
+    thr = (10**12) // (2 * n_nodes) if n_nodes else 0
+    hosts_arr = np.asarray(ranks["node"].to_numpy(), dtype=object)
+    rank_arr = ranks["rank"].to_numpy().astype(np.int64)
+    hosts_ref, rank_ref = ray.put(hosts_arr), ray.put(rank_arr)
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def add_budget(batch: pa.Table) -> pa.Table:
+        hv, rv = ray.get(hosts_ref), ray.get(rank_ref)
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        budget = np.full(len(hosts), 10, dtype=np.int64)
+        if len(hv):
+            pos = np.searchsorted(hv, hosts)
+            pos_c = np.clip(pos, 0, len(hv) - 1)
+            found = hv[pos_c] == hosts
+            budget[found & (rv[pos_c] >= thr)] = 20
+        return batch.append_column("budget", pa.array(budget))
+
+    planned = assign_crawl_epochs(
+        ds.select_columns(["host", "url_canon", "warc_ts"]).map_batches(
+            add_budget, batch_format="pyarrow", batch_size=4096
+        ),
+        budget_col="budget",
+    )
+    from ray.data.aggregate import Count, Max
+
+    out = (
+        planned.groupby("host")
+        .aggregate(Count(alias_name="n_urls"), Max("budget", alias_name="budget"), Max("fetch_epoch", alias_name="last_epoch"))
+        .sort("host")
+    )
+    return out
+
+
+def _hostrank_ctes(golden_dir: str, iters: int = 5, scale: int = 10**12) -> str:
+    """The shared CTE chain: integer PageRank over the GOLDEN media-plan
+    edge set (the q_doc_clusters pattern: the edges themselves are
+    serial-golden-checked; the iteration is DuckDB's own)."""
     g = f"{golden_dir}/q_pages_media_plan.parquet"
     parts = [
-        f"""WITH e AS (
+        f"""e AS (
   SELECT DISTINCT regexp_extract(page_url, '^https?://([^/]+)', 1) AS src,
                   regexp_extract(media_url_best, '^https?://([^/]+)', 1) AS dst
   FROM read_parquet('{g}')
@@ -2781,9 +2838,37 @@ r{i} AS (
   FROM nodes n LEFT JOIN c{i} c USING (node)
 )"""
         )
+    return ",\n".join(parts)
+
+
+def _sql_hostrank(golden_dir: str, iters: int = 5) -> str:
     return (
-        ",\n".join(parts)
+        "WITH "
+        + _hostrank_ctes(golden_dir, iters)
         + f"\nSELECT node AS host, rank FROM r{iters} ORDER BY host"
+    )
+
+
+def _sql_crawl_authority(golden_dir: str, sf_dir: str, iters: int = 5, scale: int = 10**12) -> str:
+    """Authority-weighted politeness plan re-derived entirely in SQL: the
+    PageRank CTE chain over golden edges, the uniform-share threshold, and
+    last_epoch = (n-1) // budget as a pure function of per-host counts."""
+    return (
+        "WITH "
+        + _hostrank_ctes(golden_dir, iters)
+        + f""",
+c AS (
+  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, COUNT(*) AS n
+  FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
+),
+b AS (
+  SELECT c.host, c.n,
+         CASE WHEN r.rank >= {scale} // (2 * (SELECT n FROM nn)) THEN 20 ELSE 10 END AS budget
+  FROM c LEFT JOIN r{iters} r ON r.node = c.host
+)
+SELECT host, CAST(n AS BIGINT) AS n_urls, CAST(budget AS BIGINT) AS budget,
+       CAST((n - 1) // budget AS BIGINT) AS last_epoch
+FROM b ORDER BY host"""
     )
 
 
@@ -2854,6 +2939,7 @@ QUERIES = {
     "q_doc_dsir": q_doc_dsir,
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
+    "q_crawl_authority": q_crawl_authority,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -3001,6 +3087,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY vec_id"
         ),
         "q_pages_hostrank": _sql_hostrank(g),
+        "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),

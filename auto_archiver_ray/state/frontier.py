@@ -431,11 +431,20 @@ class Frontier:
 # ---------------------------------------------------------------------------
 
 def assign_crawl_epochs(
-    ds, per_host_budget: int = 10, priority_col: str | None = None, num_buckets: int = 1024
+    ds,
+    per_host_budget: int = 10,
+    priority_col: str | None = None,
+    num_buckets: int = 1024,
+    budget_col: str | None = None,
 ):
     """Assign each row a deterministic fetch epoch honoring the per-host
     politeness budget: rows are ranked within host by (priority desc,
     warc_ts, url_canon) and epoch = rank // budget.
+
+    ``budget_col`` names an int64 column carrying a PER-HOST budget (e.g.
+    authority-weighted politeness: high-PageRank hosts get a larger
+    per-epoch allowance); it overrides ``per_host_budget`` row-wise and
+    must be host-constant (every row of a host carries the same value).
 
     This is the batch-mode equivalent of a per-host token bucket: epoch k
     contains at most ``per_host_budget`` URLs of any host, and the ordering
@@ -469,7 +478,10 @@ def assign_crawl_epochs(
             ["host"] + sort_cols, ascending=[True] + ascending, kind="mergesort"
         ).reset_index(drop=True)
         g["host_rank"] = g.groupby("host", sort=False).cumcount().astype("int64")
-        g["fetch_epoch"] = g["host_rank"] // per_host_budget
+        if budget_col:
+            g["fetch_epoch"] = g["host_rank"] // g[budget_col].astype("int64")
+        else:
+            g["fetch_epoch"] = g["host_rank"] // per_host_budget
         return g.drop(columns=["__hb"])
 
     return (

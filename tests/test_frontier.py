@@ -141,6 +141,33 @@ def test_crawl_epoch_priority_ordering():
     assert first_epoch == {f"https://h.org/p/{i:03d}" for i in range(10, 15)}
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_epoch_per_host_budget_col():
+    """budget_col overrides the scalar budget per host: an authority-
+    weighted host packs twice as many URLs per epoch."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import assign_crawl_epochs
+
+    rows = []
+    for i in range(40):
+        host = "big.org" if i < 20 else "small.org"
+        rows.append(
+            {
+                "host": host,
+                "url_canon": f"https://{host}/p/{i:03d}",
+                "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i),
+                "budget": 10 if host == "big.org" else 5,
+            }
+        )
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = assign_crawl_epochs(ds, budget_col="budget").to_pandas()
+    counts = out.groupby(["host", "fetch_epoch"]).size()
+    assert counts.loc["big.org"].max() == 10 and counts.loc["big.org"].size == 2
+    assert counts.loc["small.org"].max() == 5 and counts.loc["small.org"].size == 4
+
+
 def test_bloom_vectorized_matches_scalar():
     import hashlib
 
@@ -166,8 +193,12 @@ def test_bloom_batch_throughput_sane():
     out = bf.add_batch(keys)
     dt = time.time() - t0
     assert sum(out) == 200_000
-    # sanity, not a benchmark: vectorized path clears 200k keys well under 5s
-    assert dt < 5.0
+    # sanity, not a benchmark: the vectorized path clears 200k keys in well
+    # under a second on an idle core; the bound is loose because this VM
+    # sees multiplicative hypervisor steal (observed 7.9s under a
+    # co-located Ray run). A per-key-Python-loop regression would be
+    # minutes, which this still catches.
+    assert dt < 30.0
 
 
 def test_parse_robots_txt_groups():
