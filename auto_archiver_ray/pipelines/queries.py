@@ -2872,6 +2872,43 @@ FROM b ORDER BY host"""
     )
 
 
+def q_doc_incremental_neardup(sf_dir: str):
+    """Incremental near-dup admission: documents with doc_id >= 250 are the
+    'new sweep', probed against a PERSISTED MinHash band index of the prior
+    corpus (doc_id < 250) — the index is written to parquet and read back,
+    exactly as a rolling crawl would reuse last sweep's artifact instead of
+    re-hashing the old corpus. Output: (id_a=old, id_b=new, est_jaccard)
+    verified pairs at threshold 0.7. Golden-checked against the
+    cross-partition subset of the independent serial pair set."""
+    import shutil
+    import tempfile
+
+    from ..stages.dedup import build_band_index, incremental_neardup_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    prior = ds.filter(expr="doc_id < 250")
+    new = ds.filter(expr="doc_id >= 250")
+    tmp = tempfile.mkdtemp(prefix="aar_bandidx_")
+    try:
+        bands, sigs = build_band_index(prior)
+        bands.write_parquet(f"{tmp}/bands")
+        sigs.write_parquet(f"{tmp}/sigs")
+        out = incremental_neardup_pairs(
+            new,
+            rd.read_parquet(f"{tmp}/bands"),
+            rd.read_parquet(f"{tmp}/sigs"),
+            threshold=0.7,
+        ).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        out[["id_a", "id_b", "est_jaccard"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: bounded-sample
     k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
@@ -2940,6 +2977,7 @@ QUERIES = {
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
     "q_crawl_authority": q_crawl_authority,
+    "q_doc_incremental_neardup": q_doc_incremental_neardup,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -3088,6 +3126,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_pages_hostrank": _sql_hostrank(g),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
+        "q_doc_incremental_neardup": (
+            "SELECT id_a, id_b, est_jaccard "
+            f"FROM read_parquet('{g}/q_doc_incremental_neardup.parquet') ORDER BY id_a, id_b"
+        ),
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),

@@ -288,6 +288,29 @@ class MinHashStage:
         return pa.table({self.id_col: pa.array(ids), "minhash_sig": pa.array(sigs, pa.binary())})
 
 
+def explode_band_rows(sigs_ds, id_col: str, num_bands: int):
+    """(id, minhash_sig) → (id, band_key) rows — the LSH band diet: 16 B per
+    row through every downstream shuffle, signatures stay behind."""
+
+    def explode_light(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        sig_bytes = batch.column("minhash_sig").to_pylist()
+        out_id, out_band = [], []
+        for i, sb in zip(ids, sig_bytes):
+            sig = np.frombuffer(sb, dtype=np.uint64)
+            for bh in textkit.minhash_bands(sig, num_bands):
+                out_id.append(i)
+                out_band.append(bh)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_key": pa.array(np.asarray(out_band, dtype=np.uint64)),
+            }
+        )
+
+    return sigs_ds.map_batches(explode_light, batch_format="pyarrow", batch_size=2048)
+
+
 def _candidate_pairs_from_bands(bands, id_col: str, cap: int, trunc_tag: str | None):
     """(id, band_key) rows → unique candidate pairs (id_a, id_b) — one Ray
     group per COARSE bucket (band_key % 2048), pandas groupby finds the true
@@ -441,23 +464,7 @@ def minhash_candidate_pairs(
         **({"concurrency": concurrency} if concurrency else {}),
     ).materialize()  # computed once, consumed by both the band explode and the verify join
 
-    def explode_light(batch: pa.Table) -> pa.Table:
-        ids = batch.column(id_col).to_pylist()
-        sig_bytes = batch.column("minhash_sig").to_pylist()
-        out_id, out_band = [], []
-        for i, sb in zip(ids, sig_bytes):
-            sig = np.frombuffer(sb, dtype=np.uint64)
-            for bh in textkit.minhash_bands(sig, num_bands):
-                out_id.append(i)
-                out_band.append(bh)
-        return pa.table(
-            {
-                id_col: pa.array(out_id),
-                "band_key": pa.array(np.asarray(out_band, dtype=np.uint64)),
-            }
-        )
-
-    bands = sigs.map_batches(explode_light, batch_format="pyarrow", batch_size=2048)
+    bands = explode_band_rows(sigs, id_col, num_bands)
     cand = _candidate_pairs_from_bands(bands, id_col, cap=band_cap, trunc_tag="minhash").materialize()
 
     def est_jaccard(a: bytes, b: bytes) -> float:
@@ -1025,3 +1032,108 @@ def segment_dedup(
     return ds.select_columns([id_col, text_col]).map_batches(
         rebuild, batch_format="pyarrow", batch_size=2048
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup admission against a persisted band index
+# ---------------------------------------------------------------------------
+
+
+def build_band_index(ds, id_col: str = "doc_id", text_col: str = "text", num_perm: int = 128, num_bands: int = 16):
+    """Build the persistable MinHash index of a corpus: returns
+    ``(bands, sigs)`` Datasets — ``bands`` = (id, band_key) rows (the probe
+    structure), ``sigs`` = (id, minhash_sig) (the verify payloads). Write
+    both with ``write_parquet`` after a crawl sweep; the next sweep's
+    admission pass reads them back instead of re-hashing the old corpus."""
+    sigs = ds.map_batches(
+        MinHashStage(id_col, text_col, num_perm), batch_format="pyarrow", batch_size=2048
+    )
+    return explode_band_rows(sigs, id_col, num_bands), sigs
+
+
+def incremental_neardup_pairs(
+    new_ds,
+    index_bands,
+    index_sigs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 16,
+    band_cap: int = 64,
+):
+    """Near-dup admission of NEW documents against a PERSISTED corpus index
+    (the incremental form of :func:`minhash_candidate_pairs` — the op a
+    rolling crawl runs every sweep: hash only the new batch, probe the old
+    corpus's band index, verify candidates, reject near-dups).
+
+    Candidates are CROSS pairs only (one old id, one new id): old-old pairs
+    were settled when the index was built and new-new dedup is the ordinary
+    in-batch pass. Returns ``(id_a=old, id_b=new, est_jaccard)`` at
+    ``est_jaccard >= threshold``.
+
+    Scale shape: identical to the full pass — band rows are 16 B, the
+    per-band pair search is capped (counted in
+    ``truncation_stats("incremental")``), signatures rejoin per candidate
+    pair; the index is never re-hashed, only streamed through one groupby."""
+    import ray  # noqa: F401  (truncation counter path)
+
+    sigs_new = new_ds.map_batches(
+        MinHashStage(id_col, text_col, num_perm), batch_format="pyarrow", batch_size=2048
+    ).materialize()
+    bands_new = explode_band_rows(sigs_new, id_col, num_bands)
+
+    def tag(is_new: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "is_new", pa.array(np.full(batch.num_rows, is_new, dtype=np.int8))
+            )
+
+        return fn
+
+    tagged = index_bands.map_batches(tag(0), batch_format="pyarrow").union(
+        bands_new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    counter = truncation_counter("incremental")
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        dropped = 0
+        for _, g in group.groupby("band_key", sort=False):
+            g = g.drop_duplicates(subset=[id_col, "is_new"])
+            old = g.loc[g["is_new"] == 0, id_col].sort_values().to_numpy()
+            new = g.loc[g["is_new"] == 1, id_col].sort_values().to_numpy()
+            if not len(old) or not len(new):
+                continue
+            if len(old) > band_cap:
+                dropped += len(old) - band_cap
+                old = old[:band_cap]
+            if len(new) > band_cap:
+                dropped += len(new) - band_cap
+                new = new[:band_cap]
+            oo, nn = np.meshgrid(old, new, indexing="ij")
+            out_a.extend(oo.ravel())
+            out_b.extend(nn.ravel())
+        if dropped:
+            import ray
+
+            print(f"[dedup:incremental] band over cap={band_cap}: dropped {dropped} ids")
+            ray.get(counter.add.remote(dropped))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"), "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": np.asarray(out_a), "id_b": np.asarray(out_b)}).drop_duplicates()
+
+    coarse = tagged.add_column(
+        "coarse",
+        lambda df: (df["band_key"].astype("uint64") % 2048).astype("int64"),
+        batch_format="pandas",
+    )
+    cand = coarse.groupby("coarse").map_groups(cross_pairs, batch_format="pandas")
+
+    def est_jaccard(a: bytes, b: bytes) -> float:
+        return float((np.frombuffer(a, dtype=np.uint64) == np.frombuffer(b, dtype=np.uint64)).mean())
+
+    sigs_union = index_sigs.union(sigs_new)
+    scored = pair_scores(cand, sigs_union, id_col, "minhash_sig", est_jaccard, "est_jaccard")
+    return scored.filter(expr=f"est_jaccard >= {threshold}")

@@ -91,6 +91,9 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_knn",
             "q_doc_dupspans",
             "q_webtext_corpus",
+            "q_doc_classifier",
+            "q_embed_semdedup",
+            "q_pages_hostrank",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -475,3 +475,22 @@ def semdedup_serial(
         .reset_index(drop=True)
         .astype("int64")
     )
+
+
+# ---------------------------------------------------- incremental near-dup
+
+
+def incremental_neardup_serial(
+    docs: pd.DataFrame,
+    split_id: int = 250,
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 16,
+) -> pd.DataFrame:
+    """(id_a=old, id_b=new, est_jaccard) cross pairs — a new doc (id >=
+    split_id) shares a band with an old doc (id < split_id) and verifies at
+    est >= threshold. Equals the cross-partition subset of the full serial
+    pair set (band co-membership is a pairwise property)."""
+    full = minhash_pairs_serial(docs, threshold=threshold, num_perm=num_perm, num_bands=num_bands)
+    cross = full[(full["id_a"] < split_id) & (full["id_b"] >= split_id)]
+    return cross.sort_values(["id_a", "id_b"]).reset_index(drop=True)

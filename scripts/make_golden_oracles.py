@@ -57,6 +57,9 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.semdedup_serial(emb, nlist=16, threshold=0.35).to_parquet(
         f"{out_dir}/q_embed_semdedup.parquet", index=False
     )
+    gs.incremental_neardup_serial(docs, split_id=250, threshold=0.7).to_parquet(
+        f"{out_dir}/q_doc_incremental_neardup.parquet", index=False
+    )
 
     # media plane — independent serial derivation from the page generator's
     # planted-media sidecar (generator intent, no html parsing, no package

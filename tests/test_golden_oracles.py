@@ -101,6 +101,29 @@ def test_semdedup_distributed_matches_serial_sf0001():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_incremental_neardup_matches_serial_sf0001():
+    """The persisted-index probe finds exactly the cross-partition subset of
+    the full serial pair set."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import build_band_index, incremental_neardup_pairs
+
+    docs = _docs(SF_SMALL)
+    split = int(docs["doc_id"].median())
+    prior = rd.from_pandas(docs[docs["doc_id"] < split])
+    new = rd.from_pandas(docs[docs["doc_id"] >= split])
+    bands, sigs = build_band_index(prior)
+    got = (
+        incremental_neardup_pairs(new, bands, sigs, threshold=0.7)
+        .to_pandas()[["id_a", "id_b", "est_jaccard"]]
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    want = gs.incremental_neardup_serial(docs, split_id=split, threshold=0.7)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_hll_matches_serial_sf0001():
     import ray.data as rd
 
@@ -146,6 +169,9 @@ def test_checked_in_goldens_are_fresh_sf001():
         "q_embed_neardup": lambda: gs.embed_neardup_serial(emb, threshold=0.35, num_planes=6),
         "q_knn_ivf": lambda: gs.knn_ivf_serial(emb),
         "q_embed_semdedup": lambda: gs.semdedup_serial(emb, nlist=16, threshold=0.35),
+        "q_doc_incremental_neardup": lambda: gs.incremental_neardup_serial(
+            docs, split_id=250, threshold=0.7
+        ),
     }
     for name, recompute in checks.items():
         stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
