@@ -62,6 +62,28 @@ def test_host_pagerank_star_graph_sink_dominates():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_strategies_bit_identical():
+    """The driver matvec and the bucketed message-passing paths implement
+    one integer spec — identical ranks on a random multigraph."""
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_pagerank
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame(
+        {
+            "src": [f"h{i}.org" for i in rng.integers(0, 30, 400)],
+            "dst": [f"h{i}.org" for i in rng.integers(0, 30, 400)],
+        }
+    )
+    ds = rd.from_pandas(df)
+    a = host_pagerank(ds, iters=4, strategy="driver").to_pandas().sort_values("node").reset_index(drop=True)
+    b = host_pagerank(ds, iters=4, strategy="bucketed").to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_pagerank_empty_edges():
     import pyarrow as pa
     import ray.data as rd
