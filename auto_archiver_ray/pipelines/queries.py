@@ -2872,6 +2872,122 @@ FROM b ORDER BY host"""
     )
 
 
+def q_doc_splits(sf_dir: str):
+    """Deterministic train/valid/test assignment by content-free hash
+    bucketing (md5(doc_id) permille: 980/10/10) — the split any engine can
+    reproduce, summarized per (source, split). The per-doc assignment is a
+    stateless kernel; the rollup is a bounded-key driver reduce (sources ×
+    3 splits)."""
+    import hashlib
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [
+            int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little") % 1000
+            for i in ids
+        ]
+        split = ["train" if b < 980 else ("valid" if b < 990 else "test") for b in buckets]
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "split": pa.array(split, pa.string()),
+                "n": pa.array(np.ones(len(ids), dtype=np.int64)),
+            }
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = assign(batch)
+        return t.group_by(["source", "split"]).aggregate([("n", "sum")]).rename_columns(
+            ["source", "split", "n_docs"]
+        )
+
+    agg = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["source", "split"],
+        {"n_docs": "sum"},
+    )
+    return agg.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+SQL_DOC_SPLITS = """
+WITH a AS (
+  SELECT source,
+         CASE WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 980 THEN 'train'
+              WHEN md5_number_lower(CAST(doc_id AS VARCHAR)) % 1000 < 990 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM a GROUP BY source, split ORDER BY source, split
+"""
+
+
+def q_doc_chunks(sf_dir: str):
+    """Long-document chunking with overlap (context-window prep: max_len
+    48 whitespace tokens, stride 32 — sized to the synthetic docs so the
+    multi-chunk path is exercised; production values like 2048/1536 are a
+    parameter change): one row per (doc_id, chunk_idx)
+    with token [start, end) bounds. Stateless map — streams at any scale;
+    the chunk arithmetic is a pure integer function of the doc's token
+    count, re-derived exactly by the SQL oracle."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    MAX_LEN, STRIDE = 48, 32
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        out_id, out_ci, out_s, out_e = [], [], [], []
+        for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            n = len((t or "").split())
+            if n == 0:
+                continue
+            ci = 0
+            start = 0
+            while True:
+                out_id.append(i)
+                out_ci.append(ci)
+                out_s.append(start)
+                out_e.append(min(start + MAX_LEN, n))
+                if start + MAX_LEN >= n:
+                    break
+                ci += 1
+                start += STRIDE
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "chunk_idx": pa.array(out_ci, pa.int64()),
+                "tok_start": pa.array(out_s, pa.int64()),
+                "tok_end": pa.array(out_e, pa.int64()),
+            }
+        )
+
+    out = ds.map_batches(chunk, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
+SQL_DOC_CHUNKS = r"""
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CASE WHEN n_tok <= 48 THEN 1
+              ELSE (n_tok - 17) // 32 + 1 END AS n_chunks
+  FROM n WHERE n_tok > 0
+)
+SELECT doc_id, CAST(r.range AS BIGINT) AS chunk_idx,
+       CAST(r.range * 32 AS BIGINT) AS tok_start,
+       CAST(least(r.range * 32 + 48, n_tok) AS BIGINT) AS tok_end
+FROM c, range(0, 100000) r
+WHERE r.range < n_chunks
+ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_doc_incremental_neardup(sf_dir: str):
     """Incremental near-dup admission: documents with doc_id >= 250 are the
     'new sweep', probed against a PERSISTED MinHash band index of the prior
@@ -2978,6 +3094,8 @@ QUERIES = {
     "q_pages_hostrank": q_pages_hostrank,
     "q_crawl_authority": q_crawl_authority,
     "q_doc_incremental_neardup": q_doc_incremental_neardup,
+    "q_doc_splits": q_doc_splits,
+    "q_doc_chunks": q_doc_chunks,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -3130,6 +3248,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT id_a, id_b, est_jaccard "
             f"FROM read_parquet('{g}/q_doc_incremental_neardup.parquet') ORDER BY id_a, id_b"
         ),
+        "q_doc_splits": SQL_DOC_SPLITS,
+        "q_doc_chunks": SQL_DOC_CHUNKS,
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),

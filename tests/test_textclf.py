@@ -116,3 +116,50 @@ def test_semantic_dedup_drops_planted_duplicates():
     assert {40, 41, 42}.isdisjoint(survivors)
     assert {0, 5}.issubset(survivors)
     assert len(survivors) == 40
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_chunks_boundary_math():
+    """Chunk bounds: exact-fit docs get one chunk; one-past gets two; the
+    final chunk always ends at n_tok."""
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    from auto_archiver_ray.pipelines.queries import q_doc_chunks
+
+    tmp = tempfile.mkdtemp()
+    texts = {
+        0: "w " * 48,        # == MAX_LEN -> 1 chunk [0,48)
+        1: "w " * 49,        # one past   -> 2 chunks [0,48) [32,49)
+        2: "w " * 80,        # 48+32      -> 2 chunks, second ends at 80
+        3: "w " * 81,        # -> 3 chunks
+        4: "",               # empty -> no rows
+    }
+    import pyarrow as pa
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array([t.strip() for t in texts.values()])}),
+        os.path.join(tmp, "documents.parquet"),
+    )
+    out = q_doc_chunks(tmp)
+    per = out.groupby("doc_id").size().to_dict()
+    assert per == {0: 1, 1: 2, 2: 2, 3: 3}
+    last = out.sort_values(["doc_id", "chunk_idx"]).groupby("doc_id").last()
+    assert last.loc[1, "tok_end"] == 49 and last.loc[1, "tok_start"] == 32
+    assert last.loc[2, "tok_end"] == 80
+    assert last.loc[3, "tok_end"] == 81 and last.loc[3, "tok_start"] == 64
+
+
+def test_doc_split_assignment_is_md5_permille():
+    import hashlib
+
+    def split_of(doc_id: int) -> str:
+        b = int.from_bytes(hashlib.md5(str(doc_id).encode()).digest()[8:16], "little") % 1000
+        return "train" if b < 980 else ("valid" if b < 990 else "test")
+
+    # distribution over a wide id range is roughly 98/1/1
+    from collections import Counter
+
+    c = Counter(split_of(i) for i in range(20000))
+    assert 0.975 < c["train"] / 20000 < 0.985
+    assert c["valid"] > 100 and c["test"] > 100
