@@ -92,6 +92,25 @@ def _register_builtins() -> None:
     register("wacz_pages", "source", lambda cfg: warc_src.read_wacz_pages(cfg["paths"]), doc="WACZ pages.jsonl title/text")
     register("exif_extract", "actor", ExifToolStage, {"concurrency": 4, "batch_size": 256})
 
+    # round-3 operators: corpus hygiene / model scoring over a documents table
+    register(
+        "documents",
+        "source",
+        lambda cfg: __import__("ray").data.read_parquet(
+            f"{cfg['sf_dir']}/documents.parquet", columns=cfg.get("columns")
+        ),
+        doc="documents table of an sf dir",
+    )
+    register("repetition", "kernel", textstats.repetition_stats, doc="Gopher repetition stats")
+    register("pii_scan", "kernel", textstats.pii_scan, doc="PII counts + redacted text")
+    register(
+        "classifier",
+        "actor",
+        textstats.HashedLinearStage,
+        {"concurrency": 4, "batch_size": 4096},
+        doc="hashed-feature linear scoring (fastText architecture)",
+    )
+
 
 _register_builtins()
 

@@ -66,6 +66,10 @@ def test_registry_contents():
         "lang_id",
         "quality",
         "fingerprint",
+        "documents",
+        "repetition",
+        "pii_scan",
+        "classifier",
     ):
         assert name in REGISTRY
 
