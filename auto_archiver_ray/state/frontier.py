@@ -582,3 +582,16 @@ def budgets_from_crawl_delays(
         if d and d > 0:
             out[host] = max(1, int(epoch_seconds // d))
     return out
+
+
+def authority_budgets(
+    hosts, ranks, threshold: int, boosted: int = 20
+) -> dict[str, int]:
+    """Per-host epoch budgets from a link-graph authority signal
+    (:func:`..stages.graph.host_pagerank`): hosts whose fixed-point rank
+    meets ``threshold`` get the ``boosted`` budget; all others are omitted
+    and use the default. Feed to :meth:`Frontier.set_host_budgets` for the
+    streaming path, or join as a ``budget`` column for
+    :func:`assign_crawl_epochs(budget_col=...)` — both enforce the same
+    per-host-per-epoch cap (equivalence test-pinned)."""
+    return {h: boosted for h, r in zip(hosts, ranks) if int(r) >= threshold}

@@ -168,6 +168,61 @@ def test_crawl_epoch_per_host_budget_col():
     assert counts.loc["small.org"].max() == 5 and counts.loc["small.org"].size == 4
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_streaming_authority_budgets_match_batch_plan():
+    """Authority-weighted budgets produce identical epoch membership through
+    BOTH crawl modes: the shard-resident streaming heaps (set_host_budgets)
+    and the batch plan (assign_crawl_epochs budget_col)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import (
+        Frontier,
+        assign_crawl_epochs,
+        authority_budgets,
+    )
+
+    budgets = authority_budgets(["hub.org", "side.org"], [900, 100], threshold=500, boosted=4)
+    assert budgets == {"hub.org": 4}
+
+    rows = pd.DataFrame(
+        {
+            "host": ["hub.org"] * 9 + ["side.org"] * 9,
+            "url_canon": [f"https://hub.org/p/{i}" for i in range(9)]
+            + [f"https://side.org/p/{i}" for i in range(9)],
+            "url_hash": [f"{i:02x}" * 32 for i in range(18)],
+            "warc_ts": pd.to_datetime(["2024-01-01"] * 18) + pd.to_timedelta(range(18), unit="m"),
+        }
+    )
+    default_budget = 2
+    batch_rows = rows.copy()
+    batch_rows["budget"] = [budgets.get(h, default_budget) for h in batch_rows["host"]]
+    want = (
+        assign_crawl_epochs(rd.from_pandas(batch_rows), budget_col="budget")
+        .to_pandas()[["host", "url_canon", "fetch_epoch"]]
+        .sort_values(["host", "url_canon"])
+        .reset_index(drop=True)
+    )
+
+    f = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_authbudget")
+    f.set_host_budgets(budgets)
+    rd.from_pandas(rows).map_batches(f.offer_stage(), batch_format="pyarrow").sum("n_offered")
+    frames, epoch = [], 0
+    while f.pending_total() > 0:
+        df = f.emit_epoch(default_budget).to_pandas()
+        sizes = df.groupby("host").size()
+        assert sizes.get("hub.org", 0) <= 4 and sizes.get("side.org", 0) <= 2
+        frames.append(df)
+        epoch += 1
+    f.shutdown()
+    got = (
+        pd.concat(frames, ignore_index=True)[["host", "url_canon", "fetch_epoch"]]
+        .sort_values(["host", "url_canon"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_bloom_vectorized_matches_scalar():
     import hashlib
 
