@@ -106,6 +106,12 @@ def archive_pages(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=conc,
+        # cluster posture: a lost actor (OOM kill, node loss) restarts and
+        # its in-flight task re-runs from lineage — the kernels are
+        # deterministic, so retries reproduce identical rows (pinned by
+        # tests/test_fault_tolerance.py)
+        max_restarts=-1,
+        max_task_retries=-1,
     )
     if with_report:
         ds = ds.map_batches(fmt.html_report_batch, batch_format="pyarrow", batch_size=batch_size)
@@ -169,7 +175,12 @@ def _archive_transform(ds, batch_size: int = 256, extract_concurrency=4):
     ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
     return ds.map_batches(
-        extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+        extract.ExtractStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=conc,
+        max_restarts=-1,
+        max_task_retries=-1,
     )
 
 

@@ -151,6 +151,10 @@ def build_pipeline(cfg: dict[str, Any]):
                 batch_size=batch_size,
                 concurrency=conc,
                 fn_constructor_kwargs=params or None,
+                # actor pools restart on worker death; deterministic kernels
+                # make the retried task's rows identical
+                max_restarts=-1,
+                max_task_retries=-1,
             )
         else:
             raise ValueError(f"stage {name} has kind {spec.kind}, not usable as a step")
