@@ -1275,7 +1275,7 @@ def q_pages_extract_text(sf_dir: str):
     """THE byte-identical invariant: extracted text per url vs stored text."""
     rd = _rd()
     ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
-    out = ds.map_batches(ExtractStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    out = ds.map_batches(ExtractStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4), max_restarts=-1, max_task_retries=-1)
     return out.select_columns(["url", "text_extracted"])
 
 
@@ -1872,8 +1872,8 @@ def q_media_features(sf_dir: str):
         )
 
     media = m.map_batches(to_media_rows, batch_format="pyarrow", batch_size=1024)
-    media = media.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
-    media = media.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4))
+    media = media.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4), max_restarts=-1, max_task_retries=-1)
+    media = media.map_batches(ImageFeatureStage, batch_format="pyarrow", batch_size=256, concurrency=(1, 4), max_restarts=-1, max_task_retries=-1)
 
     def feature_digest(batch: pa.Table) -> pa.Table:
         # list<float32> doesn't sort/hash in the compare; digest the exact
@@ -2627,6 +2627,8 @@ def q_doc_classifier(sf_dir: str):
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=4,
+        max_restarts=-1,
+        max_task_retries=-1,
     )
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
