@@ -39,24 +39,20 @@ from ..stages.join import semi_join
 N_RANGES = 256  # md5-prefix ranges for the prefix scan (one byte)
 
 
-def webtext_corpus(
-    sf_dir: str,
-    shard_tokens: int = 2000,
-    min_tokens: int = 5,
-    extract_concurrency=(1, 8),
-):
-    """Returns a Dataset of (url, n_tokens, tok_offset, shard_id): the kept
-    corpus packed into fixed-token training shards, deterministically
-    ordered by md5(url)."""
-    import ray
-    import ray.data as rd
-
-    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+def _extract_hygiene(ds, min_tokens: int, extract_concurrency):
+    """Phase A (the compute-heavy 95%): validate → extract → repetition /
+    min-length hygiene, returning the SKINNY (url, sha256, n_tokens)
+    projection lazily (caller materializes or checkpoints it)."""
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=512)
     ds = ds.map_batches(
-        ExtractStage, batch_format="pyarrow", batch_size=256, concurrency=extract_concurrency
+        ExtractStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=extract_concurrency,
+        max_restarts=-1,
+        max_task_retries=-1,
     )
 
     def hygiene(batch: pa.Table) -> pa.Table:
@@ -72,13 +68,79 @@ def webtext_corpus(
         mask = pc.and_(rep["keep"], pc.greater_equal(rep["n_tokens"], min_tokens))
         return out.filter(mask)
 
+    return ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024)
+
+
+def webtext_corpus(
+    sf_dir: str,
+    shard_tokens: int = 2000,
+    min_tokens: int = 5,
+    extract_concurrency=(1, 8),
+):
+    """Returns a Dataset of (url, n_tokens, tok_offset, shard_id): the kept
+    corpus packed into fixed-token training shards, deterministically
+    ordered by md5(url)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
     # materialize at the branch point: `filtered` feeds BOTH the winner
     # selection and the survivor rejoin — without pinning, Ray's lineage
     # would re-run the whole validate→extract chain once per consumer.
     # This is the skinny (url, sha256, n_tokens) projection (~120 B/row;
     # html/text already dropped), spillable object-store state, never
     # driver-resident.
-    filtered = ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024).materialize()
+    filtered = _extract_hygiene(ds, min_tokens, extract_concurrency).materialize()
+    return _pack(filtered, shard_tokens)
+
+
+def webtext_corpus_sharded(
+    sf_dir: str,
+    out_root: str,
+    files_per_part: int = 8,
+    shard_tokens: int = 2000,
+    min_tokens: int = 5,
+    extract_concurrency=(1, 8),
+):
+    """Resumable flagship: phase A (validate→extract→hygiene — where ~95%
+    of the compute lives) runs per input-shard group and checkpoints each
+    group's skinny projection as an atomic partition + manifest line; a
+    killed run restarts and skips finished groups. Phase B (dedup + the
+    global prefix scan + packing) is cheap relative to A and re-runs
+    idempotently over the checkpointed projections — it cannot be
+    per-shard-checkpointed because a shard's token offsets depend on every
+    range's totals (the scan is global by definition).
+
+    Writes the packed corpus to ``{out_root}/corpus`` and returns
+    ``(writer, corpus_path)``."""
+    import glob
+
+    import ray.data as rd
+
+    from ..state.checkpoint import PartitionedWriter
+
+    files = sorted(glob.glob(f"{ensure_pages(sf_dir)}/*.parquet"))
+    writer = PartitionedWriter(f"{out_root}/extracted")
+    for gi in range(0, len(files), files_per_part):
+        part = f"shard{gi // files_per_part:05d}"
+        if writer.is_done(part):
+            continue
+        ds = rd.read_parquet(files[gi : gi + files_per_part], columns=["url", "html"])
+        writer.write(part, _extract_hygiene(ds, min_tokens, extract_concurrency))
+
+    filtered = writer.read_all()
+    packed = _pack(filtered, shard_tokens)
+    corpus_path = f"{out_root}/corpus"
+    import shutil
+
+    shutil.rmtree(corpus_path, ignore_errors=True)
+    packed.write_parquet(corpus_path)
+    return writer, corpus_path
+
+
+def _pack(filtered, shard_tokens: int):
+    """Phase B: global dedup + distributed prefix scan + shard packing over
+    the materialized skinny projection."""
+    import ray
 
     # global content dedup: min-url winner per payload hash; only the
     # (sha256, url) projection shuffles, survivors rejoin by url through

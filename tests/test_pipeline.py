@@ -173,3 +173,33 @@ def test_webtext_corpus_end_to_end(ray_session):
     # order is md5(url) ascending
     rks = [hashlib.md5(u.encode()).hexdigest() for u in out["url"]]
     assert rks == sorted(rks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_webtext_sharded_resume(tmp_path):
+    """Resumable flagship: phase-A (extract/hygiene) checkpoints per input
+    shard; output equals the streaming pipeline; a second run re-extracts
+    nothing (manifest untouched) and reproduces the same corpus."""
+    import os
+
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.webtext import webtext_corpus, webtext_corpus_sharded
+
+    want = (
+        webtext_corpus("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    out = str(tmp_path / "webtext")
+    w1, corpus = webtext_corpus_sharded("/root/testdata/sf0.001", out, files_per_part=1)
+    got = rd.read_parquet(corpus).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+    mtime = os.path.getmtime(f"{out}/extracted/MANIFEST.jsonl")
+    w2, corpus2 = webtext_corpus_sharded("/root/testdata/sf0.001", out, files_per_part=1)
+    assert os.path.getmtime(f"{out}/extracted/MANIFEST.jsonl") == mtime
+    got2 = rd.read_parquet(corpus2).to_pandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got2[want.columns.tolist()], want, check_dtype=False)
