@@ -2874,6 +2874,94 @@ FROM b ORDER BY host"""
     )
 
 
+def q_crawl_discover(sf_dir: str):
+    """Discovery feedback — the BFS step of a real crawler that the
+    seed-list reference never does: epoch-0 seeds mark the frontier's
+    seen-filter; the fetched pages' discovered media links (relevance-
+    filtered, best-quality, content-deduped — the media plan) are keyed by
+    the same url-seen digest and offered back; the admission filter keeps
+    first-seen URLs only. Output: per-host counts of newly admitted
+    discovered URLs (the frontier growth of the next epoch).
+
+    Oracle: the discovered-link set is the serial-golden-checked media
+    plan, so SQL re-derives admission exactly — links whose url string is
+    not a valid seed URL (url_canon == url on this corpus, the
+    SQL_CRAWL_PLAN equivalence), counted per host."""
+    import uuid
+
+    from ..functions.urlkit import domain_for_url, url_seen_hex
+    from ..pipelines.archive import archive_pages
+    from ..stages.dedup import exact_dedup
+    from ..stages.media import explode_media
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    m = exact_dedup(m, "media_url_hash", "page_url")
+
+    f = Frontier(
+        num_shards=4, capacity_per_shard=1_000_000, name_prefix=f"disc_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        seeds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+        seeds = seeds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+        seeds = seeds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+        # mark every seed as seen (count() drives the lazy pipeline)
+        seeds.select_columns(["host", "url_hash"]).map_batches(
+            f.filter_new_stage(), batch_format="pyarrow", batch_size=4096
+        ).count()
+
+        def key_links(batch: pa.Table) -> pa.Table:
+            links = batch.column("media_url_best").to_pylist()
+            return pa.table(
+                {
+                    "host": pa.array([domain_for_url(u) for u in links]),
+                    "url_hash": pa.array([url_seen_hex(u) for u in links]),
+                }
+            )
+
+        admitted = m.map_batches(key_links, batch_format="pyarrow", batch_size=4096).map_batches(
+            f.filter_new_stage(), batch_format="pyarrow", batch_size=4096
+        )
+
+        def partial(batch: pa.Table) -> pa.Table:
+            t = pa.table(
+                {
+                    "host": batch["host"],
+                    "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                }
+            )
+            return t.group_by("host").aggregate([("n", "sum")]).rename_columns(
+                ["host", "n_discovered_new"]
+            )
+
+        out = driver_reduce(
+            admitted.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+            ["host"],
+            {"n_discovered_new": "sum"},
+        )
+    finally:
+        f.shutdown()
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_discover(golden_dir: str) -> str:
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    return f"""
+WITH seeds AS (SELECT url FROM __PAGES__ WHERE {_VALID_SQL}),
+disc AS (
+  SELECT regexp_extract(media_url_best, '^https?://([^/]+)', 1) AS host, media_url_best
+  FROM read_parquet('{g}')
+  WHERE media_url_best NOT IN (SELECT url FROM seeds)
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_discovered_new
+FROM disc GROUP BY host ORDER BY host
+"""
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic train/valid/test assignment by content-free hash
     bucketing (md5(doc_id) permille: 980/10/10) — the split any engine can
@@ -3098,6 +3186,7 @@ QUERIES = {
     "q_doc_incremental_neardup": q_doc_incremental_neardup,
     "q_doc_splits": q_doc_splits,
     "q_doc_chunks": q_doc_chunks,
+    "q_crawl_discover": q_crawl_discover,
     "q_doc_pii": q_doc_pii,
     "q_webtext_corpus": q_webtext_corpus,
     "q_pages_host_quality": q_pages_host_quality,
@@ -3252,6 +3341,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_doc_splits": SQL_DOC_SPLITS,
         "q_doc_chunks": SQL_DOC_CHUNKS,
+        "q_crawl_discover": _sql_pages(sf_dir, _sql_crawl_discover(g)),
         "q_doc_pii": _sql_doc_pii(),
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
