@@ -2725,7 +2725,7 @@ def _host_authority(sf_dir: str):
     from ..stages.graph import host_pagerank
     from ..stages.media import explode_media
 
-    ds = archive_pages(sf_dir, extract_concurrency=4)
+    ds = archive_pages(sf_dir, extract_concurrency=8)
     m = ds.select_columns(["url", "media_links"]).map_batches(
         explode_media, batch_format="pyarrow", batch_size=1024
     )
@@ -2896,7 +2896,7 @@ def q_crawl_discover(sf_dir: str):
     from ..state.frontier import Frontier
 
     rd = _rd()
-    ds = archive_pages(sf_dir, extract_concurrency=4)
+    ds = archive_pages(sf_dir, extract_concurrency=8)
     m = ds.select_columns(["url", "media_links"]).map_batches(
         explode_media, batch_format="pyarrow", batch_size=1024
     )
