@@ -3134,8 +3134,77 @@ def q_embed_semdedup(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+# Ordering matters: the driver's correctness gate checks the FIRST 50 entries
+# (dict order).  The riskiest queries — the near-dup family, the webtext
+# flagship, the byte-identical extract-text invariant, kNN/IVF, and every
+# query added in the current round — must sit inside that window; the
+# TPC-H-style warm-ups (stable since round 1) are demoted to the tail with a
+# few representatives kept high (VERDICT r3 "Next round" #1).
 QUERIES = {
+    # --- round-3 tail that escaped the driver window (judge-verified only) ---
+    "q_webtext_corpus": q_webtext_corpus,
+    "q_pages_extract_text": q_pages_extract_text,
+    "q_doc_minhash_pairs": q_doc_minhash_pairs,
+    "q_doc_simhash_pairs": q_doc_simhash_pairs,
+    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_doc_clusters": q_doc_clusters,
+    "q_doc_neardup_dedup": q_doc_neardup_dedup,
+    "q_doc_segment_dedup": q_doc_segment_dedup,
+    "q_knn": q_knn,
+    "q_knn_ivf": q_knn_ivf,
+    "q_embed_neardup": q_embed_neardup,
+    "q_doc_pii": q_doc_pii,
+    "q_doc_chunks": q_doc_chunks,
+    "q_crawl_discover": q_crawl_discover,
+    "q_crawl_incremental": q_crawl_incremental,
+    "q_pages_host_quality": q_pages_host_quality,
+    "q_pages_urlfilter": q_pages_urlfilter,
+    "q_pages_hosts": q_pages_hosts,
+    "q_pages_dedup": q_pages_dedup,
+    "q_pages_trackers": q_pages_trackers,
+    "q_pages_deletion": q_pages_deletion,
+    "q_pages_media_plan": q_pages_media_plan,
+    "q_archive_stats": q_archive_stats,
+    "q_crawl_plan": q_crawl_plan,
+    # --- round-4 additions are registered here, inside the window ---
+    # --- high-value round-3 queries (driver-verified r3; keep in window) ---
+    "q_embed_semdedup": q_embed_semdedup,
+    "q_pages_hostrank": q_pages_hostrank,
+    "q_crawl_authority": q_crawl_authority,
+    "q_doc_incremental_neardup": q_doc_incremental_neardup,
+    "q_doc_token_shards": q_doc_token_shards,
+    "q_doc_classifier": q_doc_classifier,
+    "q_doc_dsir": q_doc_dsir,
+    "q_doc_decontaminate": q_doc_decontaminate,
+    "q_doc_repetition": q_doc_repetition,
+    "q_doc_dupspans": q_doc_dupspans,
+    "q_doc_top_terms": q_doc_top_terms,
+    "q_doc_rank_perplexity": q_doc_rank_perplexity,
+    "q_doc_boilerplate": q_doc_boilerplate,
+    "q_doc_splits": q_doc_splits,
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_source_mix": q_doc_source_mix,
+    "q_doc_length_quantiles": q_doc_length_quantiles,
+    "q_timestamping": q_timestamping,
+    "q_crawl_epochs": q_crawl_epochs,
+    "q_wacz_media": q_wacz_media,
+    "q_pages_wayback": q_pages_wayback,
+    "q_media_store": q_media_store,
+    "q_media_store_tree": q_media_store_tree,
+    "q_media_features": q_media_features,
+    "q_pages_sample": q_pages_sample,
+    # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
+    "q_orders_without_lineitems": q_orders_without_lineitems,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_events_sliding": q_events_sliding,
+    "q_events_distinct_users_approx": q_events_distinct_users_approx,
     "q_lineitem_pricing": q_lineitem_pricing,
+    # --- TPC-H-style warm-ups, stable since round 1 (tail) ---
     "q_top_customers": q_top_customers,
     "q_supplier_nation": q_supplier_nation,
     "q_orders_priority": q_orders_priority,
@@ -3144,71 +3213,13 @@ QUERIES = {
     "q_events_hourly": q_events_hourly,
     "q_events_topusers": q_events_topusers,
     "q_events_minmax": q_events_minmax,
-    "q_events_sliding": q_events_sliding,
-    "q_events_distinct_users_approx": q_events_distinct_users_approx,
     "q_lineitem_brand": q_lineitem_brand,
     "q_customer_nation": q_customer_nation,
     "q_region_nation_union": q_region_nation_union,
-    "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_lineitem_pushdown": q_lineitem_pushdown,
     "q_orders_lineitem_join": q_orders_lineitem_join,
-    "q_orders_without_lineitems": q_orders_without_lineitems,
-    "q_pages_sample": q_pages_sample,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
-    "q_media_features": q_media_features,
-    "q_media_store": q_media_store,
-    "q_media_store_tree": q_media_store_tree,
-    "q_pages_wayback": q_pages_wayback,
-    "q_crawl_epochs": q_crawl_epochs,
-    "q_wacz_media": q_wacz_media,
-    "q_timestamping": q_timestamping,
-    "q_doc_token_stats": q_doc_token_stats,
-    "q_doc_exact_dedup": q_doc_exact_dedup,
-    "q_doc_quality": q_doc_quality,
-    "q_doc_langid": q_doc_langid,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_doc_decontaminate": q_doc_decontaminate,
-    "q_doc_boilerplate": q_doc_boilerplate,
-    "q_doc_repetition": q_doc_repetition,
-    "q_doc_top_terms": q_doc_top_terms,
-    "q_doc_dupspans": q_doc_dupspans,
-    "q_doc_stratified_sample": q_doc_stratified_sample,
-    "q_doc_source_mix": q_doc_source_mix,
-    "q_doc_length_quantiles": q_doc_length_quantiles,
-    "q_doc_token_shards": q_doc_token_shards,
-    "q_doc_rank_perplexity": q_doc_rank_perplexity,
-    "q_doc_classifier": q_doc_classifier,
-    "q_doc_dsir": q_doc_dsir,
-    "q_embed_semdedup": q_embed_semdedup,
-    "q_pages_hostrank": q_pages_hostrank,
-    "q_crawl_authority": q_crawl_authority,
-    "q_doc_incremental_neardup": q_doc_incremental_neardup,
-    "q_doc_splits": q_doc_splits,
-    "q_doc_chunks": q_doc_chunks,
-    "q_crawl_discover": q_crawl_discover,
-    "q_doc_pii": q_doc_pii,
-    "q_webtext_corpus": q_webtext_corpus,
-    "q_pages_host_quality": q_pages_host_quality,
-    "q_pages_urlfilter": q_pages_urlfilter,
-    "q_crawl_incremental": q_crawl_incremental,
-    "q_doc_minhash_pairs": q_doc_minhash_pairs,
-    "q_doc_simhash_pairs": q_doc_simhash_pairs,
-    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
-    "q_doc_clusters": q_doc_clusters,
-    "q_doc_neardup_dedup": q_doc_neardup_dedup,
-    "q_doc_segment_dedup": q_doc_segment_dedup,
-    "q_pages_extract_text": q_pages_extract_text,
-    "q_pages_hosts": q_pages_hosts,
-    "q_pages_dedup": q_pages_dedup,
-    "q_pages_trackers": q_pages_trackers,
-    "q_pages_deletion": q_pages_deletion,
-    "q_pages_media_plan": q_pages_media_plan,
-    "q_archive_stats": q_archive_stats,
-    "q_crawl_plan": q_crawl_plan,
-    "q_knn": q_knn,
-    "q_knn_ivf": q_knn_ivf,
-    "q_embed_neardup": q_embed_neardup,
 }
 
 
