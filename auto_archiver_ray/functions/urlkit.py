@@ -127,6 +127,25 @@ def domain_for_url(url: str) -> str:
     return urlparse(url).netloc
 
 
+def canonical_host(url: str) -> str:
+    """The normalized host key validate_batch computes (lowercase hostname
+    plus non-default port, userinfo dropped) — use this, not raw netloc,
+    wherever a host must join against validate's ``host`` column: a
+    mixed-case host, userinfo, or explicit default port would otherwise
+    miss the lookup (ADVICE r3 #4)."""
+    parts = urlparse(url)
+    h = (parts.hostname or "").lower()
+    try:
+        port = parts.port
+    except ValueError:
+        return h
+    if port is not None and not (
+        (parts.scheme == "http" and port == 80) or (parts.scheme == "https" and port == 443)
+    ):
+        return f"{h}:{port}"
+    return h
+
+
 def is_auth_wall(url: str) -> bool:
     """True when the URL is behind a login wall. Parity: ref:utils/url.py:63-71."""
     return any(p.match(url) for p in _AUTHWALL_PATTERNS)

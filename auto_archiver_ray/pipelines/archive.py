@@ -106,10 +106,13 @@ def archive_pages(
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=conc,
-        # cluster posture: a lost actor (OOM kill, node loss) restarts and
-        # its in-flight task re-runs from lineage — the kernels are
-        # deterministic, so retries reproduce identical rows (pinned by
-        # tests/test_fault_tolerance.py)
+        # cluster posture: a lost actor (OOM kill, single-node worker death —
+        # the scope tests/test_fault_tolerance.py exercises) restarts and its
+        # in-flight task re-runs from lineage; the kernels are deterministic,
+        # so retries reproduce identical rows. Caveat for multi-node NODE
+        # loss (ray issue 53727): restart resolves constructor args from the
+        # object store, so ctor args must stay small/inline — ExtractStage
+        # takes none, and registry-built pools only pass YAML scalars.
         max_restarts=-1,
         max_task_retries=-1,
     )

@@ -2718,8 +2718,13 @@ ORDER BY d.doc_id
 
 def _host_authority(sf_dir: str):
     """PageRank Dataset (node, rank) over the stored-media link graph
-    (page host → media host edges from the deduplicated media plan)."""
-    from ..functions.urlkit import domain_for_url
+    (page host → media host edges from the deduplicated media plan).
+
+    Nodes are keyed by :func:`..functions.urlkit.canonical_host` — the SAME
+    normalization validate_batch applies — so downstream joins against
+    validate's ``host`` column (q_crawl_authority's budget lookup) can never
+    miss on case/userinfo/default-port variants (ADVICE r3 #4)."""
+    from ..functions.urlkit import canonical_host
     from ..pipelines.archive import archive_pages
     from ..stages.dedup import exact_dedup
     from ..stages.graph import host_pagerank
@@ -2735,10 +2740,10 @@ def _host_authority(sf_dir: str):
         return pa.table(
             {
                 "src": pa.array(
-                    [domain_for_url(u) for u in batch.column("page_url").to_pylist()]
+                    [canonical_host(u) for u in batch.column("page_url").to_pylist()]
                 ),
                 "dst": pa.array(
-                    [domain_for_url(u) for u in batch.column("media_url_best").to_pylist()]
+                    [canonical_host(u) for u in batch.column("media_url_best").to_pylist()]
                 ),
             }
         )
@@ -2811,6 +2816,22 @@ def q_crawl_authority(sf_dir: str):
     return out
 
 
+def _sql_canon_host(col: str) -> str:
+    """SQL twin of urlkit.canonical_host: lowercase hostname (userinfo
+    dropped), default port stripped — the same key validate_batch emits, so
+    the oracle and the Ray side can never diverge on case/port/userinfo
+    variants (ADVICE r3 #4). Shared verbatim by _hostrank_ctes and
+    _sql_crawl_authority (previously their patterns disagreed: [^/]+ vs
+    [^/?#]+)."""
+    h = f"lower(regexp_extract({col}, '^https?://(?:[^/?#@]*@)?([^/?#]+)', 1))"
+    return (
+        f"(CASE WHEN {col} LIKE 'http://%' AND {h} LIKE '%:80' "
+        f"THEN substr({h}, 1, length({h}) - 3) "
+        f"WHEN {col} LIKE 'https://%' AND {h} LIKE '%:443' "
+        f"THEN substr({h}, 1, length({h}) - 4) ELSE {h} END)"
+    )
+
+
 def _hostrank_ctes(golden_dir: str, iters: int = 5, scale: int = 10**12) -> str:
     """The shared CTE chain: integer PageRank over the GOLDEN media-plan
     edge set (the q_doc_clusters pattern: the edges themselves are
@@ -2818,8 +2839,8 @@ def _hostrank_ctes(golden_dir: str, iters: int = 5, scale: int = 10**12) -> str:
     g = f"{golden_dir}/q_pages_media_plan.parquet"
     parts = [
         f"""e AS (
-  SELECT DISTINCT regexp_extract(page_url, '^https?://([^/]+)', 1) AS src,
-                  regexp_extract(media_url_best, '^https?://([^/]+)', 1) AS dst
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
   FROM read_parquet('{g}')
 ),
 nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
@@ -2860,7 +2881,7 @@ def _sql_crawl_authority(golden_dir: str, sf_dir: str, iters: int = 5, scale: in
         + _hostrank_ctes(golden_dir, iters)
         + f""",
 c AS (
-  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, COUNT(*) AS n
+  SELECT {_sql_canon_host('url')} AS host, COUNT(*) AS n
   FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
 ),
 b AS (
@@ -2953,7 +2974,7 @@ def _sql_crawl_discover(golden_dir: str) -> str:
     return f"""
 WITH seeds AS (SELECT url FROM __PAGES__ WHERE {_VALID_SQL}),
 disc AS (
-  SELECT regexp_extract(media_url_best, '^https?://([^/]+)', 1) AS host, media_url_best
+  SELECT regexp_extract(media_url_best, '^https?://([^/?#]+)', 1) AS host, media_url_best
   FROM read_parquet('{g}')
   WHERE media_url_best NOT IN (SELECT url FROM seeds)
 )
@@ -3069,11 +3090,13 @@ c AS (
               ELSE (n_tok - 17) // 32 + 1 END AS n_chunks
   FROM n WHERE n_tok > 0
 )
-SELECT doc_id, CAST(r.range AS BIGINT) AS chunk_idx,
-       CAST(r.range * 32 AS BIGINT) AS tok_start,
-       CAST(least(r.range * 32 + 48, n_tok) AS BIGINT) AS tok_end
-FROM c, range(0, 100000) r
-WHERE r.range < n_chunks
+-- per-row generate_series: no fixed bound, so the oracle can never silently
+-- truncate very long documents (ADVICE r3 #5; range() only takes constants)
+, x AS (SELECT doc_id, n_tok, unnest(generate_series(0, n_chunks - 1)) AS ci FROM c)
+SELECT doc_id, CAST(ci AS BIGINT) AS chunk_idx,
+       CAST(ci * 32 AS BIGINT) AS tok_start,
+       CAST(least(ci * 32 + 48, n_tok) AS BIGINT) AS tok_end
+FROM x
 ORDER BY doc_id, chunk_idx
 """
 

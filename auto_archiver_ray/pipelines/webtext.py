@@ -122,10 +122,15 @@ def webtext_corpus_sharded(
     writer = PartitionedWriter(f"{out_root}/extracted")
     for gi in range(0, len(files), files_per_part):
         part = f"shard{gi // files_per_part:05d}"
-        if writer.is_done(part):
+        group = files[gi : gi + files_per_part]
+        # the partition's identity is its member file list: resuming with a
+        # changed file set or files_per_part must fail loudly, not skip a
+        # "done" partition that covered a different group (ADVICE r3 #2)
+        digest = hashlib.sha256("\n".join(group).encode("utf-8")).hexdigest()
+        if writer.is_done(part, inputs=digest):
             continue
-        ds = rd.read_parquet(files[gi : gi + files_per_part], columns=["url", "html"])
-        writer.write(part, _extract_hygiene(ds, min_tokens, extract_concurrency))
+        ds = rd.read_parquet(group, columns=["url", "html"])
+        writer.write(part, _extract_hygiene(ds, min_tokens, extract_concurrency), inputs=digest)
 
     filtered = writer.read_all()
     packed = _pack(filtered, shard_tokens)

@@ -32,7 +32,10 @@ import pyarrow as pa
 
 from .dedup import _coarse_u64
 
-_RANK_SENTINEL = ""  # peer value marking a rank row inside the tagged union
+# Rank rows vs edge rows inside the tagged union are distinguished by an
+# explicit ``is_msg`` int8 column — NOT by a sentinel peer value: hosts can
+# legitimately be "" (urlparse().netloc of a schemeless URL), and a string
+# sentinel would misclassify their edges as rank messages (ADVICE r3 #1).
 
 
 def _bucket_on(col: str, num_buckets: int):
@@ -148,6 +151,7 @@ def host_pagerank(
                 "__cb": batch.column("__cb"),
                 "contrib": neg,
                 "outdeg": neg,
+                "is_msg": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
             }
         )
 
@@ -157,18 +161,20 @@ def host_pagerank(
         return pa.table(
             {
                 "node": batch.column("node"),
-                "peer": pa.array([_RANK_SENTINEL] * batch.num_rows, pa.string()),
+                "peer": pa.array([""] * batch.num_rows, pa.string()),
                 "__cb": batch.column("__cb"),
                 "contrib": batch.column("contrib"),
                 "outdeg": batch.column("outdeg"),
+                "is_msg": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
             }
         )
 
     def reduce_and_emit(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.loc[g["peer"] == _RANK_SENTINEL]
+        tag = g["is_msg"].to_numpy() == 1
+        m = g.loc[tag]
         rk = m.groupby("node", as_index=False).agg(contrib=("contrib", "sum"), outdeg=("outdeg", "max"))
         rk["rank"] = base + rk["contrib"].to_numpy(dtype=np.int64)
-        e = g.loc[g["peer"] != _RANK_SENTINEL, ["node", "peer"]].merge(
+        e = g.loc[~tag, ["node", "peer"]].merge(
             rk[["node", "outdeg", "rank"]], on="node", how="left"
         )
         contrib = np.zeros(len(e), dtype=np.int64)

@@ -32,13 +32,29 @@ class PartitionedWriter:
                         done[rec["partition"]] = rec
         return done
 
-    def is_done(self, partition: str) -> bool:
-        return partition in self.completed()
+    def is_done(self, partition: str, inputs: str | None = None) -> bool:
+        """True iff ``partition`` is recorded complete. When ``inputs`` (a
+        digest of the partition's input identity — e.g. its member file
+        list) is given and the manifest recorded one, a mismatch raises
+        instead of skipping: resuming after the input set changed must fail
+        loudly, not silently treat a different file group as done
+        (ADVICE r3 #2)."""
+        rec = self.completed().get(partition)
+        if rec is None:
+            return False
+        if inputs is not None and rec.get("inputs") is not None and rec["inputs"] != inputs:
+            raise ValueError(
+                f"checkpoint partition {partition!r} at {self.root} was written "
+                f"from different inputs (manifest {rec['inputs']!r} != current "
+                f"{inputs!r}) — the input file set or grouping changed; delete "
+                f"the checkpoint root or use a fresh out_root"
+            )
+        return True
 
     def partition_dir(self, partition: str) -> str:
         return os.path.join(self.root, f"part={partition}")
 
-    def write(self, partition: str, ds) -> dict:
+    def write(self, partition: str, ds, inputs: str | None = None) -> dict:
         """Write one partition's Dataset atomically; no-op if already done."""
         done = self.completed()
         if partition in done:
@@ -57,7 +73,7 @@ class PartitionedWriter:
         rows = sum(pq.read_metadata(f).num_rows for f in glob.glob(f"{tmp}/*.parquet"))
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
-        rec = {"partition": partition, "rows": rows, "path": final}
+        rec = {"partition": partition, "rows": rows, "path": final, "inputs": inputs}
         with open(self.manifest_path, "a") as f:
             f.write(json.dumps(rec) + "\n")
         return rec

@@ -84,6 +84,25 @@ def test_host_pagerank_strategies_bit_identical():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_empty_string_host_bit_identical():
+    """An empty-string host ("" — urlparse().netloc of a schemeless URL) is a
+    legitimate graph node: it must NOT be confused with rank-message rows in
+    the bucketed path's tagged union (ADVICE r3 #1 reproduced exactly this
+    divergence between the driver and bucketed strategies)."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_pagerank
+
+    edges = [("a.com", ""), ("b.com", "a.com"), ("a.com", "b.com"), ("", "b.com")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    a = host_pagerank(ds, iters=5, strategy="driver").to_pandas().sort_values("node").reset_index(drop=True)
+    b = host_pagerank(ds, iters=5, strategy="bucketed").to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    want = serial_pagerank(edges)
+    assert dict(zip(a["node"], a["rank"].astype(int))) == want
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_host_pagerank_empty_edges():
     import pyarrow as pa
     import ray.data as rd

@@ -203,3 +203,13 @@ def test_webtext_sharded_resume(tmp_path):
     assert os.path.getmtime(f"{out}/extracted/MANIFEST.jsonl") == mtime
     got2 = rd.read_parquet(corpus2).to_pandas().sort_values("url").reset_index(drop=True)
     pd.testing.assert_frame_equal(got2[want.columns.tolist()], want, check_dtype=False)
+
+    # resume with a CHANGED partition input set must fail loudly, not skip a
+    # "done" partition that covered a different file group (ADVICE r3 #2):
+    # the manifest records each partition's input digest and is_done verifies
+    # it. (sf0.001 has one input file, so exercise the mismatch directly.)
+    assert w2.is_done("shard00000", inputs=w2.completed()["shard00000"]["inputs"])
+    with pytest.raises(ValueError, match="different inputs"):
+        w2.is_done("shard00000", inputs="deadbeef")
+    # legacy manifests without a digest still resume (inputs=None recorded)
+    assert w2.is_done("shard00000")

@@ -109,3 +109,30 @@ def test_remove_get_parameters_fast_path_equivalence():
     ]
     for u in cases:
         assert remove_get_parameters(u) == urlunparse(urlparse(u)._replace(query=""))
+
+
+def test_canonical_host_matches_validate_host_column():
+    """canonical_host must equal validate_batch's `host` for every URL shape
+    that previously made q_crawl_authority's rank lookup miss (ADVICE r3 #4):
+    mixed case, userinfo, explicit default port, non-default port."""
+    import pyarrow as pa
+
+    from auto_archiver_ray.functions.urlkit import canonical_host
+    from auto_archiver_ray.stages.validate import validate_batch
+
+    urls = [
+        "https://Example.COM/a",
+        "http://user:pw@example.com/a",
+        "https://example.com:443/a",
+        "http://example.com:80/a",
+        "http://example.com:8080/a",
+        "https://example.com:8443/a",
+        "https://sub.Example.org/p?q=1",
+    ]
+    out = validate_batch(pa.table({"url": urls}))
+    for u, h, v in zip(urls, out["host"].to_pylist(), out["valid"].to_pylist()):
+        assert v
+        assert canonical_host(u) == h, u
+    # non-http(s) / hostless / invalid-port inputs degrade without raising
+    assert canonical_host("not a url") == ""
+    assert canonical_host("https://bad:port:99999999/x") == "bad"
