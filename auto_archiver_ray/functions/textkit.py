@@ -137,12 +137,38 @@ def extract_text_str(decoded: str) -> str:
     return extract_text(decoded)
 
 
+_A_HREF_RE = re.compile(r"<a\b[^>]*?href=[\"']([^\"']+)[\"']", re.IGNORECASE)
+
+
+def discover_page_links(html_bytes: bytes | str) -> list[str]:
+    """Absolute http(s) anchor hrefs that are NOT media files — the
+    frontier-feed half of link discovery (the BFS crawl's next-hop URLs),
+    complementing :func:`discover_media_links`. First occurrence wins, in
+    document order. Reference behavior: the antibot/WACZ extractors collect
+    page links for new fetches (ref:modules/wacz_extractor_enricher/
+    wacz_extractor_enricher.py:176-266)."""
+    text = html_bytes.decode("utf-8", errors="replace") if isinstance(html_bytes, bytes) else html_bytes
+    seen: set[str] = set()
+    out: list[str] = []
+    for raw in _A_HREF_RE.findall(text):
+        u = raw.strip("'\" ")
+        if not u.startswith(("http://", "https://")):
+            continue
+        if _MEDIA_EXT_RE.search(u):
+            continue
+        if u in seen:
+            continue
+        seen.add(u)
+        out.append(u)
+    return out
+
+
 def scan_html(html_bytes: bytes | str) -> dict:
     """One decode, then the original kernels over the decoded string:
-    ``{html_str, title, time_datetime, time_content, media_links}``.
-    Byte-identical with calling each kernel on the raw bytes (they accept
-    str input unchanged); pinned by tests/test_extract.py and the
-    q_pages_extract_text oracle."""
+    ``{html_str, title, time_datetime, time_content, media_links,
+    page_links}``. Byte-identical with calling each kernel on the raw bytes
+    (they accept str input unchanged); pinned by tests/test_extract.py and
+    the q_pages_extract_text oracle."""
     text = (
         html_bytes.decode("utf-8", errors="replace")
         if isinstance(html_bytes, bytes)
@@ -155,6 +181,7 @@ def scan_html(html_bytes: bytes | str) -> dict:
         "time_datetime": extract_time_datetime(text),
         "time_content": m.group(1) if m else None,
         "media_links": discover_media_links(text),
+        "page_links": discover_page_links(text),
     }
 
 

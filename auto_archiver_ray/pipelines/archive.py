@@ -129,7 +129,7 @@ def archive_pages_full(sf_dir: str, out_dir: str | None = None, **kwargs):
     (ref:modules/s3_storage/s3_storage.py:50-73): one survivor per sha256
     (minimum url_canon — deterministic), via hash-partition groupby.
     """
-    ds = archive_pages(sf_dir, dedup_content=True, **kwargs).drop_columns(["media_links"])
+    ds = archive_pages(sf_dir, dedup_content=True, **kwargs).drop_columns(["media_links", "page_links"])
     if out_dir:
         ds.write_parquet(out_dir, partition_cols=None)
         return out_dir
@@ -164,7 +164,7 @@ def archive_pages_sharded(
             continue
         group = files[gi : gi + files_per_part]
         ds = rd.read_parquet(group, columns=["url", "warc_ts", "html", "lang"])
-        ds = _archive_transform(ds, **kwargs).drop_columns(["media_links"])
+        ds = _archive_transform(ds, **kwargs).drop_columns(["media_links", "page_links"])
         writer.write(part, ds)
     return writer
 

@@ -419,7 +419,7 @@ def crawl(
         epoch_ds = epoch_ds.map_batches(
             extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
         )
-        epoch_ds = epoch_ds.drop_columns(["media_links"]).add_column(
+        epoch_ds = epoch_ds.drop_columns(["media_links", "page_links"]).add_column(
             "fetch_epoch", lambda df: np.full(len(df), epoch, dtype="int64"), batch_format="pandas"
         )
         writer.write(part, epoch_ds)
@@ -435,6 +435,166 @@ def crawl(
 
         for s in claim_shards:
             ray.kill(s)
+    return writer, frontier.stats()
+
+
+def crawl_bfs(
+    seeds_source,
+    pages_source_factory,
+    out_root: str,
+    frontier: Frontier | None = None,
+    per_host_budget: int = 50,
+    max_epochs: int | None = None,
+    extract_concurrency=4,
+    batch_size: int = 256,
+    checkpoint_dir: str | None = None,
+    robots_rules: dict[str, list[str]] | None = None,
+    plan_batch_size: int = 4096,
+):
+    """The FULL BFS crawl loop — discovery feedback closed over the
+    shard-resident frontier (the reference's media/link discovery feeding
+    new fetches, ref:modules/antibot_extractor_enricher/
+    antibot_extractor_enricher.py:299-331, ref:modules/
+    wacz_extractor_enricher/wacz_extractor_enricher.py:176-266; the
+    single-hop admission step was q_crawl_discover):
+
+        offer(seeds) → while pending: emit politeness epoch → fetch/extract
+          the epoch's pages (ExtractStage also yields ``page_links``)
+          → write the epoch partition → offer the partition's discovered
+          links back (bloom admission keeps first-seen only) → checkpoint
+
+    Epoch membership keys on ``url_hash`` ONLY (a BFS fetches *the page*,
+    not a snapshot): sources holding several snapshots per url should
+    pre-dedup (or use :func:`crawl`, whose plan is snapshot-keyed).
+    Discovered links carry no ``warc_ts``; they are offered with a zero
+    timestamp (ordering inside a host heap then falls to url_canon — still
+    deterministic).
+
+    Resume: the per-epoch checkpoint is taken AFTER the partition write and
+    the link offer, so a restored run re-emits the in-flight epoch
+    deterministically, skips its already-written partition, re-offers its
+    links (restored bloom blocks re-admission), and continues — identical
+    partitions to an uninterrupted run (tests/test_crawl.py::
+    test_bfs_kill_mid_crawl_resumes_identically).
+
+    Returns (writer, stats)."""
+    import ray
+    import ray.data as rd
+
+    frontier = frontier or Frontier(num_shards=8)
+    if checkpoint_dir:
+        frontier.restore(checkpoint_dir)
+    if robots_rules:
+        frontier.set_robots(robots_rules)
+    writer = PartitionedWriter(out_root)
+
+    def _keyed(ds):
+        ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=plan_batch_size)
+        ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=plan_batch_size)
+        if robots_rules:
+            ds = ds.map_batches(
+                frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=plan_batch_size
+            )
+        return ds
+
+    def _with_ts(batch: pa.Table) -> pa.Table:
+        if "warc_ts" in batch.column_names:
+            return batch
+        return batch.append_column(
+            "warc_ts", pa.array([0] * batch.num_rows, pa.timestamp("us"))
+        )
+
+    def _offer(ds) -> int:
+        keyed = _keyed(ds).map_batches(_with_ts, batch_format="pyarrow", batch_size=plan_batch_size)
+        out = keyed.select_columns(["host", "url_canon", "url_hash", "warc_ts"]).map_batches(
+            frontier.offer_stage(), batch_format="pyarrow", batch_size=plan_batch_size
+        )
+        return int(out.sum("n_offered") or 0)
+
+    # idempotent under resume: the restored bloom blocks re-admission
+    _offer(seeds_source)
+
+    conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
+    emitted = 0
+    while frontier.pending_total() > 0:
+        if max_epochs is not None and emitted >= max_epochs:
+            break
+        plan = frontier.emit_epoch(per_host_budget)
+        member = np.unique(
+            np.concatenate(
+                [
+                    _hash_hex_to_u64(b.column("url_hash").to_pylist())
+                    for b in plan.select_columns(["url_hash"]).iter_batches(
+                        batch_size=65536, batch_format="pyarrow"
+                    )
+                ]
+                or [np.empty(0, dtype=np.uint64)]
+            )
+        )
+        epoch = int(plan.take(1)[0]["fetch_epoch"]) if len(member) else emitted
+        emitted += 1
+        part = f"epoch{epoch:05d}"
+        if not writer.is_done(part) and len(member):
+            # per-EPOCH membership broadcast: bounded by budget × hosts
+            # (never the whole frontier — that is the shards' job)
+            member_ref = ray.put(member)
+
+            def keep_epoch(batch: pa.Table) -> pa.Table:
+                w = ray.get(member_ref)
+                hx = batch.column("url_hash").to_pylist()
+                if not hx:
+                    return batch
+                h = _hash_hex_to_u64(hx)
+                pos = np.searchsorted(w, h)
+                pos[pos >= len(w)] = max(0, len(w) - 1)
+                mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
+                return batch.filter(pa.array(mask))
+
+            epoch_ds = pages_source_factory()
+            epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(
+                extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+            )
+            # page_links stay IN the partition: they are the epoch's crawl
+            # lineage, and the offer step below reads them back so a resumed
+            # run recovers discovered links from the manifest, not memory.
+            # (pyarrow append, not pandas add_column — the ragged list column
+            # trips Ray's tensor-extension round-trip in pandas format)
+            ep_val = epoch
+
+            def add_epoch(batch: pa.Table, _ep: int = ep_val) -> pa.Table:
+                return batch.append_column(
+                    "fetch_epoch", pa.array(np.full(batch.num_rows, _ep, dtype=np.int64))
+                )
+
+            epoch_ds = epoch_ds.drop_columns(["media_links"]).map_batches(
+                add_epoch, batch_format="pyarrow", batch_size=batch_size
+            )
+            writer.write(part, epoch_ds)
+
+        # discovery feedback — from the WRITTEN partition (uniform across
+        # fresh runs and resume-skips)
+        import glob as _glob
+
+        files = sorted(_glob.glob(f"{writer.partition_dir(part)}/*.parquet"))
+        if files:
+            links = rd.read_parquet(files, columns=["page_links"])
+
+            def explode_links(batch: pa.Table) -> pa.Table:
+                flat: list[str] = []
+                for lst in batch.column("page_links").to_pylist():
+                    if lst:
+                        flat.extend(lst)
+                return pa.table({"url": pa.array(flat, pa.string())})
+
+            _offer(links.map_batches(explode_links, batch_format="pyarrow", batch_size=plan_batch_size))
+        if checkpoint_dir:
+            frontier.checkpoint(checkpoint_dir)
+
     return writer, frontier.stats()
 
 
@@ -540,7 +700,7 @@ def crawl_streaming(
         epoch_ds = epoch_ds.map_batches(
             extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
         )
-        epoch_ds = epoch_ds.drop_columns(["media_links"]).add_column(
+        epoch_ds = epoch_ds.drop_columns(["media_links", "page_links"]).add_column(
             "fetch_epoch", lambda df: np.full(len(df), epoch, dtype="int64"), batch_format="pandas"
         )
         writer.write(part, epoch_ds)

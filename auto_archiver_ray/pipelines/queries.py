@@ -3011,6 +3011,85 @@ FROM disc GROUP BY host ORDER BY host
 """
 
 
+def q_crawl_bfs(sf_dir: str):
+    """The FULL BFS crawl loop (VERDICT r3 "Next round" #2): seeds →
+    politeness epochs → fetch/extract → ``page_links`` discovery → frontier
+    re-admission, looped until the frontier drains. Runs over the
+    deterministic binary-link-tree corpus derived from the sf pages table
+    (:func:`..sources.pages.ensure_linked_pages`); the oracle re-derives the
+    reachable closure with a recursive CTE over the SAME rank-based edge
+    definition — two independent derivations of which pages a BFS from the
+    seed set can fetch. Output: per-host fetched-page counts."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..pipelines.crawl import crawl_bfs
+    from ..sources.pages import ensure_linked_pages
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    linked_dir, seeds = ensure_linked_pages(sf_dir)
+    out_root = tempfile.mkdtemp(prefix="aar_bfs_q_")
+    f = Frontier(num_shards=4, capacity_per_shard=1_000_000, name_prefix=f"bfsq_{uuid.uuid4().hex[:8]}")
+    try:
+        seeds_ds = rd.from_arrow(pa.table({"url": pa.array(seeds, pa.string())}))
+        # budget 100: still several politeness epochs at sf0.01 (hot hosts
+        # carry ~700 closure pages) without the 100+-epoch wall time budget 5
+        # would cost; the oracle (reachable SET) is budget-independent, and
+        # the per-epoch politeness bound is pinned by the crawl tests
+        writer, _ = crawl_bfs(
+            seeds_ds,
+            lambda: rd.read_parquet(linked_dir),
+            out_root,
+            frontier=f,
+            per_host_budget=100,
+            extract_concurrency=4,
+        )
+        fetched = writer.read_all()
+        out = driver_reduce(
+            fetched.select_columns(["host"]).map_batches(
+                lambda b: pa.table({"host": b["host"], "n_fetched": pa.array(np.ones(b.num_rows, dtype=np.int64))})
+                .group_by("host")
+                .aggregate([("n_fetched", "sum")])
+                .rename_columns(["host", "n_fetched"]),
+                batch_format="pyarrow",
+                batch_size=8192,
+            ),
+            ["host"],
+            {"n_fetched": "sum"},
+        )
+    finally:
+        f.shutdown()
+        shutil.rmtree(out_root, ignore_errors=True)
+    out["n_fetched"] = out["n_fetched"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_bfs() -> str:
+    """Reachable closure of the binary link tree, derived WITHOUT the
+    builder: ranks are row_number over the distinct valid urls, edges are
+    rank → 2·rank+1 / 2·rank+2, seeds are LINKED_SEED_RANKS."""
+    from ..sources.pages import LINKED_SEED_RANKS
+
+    seed_list = ", ".join(str(r) for r in LINKED_SEED_RANKS)
+    return f"""
+WITH RECURSIVE v AS (SELECT DISTINCT url FROM __PAGES__ WHERE {_VALID_SQL}),
+r AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rk FROM v),
+e AS (
+  SELECT p.rk AS src_rk, p.url AS src, c.rk AS dst_rk, c.url AS dst
+  FROM r p JOIN r c ON c.rk = 2 * p.rk + 1 OR c.rk = 2 * p.rk + 2
+),
+reach AS (
+  SELECT rk, url FROM r WHERE rk IN ({seed_list})
+  UNION
+  SELECT e.dst_rk AS rk, e.dst AS url FROM e JOIN reach ON e.src_rk = reach.rk
+)
+SELECT {_sql_canon_host('url')} AS host, CAST(COUNT(*) AS BIGINT) AS n_fetched
+FROM reach GROUP BY host ORDER BY host
+"""
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic train/valid/test assignment by content-free hash
     bucketing (md5(doc_id) permille: 980/10/10) — the split any engine can
@@ -3219,6 +3298,7 @@ QUERIES = {
     "q_crawl_plan": q_crawl_plan,
     # --- round-4 additions are registered here, inside the window ---
     "q_archive_summary": q_archive_summary,
+    "q_crawl_bfs": q_crawl_bfs,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3381,6 +3461,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_langid": _sql_doc_langid(),
         "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
         "q_archive_summary": _sql_pages(sf_dir, _sql_archive_summary()),
+        "q_crawl_bfs": _sql_pages(sf_dir, _sql_crawl_bfs()),
         "q_knn": SQL_KNN,
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_repetition": SQL_DOC_REPETITION,

@@ -277,3 +277,89 @@ def read_pages(sf_dir: str, columns: list[str] | None = None):
     import ray.data as rd
 
     return rd.read_parquet(ensure_pages(sf_dir), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# BFS link-tree corpus — the multi-hop "web" for the full crawl loop
+# ---------------------------------------------------------------------------
+
+# seed ranks for the BFS corpus: two mid-tree nodes, so the closure is a
+# PROPER subset of the corpus (a root seed would trivially reach everything)
+LINKED_SEED_RANKS = (5, 6)
+
+LINKED_TS = datetime(2023, 1, 1, 0, 0, 0)
+
+
+def linked_pages_path(sf_dir: str) -> str:
+    sf = os.path.basename(os.path.normpath(sf_dir))
+    rows = SF_ROWS.get(sf, 3000)
+    return f"/tmp/aar_pages/{sf}_r{rows}_linked_v1"
+
+
+def ensure_linked_pages(sf_dir: str) -> tuple[str, list[str]]:
+    """Deterministic multi-hop link graph over the sf corpus's DISTINCT
+    VALID urls: the url at ascending-sort rank ``r`` anchors to the urls at
+    ranks ``2r+1`` and ``2r+2`` (a binary tree), plus one media-noise link
+    (to prove page-link/media-link separation in the BFS frontier feed).
+    Returns ``(pages_dir, seed_urls)`` with seeds at :data:`LINKED_SEED_RANKS`.
+
+    Derivable independently in SQL — ranks are
+    ``row_number() OVER (ORDER BY url) - 1`` over the distinct valid urls
+    (ASCII urls: DuckDB binary collation == Python sort) — so the
+    q_crawl_bfs oracle re-computes the reachable closure without touching
+    this builder."""
+    from ..stages.validate import validate_batch
+
+    src = ensure_pages(sf_dir)
+    import glob as _glob
+
+    urls_parts = []
+    for f in sorted(_glob.glob(f"{src}/*.parquet")):
+        urls_parts.append(pq.read_table(f, columns=["url"]).column("url").to_pylist())
+    all_urls = [u for part in urls_parts for u in part]
+    v = validate_batch(pa.table({"url": all_urls}))
+    valid_urls = sorted(
+        {u for u, ok in zip(all_urls, v.column("valid").to_pylist()) if ok}
+    )
+    n = len(valid_urls)
+    seeds = [valid_urls[r] for r in LINKED_SEED_RANKS if r < n]
+
+    path = linked_pages_path(sf_dir)
+    if os.path.isdir(path):
+        return path, seeds
+
+    htmls = []
+    texts = []
+    for r, u in enumerate(valid_urls):
+        kids = [valid_urls[c] for c in (2 * r + 1, 2 * r + 2) if c < n]
+        anchors = "".join(f'<a href="{k}">child {i}</a> ' for i, k in enumerate(kids))
+        body = f"<p>bfs node {r} of {n}</p>"
+        noise = f'<img src="https://cdn.example.org/img/photo-{r}.jpg">'
+        html = f"<html><head><title>node {r}</title></head><body>{body}{anchors}{noise}</body></html>"
+        htmls.append(html.encode("utf-8"))
+        texts.append(textkit.extract_text(html))
+    ts = [LINKED_TS] * n
+    tbl = pa.table(
+        {
+            "url": pa.array(valid_urls, pa.string()),
+            "warc_ts": pa.array(ts, pa.timestamp("us")),
+            "html": pa.array(htmls, pa.binary()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * n, pa.string()),
+        }
+    )
+    tmp = f"{path}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    num_files = max(1, (n + ROWS_PER_FILE - 1) // ROWS_PER_FILE)
+    step = (n + num_files - 1) // num_files
+    for i in range(num_files):
+        part = tbl.slice(i * step, step)
+        if part.num_rows:
+            pq.write_table(part, f"{tmp}/part-{i:05d}.parquet", row_group_size=4096)
+    try:
+        os.rename(tmp, path)
+    except OSError:  # concurrent builder won the race
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
+    return path, seeds

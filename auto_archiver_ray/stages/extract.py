@@ -206,7 +206,10 @@ def extract_one(url: str, platform: str, html: bytes) -> dict:
             break
     if not is_success(acc["status"]):
         acc["status"] = "nothing archived"  # ref:core/orchestrator.py:658-659
-    return {"status": acc["status"], **fields}
+    # page_links bypass the parser chain: they are frontier plumbing (the
+    # BFS next-hop feed), not an extractor field — taken straight from the
+    # shared scan so the html is still decoded exactly once
+    return {"status": acc["status"], **fields, "page_links": scan["page_links"]}
 
 
 class ExtractStage:
@@ -231,6 +234,7 @@ class ExtractStage:
         text = [""] * n
         tstamp = [""] * n
         links: list[list[str]] = [[] for _ in range(n)]
+        plinks: list[list[str]] = [[] for _ in range(n)]
         author = [""] * n
         duration: list[float | None] = [None] * n
         deleted = [False] * n
@@ -244,6 +248,7 @@ class ExtractStage:
             text[i] = res["text"]
             tstamp[i] = res["timestamp"]
             links[i] = res["media_links"]
+            plinks[i] = res.get("page_links") or []
             author[i] = res.get("author") or ""
             duration[i] = res.get("duration")
             d, ind, src = textkit.detect_deletion(res["text"], res["title"], None, platforms[i])
@@ -257,6 +262,7 @@ class ExtractStage:
             .append_column("text_extracted", pa.array(text, pa.string()))
             .append_column("timestamp", pa.array(tstamp, pa.string()))
             .append_column("media_links", pa.array(links, pa.list_(pa.string())))
+            .append_column("page_links", pa.array(plinks, pa.list_(pa.string())))
             .append_column("author", pa.array(author, pa.string()))
             .append_column("duration", pa.array(duration, pa.float64()))
             .append_column("deletion_detected", pa.array(deleted, pa.bool_()))

@@ -420,3 +420,49 @@ def test_cursor_fed_streaming_frontier_interleaves_offers_and_epochs():
     assert sorted(out["url_canon"]) == sorted(
         f"https://h{i % 2}.example.org/p/{i}" for i in range(20)
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_kill_mid_crawl_resumes_identically(tmp_path):
+    """Full BFS loop (VERDICT r3 #2): kill after k epochs, resume with a
+    fresh frontier restored from the checkpoint — the union of partitions is
+    identical (urls AND epoch assignment) to an uninterrupted run, and the
+    discovered-link set re-enters through the manifest, not driver memory."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_bfs
+    from auto_archiver_ray.sources.pages import ensure_linked_pages
+
+    linked, seeds = ensure_linked_pages("/root/testdata/sf0.001")
+    seeds_tbl = pa.table({"url": pa.array(seeds, pa.string())})
+
+    def run(out, ck, name, max_epochs=None):
+        f = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix=name)
+        w, _ = crawl_bfs(
+            rd.from_arrow(seeds_tbl), lambda: rd.read_parquet(linked), out,
+            frontier=f, per_host_budget=5, extract_concurrency=2,
+            checkpoint_dir=ck, max_epochs=max_epochs,
+        )
+        f.shutdown()
+        return w
+
+    # uninterrupted reference run
+    w_full = run(str(tmp_path / "full"), str(tmp_path / "ck_full"), "bfs_full")
+    want = (
+        w_full.read_all().to_pandas()[["url", "fetch_epoch", "host"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    assert want["fetch_epoch"].max() >= 3  # genuinely multi-hop, multi-epoch
+
+    # killed after 2 epochs, then resumed to completion
+    out = str(tmp_path / "resumed")
+    ck = str(tmp_path / "ck")
+    w_a = run(out, ck, "bfs_a", max_epochs=2)
+    assert len(w_a.completed()) == 2
+    w_b = run(out, ck, "bfs_b")
+    got = (
+        w_b.read_all().to_pandas()[["url", "fetch_epoch", "host"]]
+        .sort_values("url").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)

@@ -123,3 +123,23 @@ def test_simhash():
     assert 0 <= h1 < 2**64
     assert textkit.hamming64(h1, h2) < textkit.hamming64(h1, h3)
     assert textkit.simhash64("") == 0
+
+
+def test_discover_page_links_vs_media_links():
+    """page_links = absolute http(s) anchor hrefs that are NOT media files;
+    media extensions route to discover_media_links instead; first occurrence
+    wins; relative/other-scheme hrefs dropped."""
+    from auto_archiver_ray.functions.textkit import discover_media_links, discover_page_links
+
+    html = (
+        '<a href="https://a.com/page1">x</a>'
+        '<a href="https://a.com/img/p.jpg">media not page</a>'
+        '<img src="https://a.com/img/q.png">'
+        '<a href="/relative">no</a>'
+        '<a href="ftp://a.com/f">no</a>'
+        '<a href="https://a.com/page1">dup</a>'
+        "<a href='https://b.org/page2?x=1'>y</a>"
+    )
+    assert discover_page_links(html) == ["https://a.com/page1", "https://b.org/page2?x=1"]
+    assert discover_media_links(html) == ["https://a.com/img/p.jpg", "https://a.com/img/q.png"]
+    assert discover_page_links(html.encode()) == discover_page_links(html)
