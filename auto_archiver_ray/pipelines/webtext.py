@@ -39,10 +39,94 @@ from ..stages.join import semi_join
 N_RANGES = 256  # md5-prefix ranges for the prefix scan (one byte)
 
 
-def _extract_hygiene(ds, min_tokens: int, extract_concurrency):
+def _lazy_gate_counter():
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class GateCounter:
+        """No-silent-caps ledger for the hygiene gates: how many rows each
+        gate dropped (repetition, min-length, classifier) — read after the
+        pipeline executes."""
+
+        def __init__(self):
+            self.counts: dict[str, int] = {}
+
+        def add(self, deltas: dict) -> None:
+            for k, v in deltas.items():
+                self.counts[k] = self.counts.get(k, 0) + int(v)
+
+        def value(self) -> dict:
+            return dict(self.counts)
+
+    return GateCounter
+
+
+def make_gate_counter():
+    """Spawn the zero-CPU gate-drop ledger actor (one per pipeline run)."""
+    return _lazy_gate_counter().remote()
+
+
+class HygieneStage:
+    """Actor-pool hygiene gate over extracted text: Gopher repetition +
+    min-length, optionally the hashed-feature classifier
+    (:class:`..stages.textstats.HashedLinearStage` — weights materialized
+    once per actor, the model-load position). Emits the SKINNY
+    (url, sha256, n_tokens) projection of the kept rows; per-gate drop
+    counts stream to ``counter`` (no silent drops)."""
+
+    def __init__(self, min_tokens: int = 5, classifier_gate: bool = False, counter=None):
+        self.min_tokens = min_tokens
+        self.clf = None
+        if classifier_gate:
+            from ..stages.textstats import HashedLinearStage
+
+            self.clf = HashedLinearStage()
+        self.counter = counter
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        # repetition_stats preserves row order -> positional realignment
+        rep = textstats.repetition_stats(batch, id_col="url", text_col="text_extracted")
+        keep_rep = _np.asarray(rep["keep"].to_pylist(), dtype=bool)
+        n_tok = _np.asarray(rep["n_tokens"].to_pylist(), dtype=_np.int64)
+        keep_len = n_tok >= self.min_tokens
+        mask = keep_rep & keep_len
+        deltas = {
+            "rep_dropped": int((~keep_rep).sum()),
+            "len_dropped": int((keep_rep & ~keep_len).sum()),
+        }
+        if self.clf is not None:
+            _, score = self.clf.score_texts(batch.column("text_extracted").to_pylist())
+            keep_clf = score >= 0
+            deltas["clf_dropped"] = int((mask & ~keep_clf).sum())
+            mask &= keep_clf
+        deltas["kept"] = int(mask.sum())
+        if self.counter is not None:
+            # synchronous: the delta is recorded before this batch task
+            # completes, so a post-execution read sees every batch (a task
+            # RETRY double-counts — acceptable for an observability ledger,
+            # noted here per the no-silent-caps rule)
+            import ray
+
+            ray.get(self.counter.add.remote(deltas))
+        out = pa.table(
+            {
+                "url": batch["url"],
+                "sha256": batch["sha256"],
+                "n_tokens": pa.array(n_tok),
+            }
+        )
+        return out.filter(pa.array(mask))
+
+
+def _extract_hygiene(
+    ds, min_tokens: int, extract_concurrency, classifier_gate: bool = False, counter=None
+):
     """Phase A (the compute-heavy 95%): validate → extract → repetition /
-    min-length hygiene, returning the SKINNY (url, sha256, n_tokens)
-    projection lazily (caller materializes or checkpoints it)."""
+    min-length (± classifier) hygiene, returning the SKINNY
+    (url, sha256, n_tokens) projection lazily (caller materializes or
+    checkpoints it)."""
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
     ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=512)
@@ -54,21 +138,19 @@ def _extract_hygiene(ds, min_tokens: int, extract_concurrency):
         max_restarts=-1,
         max_task_retries=-1,
     )
-
-    def hygiene(batch: pa.Table) -> pa.Table:
-        # repetition_stats preserves row order -> positional realignment
-        rep = textstats.repetition_stats(batch, id_col="url", text_col="text_extracted")
-        out = pa.table(
-            {
-                "url": batch["url"],
-                "sha256": batch["sha256"],
-                "n_tokens": rep["n_tokens"],
-            }
-        )
-        mask = pc.and_(rep["keep"], pc.greater_equal(rep["n_tokens"], min_tokens))
-        return out.filter(mask)
-
-    return ds.map_batches(hygiene, batch_format="pyarrow", batch_size=1024)
+    return ds.map_batches(
+        HygieneStage,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={
+            "min_tokens": min_tokens,
+            "classifier_gate": classifier_gate,
+            "counter": counter,
+        },
+        max_restarts=-1,
+        max_task_retries=-1,
+    )
 
 
 def webtext_corpus(
@@ -76,10 +158,15 @@ def webtext_corpus(
     shard_tokens: int = 2000,
     min_tokens: int = 5,
     extract_concurrency=(1, 8),
+    classifier_gate: bool = False,
+    counter=None,
 ):
     """Returns a Dataset of (url, n_tokens, tok_offset, shard_id): the kept
     corpus packed into fixed-token training shards, deterministically
-    ordered by md5(url)."""
+    ordered by md5(url). ``classifier_gate=True`` adds the hashed-feature
+    quality classifier as a third hygiene gate (v2 flagship); pass a
+    ``make_gate_counter()`` actor as ``counter`` to collect per-gate drop
+    counts."""
     import ray.data as rd
 
     ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
@@ -89,7 +176,9 @@ def webtext_corpus(
     # This is the skinny (url, sha256, n_tokens) projection (~120 B/row;
     # html/text already dropped), spillable object-store state, never
     # driver-resident.
-    filtered = _extract_hygiene(ds, min_tokens, extract_concurrency).materialize()
+    filtered = _extract_hygiene(
+        ds, min_tokens, extract_concurrency, classifier_gate=classifier_gate, counter=counter
+    ).materialize()
     return _pack(filtered, shard_tokens)
 
 

@@ -487,21 +487,23 @@ class HashedLinearStage:
         self.dim = len(self.w)
         self.bigrams = bigrams
 
-    def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    def score_texts(self, texts: list) -> tuple[np.ndarray, np.ndarray]:
+        """(n_features, clf_score) per text — the reusable inference kernel
+        (the webtext classifier gate calls this directly so ids can be any
+        type)."""
         import hashlib
 
-        ids = batch.column(id_col).to_pylist()
         feats: list[str] = []
         offsets = [0]
-        for t in batch.column(text_col).to_pylist():
+        for t in texts:
             toks = (t or "").split()
             feats.extend(toks)
             if self.bigrams and len(toks) > 1:
                 feats.extend(a + " " + b for a, b in zip(toks, toks[1:]))
             offsets.append(len(feats))
         arr = np.asarray(feats, dtype=object)
-        seg = np.diff(offsets)
-        score = np.zeros(len(ids), dtype=np.int64)
+        seg = np.diff(offsets).astype(np.int64)
+        score = np.zeros(len(texts), dtype=np.int64)
         if arr.size:
             uniq, inv = np.unique(arr, return_inverse=True)
             buckets = np.fromiter(
@@ -516,10 +518,15 @@ class HashedLinearStage:
             per_feat = self.w[buckets][inv]
             cs = np.concatenate([[0], np.cumsum(per_feat)])
             score = cs[offsets[1:]] - cs[offsets[:-1]]
+        return seg, score
+
+    def __call__(self, batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        seg, score = self.score_texts(batch.column(text_col).to_pylist())
         return pa.table(
             {
                 id_col: pa.array(np.asarray(ids, dtype=np.int64)),
-                "n_features": pa.array(seg.astype(np.int64)),
+                "n_features": pa.array(seg),
                 "clf_score": pa.array(score),
                 "keep": pa.array(score >= 0),
             }

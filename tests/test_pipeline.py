@@ -196,6 +196,36 @@ def test_webtext_corpus_end_to_end(ray_session):
     assert rks == sorted(rks)
 
 
+def test_webtext_v2_classifier_gate_and_ledger(ray_session):
+    """v2 flagship: the classifier gate only ever REMOVES rows relative to
+    v1, and the gate-drop ledger is conserved — every hygiene-stage input
+    row is attributed to exactly one of {rep, len, clf, kept}."""
+    import ray
+
+    from auto_archiver_ray.pipelines.webtext import make_gate_counter, webtext_corpus
+
+    sf = "/root/testdata/sf0.001"
+    v1 = webtext_corpus(sf, extract_concurrency=2).to_pandas()
+    counter = make_gate_counter()
+    v2 = webtext_corpus(sf, extract_concurrency=2, classifier_gate=True, counter=counter).to_pandas()
+    assert set(v2["url"]) <= set(v1["url"])
+    assert len(v2) < len(v1)  # the fixture weights drop some docs
+    c = ray.get(counter.value.remote())
+    assert c["clf_dropped"] > 0
+    # conservation: ledger totals == hygiene input rows (valid pages)
+    from auto_archiver_ray.pipelines.webtext import ensure_pages
+    from auto_archiver_ray.stages import validate
+
+    ds = ray.data.read_parquet(ensure_pages(sf), columns=["url", "html"])
+    n_valid = (
+        ds.map_batches(validate.validate_batch, batch_format="pyarrow")
+        .map_batches(validate.keep_valid, batch_format="pyarrow")
+        .count()
+    )
+    total = c.get("rep_dropped", 0) + c.get("len_dropped", 0) + c.get("clf_dropped", 0) + c["kept"]
+    assert total == n_valid
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_webtext_sharded_resume(tmp_path):
     """Resumable flagship: phase-A (extract/hygiene) checkpoints per input
