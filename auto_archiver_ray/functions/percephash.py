@@ -1,0 +1,279 @@
+"""Perceptual image hashing without binary dependencies.
+
+The reference computes PDQ over decoded frames
+(ref:modules/pdq_hash_enricher/pdq_hash_enricher.py:24-62) via the
+``pdqhash`` C extension + PIL. Neither ships in this container, so this
+module provides the same *shape* of signal from public first principles:
+
+- a decode probe chain (PIL when importable, else pure-python decoders for
+  PNG / uncompressed BMP / PGM / PPM built from the published format specs),
+- a DCT-based 256-bit perceptual hash (the PDQ/pHash construction: luminance
+  → 64×64 box downsample → 2-D DCT-II → 16×16 low-frequency block →
+  median threshold), and
+- pigeonhole band keys for LSH bucketing: two codes within Hamming distance
+  ``n_bands - 1`` share at least one band key, so near-duplicate frames
+  bucket together in a distributed groupby without any pairwise scan.
+
+Everything is numpy; the per-image cost is two 64×64 matrix multiplies.
+Undecodable payloads return None and callers fall back to a content hash —
+identical payloads still collide, so the pipeline degrades to exact-dup
+exactly as the round-3 stub did.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# --- luminance weights (ITU-R BT.601) -------------------------------------
+_LUMA = np.array([0.299, 0.587, 0.114])
+
+
+# ---------------------------------------------------------------------------
+# pure-python decoders (public format specs; 8-bit depth, non-interlaced)
+# ---------------------------------------------------------------------------
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, nch: int) -> np.ndarray | None:
+    """Undo PNG per-scanline filters (types 0-4 per the PNG spec §9)."""
+    stride = width * nch
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right scan
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                c = prev[x - nch] if x >= nch else 0
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                cur[x] = (line[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = cur
+    return out.reshape(height, width, nch)
+
+
+def _decode_png(payload: bytes) -> np.ndarray | None:
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, width = 8, None
+    idat = b""
+    height = bitdepth = color = interlace = 0
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, bitdepth, color, _, _, interlace = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or bitdepth != 8 or interlace:
+        return None
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
+    if nch is None:
+        return None
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error:
+        return None
+    if len(raw) < height * (1 + width * nch):
+        return None
+    px = _png_unfilter(raw, width, height, nch)
+    if px is None:
+        return None
+    if nch == 1:
+        return px[:, :, 0].astype(np.float64)
+    if nch == 2:  # gray + alpha
+        return px[:, :, 0].astype(np.float64)
+    return px[:, :, :3].astype(np.float64) @ _LUMA
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray | None:
+    """Uncompressed 24/32-bit BMP (BITMAPINFOHEADER)."""
+    if len(payload) < 54 or not payload.startswith(b"BM"):
+        return None
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    (hdr_size,) = struct.unpack_from("<I", payload, 14)
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp, compression = struct.unpack_from("<HI", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    flip = height > 0
+    height = abs(height)
+    nch = bpp // 8
+    stride = (width * nch + 3) & ~3
+    if len(payload) < data_off + stride * height:
+        return None
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * height, offset=data_off)
+    px = rows.reshape(height, stride)[:, : width * nch].reshape(height, width, nch)
+    if flip:
+        px = px[::-1]
+    # BMP stores BGR(A)
+    return px[:, :, 2::-1][:, :, :3].astype(np.float64) @ _LUMA
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray | None:
+    """Binary PGM (P5) / PPM (P6), 8-bit maxval."""
+    if payload[:2] not in (b"P5", b"P6"):
+        return None
+    # header: magic, width, height, maxval — whitespace/comment separated
+    toks: list[bytes] = []
+    i = 2
+    while len(toks) < 3 and i < len(payload):
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # single whitespace after maxval
+    try:
+        width, height, maxval = (int(t) for t in toks)
+    except (ValueError, TypeError):
+        return None
+    if maxval > 255 or width <= 0 or height <= 0:
+        return None
+    nch = 1 if payload[:2] == b"P5" else 3
+    need = width * height * nch
+    if len(payload) < i + need:
+        return None
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=i).reshape(height, width, nch)
+    if nch == 1:
+        return px[:, :, 0].astype(np.float64)
+    return px.astype(np.float64) @ _LUMA
+
+
+try:  # PIL wins when present (real production path)
+    from PIL import Image as _PILImage
+except ImportError:
+    _PILImage = None
+
+
+def decode_gray(payload: bytes) -> np.ndarray | None:
+    """payload bytes → float64 luminance array, or None if undecodable.
+
+    Probe order: PIL (any format it knows) → built-in PNG → BMP → PGM/PPM.
+    """
+    if not payload:
+        return None
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.float64)
+        except Exception:
+            pass  # fall through to the built-in decoders
+    for dec in (_decode_png, _decode_bmp, _decode_pnm):
+        px = dec(payload)
+        if px is not None:
+            return px
+    return None
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash
+# ---------------------------------------------------------------------------
+
+_N = 64  # downsample target
+_B = 16  # low-frequency block edge (16×16 = 256 bits)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    return np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+
+
+_DCT = _dct_matrix(_N)
+
+
+def _box_resize(gray: np.ndarray, n: int = _N) -> np.ndarray:
+    """Deterministic box-bin downsample to n×n (pads by edge-replication
+    when an axis is smaller than n)."""
+    h, w = gray.shape
+    if h < n:
+        gray = np.repeat(gray, -(-n // h), axis=0)
+        h = gray.shape[0]
+    if w < n:
+        gray = np.repeat(gray, -(-n // w), axis=1)
+        w = gray.shape[1]
+    ri = (np.arange(n + 1) * h) // n
+    ci = (np.arange(n + 1) * w) // n
+    cs = np.zeros((h + 1, w + 1))
+    cs[1:, 1:] = gray.cumsum(0).cumsum(1)
+    area = (ri[1:, None] - ri[:-1, None]) * (ci[None, 1:] - ci[None, :-1])
+    s = cs[ri[1:, None], ci[None, 1:]] - cs[ri[:-1, None], ci[None, 1:]] - cs[ri[1:, None], ci[None, :-1]] + cs[ri[:-1, None], ci[None, :-1]]
+    return s / area
+
+
+def pdq256_bits(gray: np.ndarray) -> np.ndarray:
+    """luminance array → 256-bit perceptual code (bool[256]): 64×64 box
+    downsample, 2-D DCT-II, 16×16 lowest AC frequencies, median threshold."""
+    g = _box_resize(np.asarray(gray, dtype=np.float64))
+    d = _DCT @ g @ _DCT.T
+    block = d[1 : _B + 1, 1 : _B + 1].ravel()
+    return block > np.median(block)
+
+
+def bits_to_hex(bits: np.ndarray) -> str:
+    return np.packbits(bits.astype(np.uint8)).tobytes().hex()
+
+
+def hex_to_bits(code: str) -> np.ndarray:
+    return np.unpackbits(np.frombuffer(bytes.fromhex(code), dtype=np.uint8)).astype(bool)
+
+
+def pdq256(payload: bytes) -> str | None:
+    """payload → 64-hex-char perceptual code, or None if not a decodable
+    image."""
+    gray = decode_gray(payload)
+    if gray is None or gray.size == 0:
+        return None
+    return bits_to_hex(pdq256_bits(gray))
+
+
+def hamming(code_a: str, code_b: str) -> int:
+    return int(np.count_nonzero(hex_to_bits(code_a) != hex_to_bits(code_b)))
+
+
+def pdq_band_keys(code: str, n_bands: int = 16) -> list[str]:
+    """Pigeonhole LSH keys: the 256-bit code split into ``n_bands`` equal
+    slices, each prefixed with its band index. Codes within Hamming distance
+    ``n_bands - 1`` share ≥1 key (same guarantee the SimHash family in
+    stages/dedup.py uses), so a distributed groupby on exploded keys
+    co-locates near-duplicate images without any all-pairs scan."""
+    bits = hex_to_bits(code)
+    step = bits.size // n_bands
+    return [
+        f"{i:02d}:" + np.packbits(bits[i * step : (i + 1) * step].astype(np.uint8)).tobytes().hex()
+        for i in range(n_bands)
+    ]

@@ -84,14 +84,20 @@ def select_metadata(all_md: dict[str, str], requested_keys: list[str]) -> dict[s
 
 
 def _pdq256(payload: bytes) -> str:
-    """STUB perceptual hash: deterministic 256-bit hex from payload bytes.
+    """256-bit perceptual hash (hex). Decodable images take the REAL path:
+    a DCT-based PDQ-style code (functions/percephash.py — luminance → 64×64
+    → 2-D DCT → median-thresholded 16×16 low-frequency block), so
+    near-duplicate images land within small Hamming distance and bucket
+    together under ``pdq_band_keys``. Non-image payloads (e.g. the html
+    column the archive pipeline hashes) keep the deterministic content-hash
+    fallback: identical payloads still collide (exact-dup semantics),
+    matching the round-3 behavior for every existing pipeline.
+    Parity: ref:modules/pdq_hash_enricher/pdq_hash_enricher.py:24-62."""
+    from ..functions import percephash
 
-    Real PDQ requires image decoding (pdqhash + PIL/numpy image), absent in
-    this container. The stand-in keeps identical payloads mapping to
-    identical codes so bucketed near-dup grouping downstream behaves like
-    exact-dup over the stub; replace with
-    ``pdqhash.compute(np.asarray(Image.open(...)))`` in production.
-    """
+    code = percephash.pdq256(payload)
+    if code is not None:
+        return code
     return hashlib.sha256(b"pdq:" + payload).hexdigest()
 
 

@@ -108,27 +108,60 @@ class FrameSampleStage:
     Frame-count math reproduces thumbnail_enricher exactly
     (ref:modules/thumbnail_enricher/thumbnail_enricher.py:50-52):
     ``num = int(min(max(1, duration/60 × per_minute), max_frames))`` and
-    timestamps ``duration/(num+1) × i`` for i in 1..num. Real decode
-    (ffmpeg frame grab) raises NotImplementedError; the duration comes from
-    props_json in the fake path."""
+    timestamps ``duration/(num+1) × i`` for i in 1..num.
+
+    With ``decode=True`` the per-actor ``__init__`` probes for the ffmpeg
+    binary ONCE (the ExifToolStage pattern, stages/enrich.py): when present,
+    each sampled frame is grabbed for real (``ffmpeg -ss t -frames:v 1``,
+    the reference's thumbnail subprocess,
+    ref:modules/thumbnail_enricher/thumbnail_enricher.py:50-73) and emitted
+    as PNG bytes; without the binary the frame payload is a DETERMINISTIC
+    stand-in derived from (payload digest, frame index) so the schema and
+    every downstream stage stay identical and testable."""
 
     def __init__(self, per_minute: int = 1, max_frames: int = 16, decode: bool = False):
+        import shutil
+
         self.per_minute, self.max_frames, self.decode = per_minute, max_frames, decode
+        self.ffmpeg = shutil.which("ffmpeg") if decode else None
 
     @staticmethod
     def frame_times(duration: float, per_minute: int, max_frames: int) -> list[float]:
         num = int(min(max(1, (duration / 60.0) * per_minute), max_frames))
         return [duration / (num + 1) * i for i in range(1, num + 1)]
 
+    def _grab_frame(self, payload: bytes, ts: float, index: int) -> bytes:
+        if self.ffmpeg:
+            import subprocess
+            import tempfile
+
+            with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+                f.write(payload)
+                f.flush()
+                result = subprocess.run(
+                    [
+                        self.ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
+                        "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-",
+                    ],
+                    capture_output=True,
+                )
+            if result.returncode == 0 and result.stdout:
+                return result.stdout
+            # fall through: corrupt/undecodable payload gets the stand-in
+        return hashlib.sha256(payload + b":frame:%d" % index).digest()
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
 
-        if self.decode:
-            raise NotImplementedError("real frame extraction needs ffmpeg (not in container)")
         ids = batch.column("media_id").to_pylist()
         props = batch.column("props_json").to_pylist()
-        out_id, out_t, out_i = [], [], []
-        for mid, pj in zip(ids, props):
+        payloads = (
+            batch.column("payload").to_pylist()
+            if self.decode and "payload" in batch.column_names
+            else [b""] * len(ids)
+        )
+        out_id, out_t, out_i, out_f = [], [], [], []
+        for mid, pj, payload in zip(ids, props, payloads):
             duration = float(json.loads(pj or "{}").get("duration", 0.0))
             if duration <= 0:
                 continue
@@ -136,13 +169,16 @@ class FrameSampleStage:
                 out_id.append(mid)
                 out_t.append(t)
                 out_i.append(i)
-        return pa.table(
-            {
-                "media_id": pa.array(out_id, pa.string()),
-                "frame_index": pa.array(out_i, pa.int32()),
-                "frame_ts": pa.array(out_t, pa.float64()),
-            }
-        )
+                if self.decode:
+                    out_f.append(self._grab_frame(payload or b"", t, i))
+        cols = {
+            "media_id": pa.array(out_id, pa.string()),
+            "frame_index": pa.array(out_i, pa.int32()),
+            "frame_ts": pa.array(out_t, pa.float64()),
+        }
+        if self.decode:
+            cols["frame_png"] = pa.array(out_f, pa.binary())
+        return pa.table(cols)
 
 
 class AudioFeatureStage:

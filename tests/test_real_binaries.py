@@ -105,3 +105,46 @@ def test_tiny_png_is_wellformed():
 
         with Image.open(io.BytesIO(png)) as im:
             assert (im.width, im.height) == (3, 2)
+
+
+HAS_FFMPEG = shutil.which("ffmpeg") is not None
+
+
+@pytest.mark.skipif(not HAS_FFMPEG, reason="ffmpeg binary not in container")
+def test_frame_sample_real_ffmpeg_branch(tmp_path):
+    """When ffmpeg exists, decode=True grabs REAL PNG frames from a tiny
+    synthesized video (ffmpeg's own lavfi test source keeps this
+    self-contained)."""
+    import json
+    import subprocess
+
+    import pyarrow as pa
+
+    from auto_archiver_ray.stages.multimodal import FrameSampleStage
+
+    vid = tmp_path / "t.mp4"
+    subprocess.run(
+        ["ffmpeg", "-v", "error", "-f", "lavfi", "-i", "testsrc=duration=2:size=64x64:rate=10",
+         "-pix_fmt", "yuv420p", str(vid)],
+        check=True,
+    )
+    batch = pa.table(
+        {
+            "media_id": ["v1"],
+            "props_json": [json.dumps({"duration": 2.0})],
+            "payload": pa.array([vid.read_bytes()], pa.binary()),
+        }
+    )
+    stage = FrameSampleStage(decode=True)
+    assert stage.ffmpeg is not None  # probe picked the real branch
+    out = stage(batch)
+    frames = out.column("frame_png").to_pylist()
+    assert len(frames) == 1 and frames[0].startswith(b"\x89PNG")
+
+
+def test_frame_sample_probe_selects_stub_when_ffmpeg_absent():
+    from auto_archiver_ray.stages.multimodal import FrameSampleStage
+
+    if not HAS_FFMPEG:
+        assert FrameSampleStage(decode=True).ffmpeg is None
+    assert FrameSampleStage(decode=False).ffmpeg is None  # no probe unless decoding

@@ -236,10 +236,13 @@ def test_frame_sample_stage_rows():
     out = multimodal.FrameSampleStage()(batch)
     assert out.column("media_id").to_pylist() == ["v1", "v1"]
     assert out.column("frame_ts").to_pylist() == [40.0, 80.0]
-    import pytest as _pytest
-
-    with _pytest.raises(NotImplementedError):
-        multimodal.FrameSampleStage(decode=True)(batch)
+    # decode=True without ffmpeg: deterministic stand-in frame bytes, same
+    # row math, frame_png column appears (probe-and-fallback — VERDICT r3 #5)
+    dec = multimodal.FrameSampleStage(decode=True)(batch)
+    assert dec.column("frame_ts").to_pylist() == [40.0, 80.0]
+    frames = dec.column("frame_png").to_pylist()
+    assert len(frames) == 2 and frames[0] != frames[1]
+    assert frames == multimodal.FrameSampleStage(decode=True)(batch).column("frame_png").to_pylist()
 
 
 def test_best_variant_parity():
