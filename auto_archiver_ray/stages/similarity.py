@@ -198,20 +198,35 @@ def semantic_dedup(
 
     assigned = ds.map_batches(assign, batch_format="pyarrow", batch_size=8192)
 
-    def cluster_survivors(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        m = np.asarray(g["unit"].tolist(), dtype=np.float32)
-        n = len(g)
-        dropped = np.zeros(n, dtype=bool)
-        for s in range(0, n, chunk):
-            e = min(s + chunk, n)
-            sims = m[s:e] @ m.T  # (e-s, n)
-            for r in range(s, e):
-                if r > 0 and (sims[r - s, :r] >= threshold).any():
-                    dropped[r] = True
-        keep = g.loc[~dropped, [id_col, "cluster"]]
-        return keep
+    import functools
 
+    surv = functools.partial(cluster_survivors, id_col=id_col, threshold=threshold, chunk=chunk)
     # one group per k-means cell — nlist is a bounded, caller-chosen constant,
     # so per-key map_groups is safe here (unlike unbounded-key groupbys).
-    return assigned.groupby("cluster").map_groups(cluster_survivors, batch_format="pandas")
+    return assigned.groupby("cluster").map_groups(surv, batch_format="pandas")
+
+
+def cluster_survivors(
+    g: pd.DataFrame, id_col: str = "vec_id", threshold: float = 0.95, chunk: int = 512
+) -> pd.DataFrame:
+    """The per-cluster SemDeDup scan (module-level so the pathological-
+    distribution test can instrument it directly).
+
+    Cost for a cluster of m members, dim d: holds the m×d member matrix
+    (4md bytes) plus ONE chunk×m float32 sims buffer (4·chunk·m bytes) —
+    total peak extra memory 4m(d + chunk) bytes, independent of m² — while
+    compute is the full O(m²d/2) lower-triangle matmul done chunk rows at a
+    time. A mega-cluster therefore costs quadratic TIME (inherent to the
+    SemDeDup spec) but only linear MEMORY in m; the test pins this bound."""
+    g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+    m = np.asarray(g["unit"].tolist(), dtype=np.float32)
+    n = len(g)
+    dropped = np.zeros(n, dtype=bool)
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        sims = m[s:e] @ m.T  # (e-s, n)
+        for r in range(s, e):
+            if r > 0 and (sims[r - s, :r] >= threshold).any():
+                dropped[r] = True
+    keep = g.loc[~dropped, [id_col, "cluster"]]
+    return keep

@@ -290,3 +290,93 @@ def test_media_goldens_are_fresh_sf001():
     ]:
         stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
         pd.testing.assert_frame_equal(stored[want.columns.tolist()], want, check_dtype=False)
+
+
+def _skewed_embeddings(n_mega: int = 3000, n_small: int = 40, d: int = 8) -> pd.DataFrame:
+    """Pathological SemDeDup distribution (VERDICT r3 #8): one mega-cluster
+    of near-identical vectors (cosine ~1 throughout, so the scan's
+    lower-triangle logic must collapse the whole chain to its min id) plus
+    several small well-separated clusters, sizes skewed ~75:1."""
+    import numpy as np
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    u = rng.standard_normal(d)
+    u /= np.linalg.norm(u)
+    mega = u + 0.001 * rng.standard_normal((n_mega, d))
+    rows = [mega]
+    for c in range(8):
+        v = rng.standard_normal(d)
+        v /= np.linalg.norm(v)
+        rows.append(v + 0.3 * rng.standard_normal((n_small, d)))
+    x = np.concatenate(rows).astype(np.float32)
+    return pd.DataFrame(
+        {"vec_id": np.arange(len(x), dtype="int64"), "embedding": list(x)}
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_pathological_mega_cluster():
+    """Skewed sizes + a mega-cluster: distributed survivors match the
+    independent serial replay bit-for-bit, the mega-cluster collapses to
+    one representative, and the result is chunk-size invariant away from
+    threshold ties."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.similarity import semantic_dedup
+
+    emb = _skewed_embeddings()
+    got = (
+        semantic_dedup(rd.from_pandas(emb), nlist=8, threshold=0.9, chunk=64)
+        .to_pandas()
+        .astype("int64")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    want = gs.semdedup_serial(emb, nlist=8, threshold=0.9, chunk=64)
+    pd.testing.assert_frame_equal(got[["vec_id", "cluster"]], want, check_dtype=False)
+    # the 3000-member mega-cluster keeps exactly its minimum id
+    mega_survivors = got[got["vec_id"] < 3000]
+    assert len(mega_survivors) == 1 and int(mega_survivors["vec_id"].iloc[0]) == 0
+    # chunk size changes evaluation order, not the survivor set (no ties here)
+    got_big = (
+        semantic_dedup(rd.from_pandas(emb), nlist=8, threshold=0.9, chunk=100000)
+        .to_pandas()
+        .astype("int64")
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[["vec_id", "cluster"]], got_big[["vec_id", "cluster"]])
+
+
+def test_semdedup_chunked_scan_memory_bound():
+    """The per-cluster scan's documented cost: peak extra memory is
+    4m(d + chunk) bytes (member matrix + ONE chunk×m sims buffer), linear
+    in m — NOT the 4m² of a full pairwise matrix. Pinned with tracemalloc
+    on a 4000-member mega-cluster (naive buffer would be 64 MB)."""
+    import tracemalloc
+
+    import numpy as np
+
+    from auto_archiver_ray.stages.similarity import cluster_survivors
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    d, m, chunk = 8, 4000, 64
+    u = rng.standard_normal(d)
+    u /= np.linalg.norm(u)
+    tight = u + 0.001 * rng.standard_normal((m, d))
+    tight /= np.linalg.norm(tight, axis=1, keepdims=True)
+    g = pd.DataFrame(
+        {
+            "vec_id": np.arange(m, dtype="int64"),
+            "cluster": np.zeros(m, dtype="int64"),
+            "unit": list(tight.astype(np.float32)),
+        }
+    )
+    tracemalloc.start()
+    out = cluster_survivors(g, chunk=chunk, threshold=0.9)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert len(out) == 1 and int(out["vec_id"].iloc[0]) == 0
+    formula = 4 * m * (d + chunk)  # documented bound (bytes)
+    assert peak < 4 * formula  # 4x slack for pandas/tolist overhead
+    assert peak < m * m * 4 // 8  # an order below the naive pairwise buffer
