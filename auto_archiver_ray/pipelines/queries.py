@@ -1220,10 +1220,11 @@ def q_webtext_corpus(sf_dir: str):
     return out.sort_values("tok_offset").reset_index(drop=True)
 
 
-# CTE block shared by the webtext flagship oracles (v1, v2, gate ledger):
-# valid pages → whitespace tokens → Gopher repetition stats.
-_SQL_WEBTEXT_BASE_CTES = f"""pages AS (SELECT url, text, html FROM __PAGES__ WHERE {_VALID_SQL}),
-toks AS (
+# CTE block shared by the webtext flagship oracles (v1, v2, gate ledger,
+# crawl composition): a `pages(url, text, html)` CTE → whitespace tokens →
+# Gopher repetition stats. _SQL_WEBTEXT_TOK_CTES assumes `pages` is already
+# defined by the enclosing statement.
+_SQL_WEBTEXT_TOK_CTES = """toks AS (
   SELECT url,
          unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS tok,
          generate_subscripts(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''), 1) AS pos
@@ -1245,6 +1246,9 @@ tgc AS (
   ) WHERE tg IS NOT NULL GROUP BY url, tg
 ),
 rt AS (SELECT url, CAST(COALESCE(SUM(c) FILTER (c >= 2), 0) AS BIGINT) AS rep_tg FROM tgc GROUP BY url)"""
+
+_SQL_WEBTEXT_BASE_CTES = f"""pages AS (SELECT url, text, html FROM __PAGES__ WHERE {_VALID_SQL}),
+{_SQL_WEBTEXT_TOK_CTES}"""
 
 # classifier CTEs for the v2 gate: unigram + adjacent-bigram features over
 # the same whitespace tokens, the HashedLinearStage closed-form weight
@@ -1340,6 +1344,94 @@ def q_webtext_gate_drops(sf_dir: str):
             "kept": [int(c.get("kept", 0))],
         }
     )
+
+
+def q_webtext_from_crawl(sf_dir: str):
+    """Crawl plane × webtext plane, composed end-to-end (VERDICT r3 #10):
+    the full BFS crawl loop (seeds → politeness epochs → fetch/extract →
+    link discovery → frontier re-admission, over the deterministic
+    binary-link-tree corpus) feeds its fetched partitions straight into the
+    webtext flagship's hygiene → dedup → prefix-scan → packing chain via
+    :func:`..pipelines.webtext.webtext_from_crawl`. The oracle re-derives
+    BOTH planes in one SQL statement: recursive-CTE reachable closure over
+    the rank-defined edges, then the corpus chain over exactly the closure
+    pages."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..pipelines.crawl import crawl_bfs
+    from ..pipelines.webtext import webtext_from_crawl
+    from ..sources.pages import ensure_linked_pages
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    linked_dir, seeds = ensure_linked_pages(sf_dir)
+    out_root = tempfile.mkdtemp(prefix="aar_bfswt_q_")
+    f = Frontier(num_shards=4, capacity_per_shard=1_000_000, name_prefix=f"bfswt_{uuid.uuid4().hex[:8]}")
+    try:
+        seeds_ds = rd.from_arrow(pa.table({"url": pa.array(seeds, pa.string())}))
+        # budget 1000: the fetched SET is budget-independent (oracle =
+        # reachable closure) and epoch count then equals the BFS depth —
+        # politeness epoch splitting itself is pinned by q_crawl_bfs
+        writer, _ = crawl_bfs(
+            seeds_ds,
+            lambda: rd.read_parquet(linked_dir),
+            out_root,
+            frontier=f,
+            per_host_budget=1000,
+            extract_concurrency=4,
+        )
+        out = webtext_from_crawl(writer.read_all()).to_pandas()
+    finally:
+        f.shutdown()
+        shutil.rmtree(out_root, ignore_errors=True)
+    return out.sort_values("tok_offset").reset_index(drop=True)
+
+
+def _linked_glob(sf_dir: str) -> str:
+    from ..sources.pages import ensure_linked_pages
+
+    linked_dir, _ = ensure_linked_pages(sf_dir)
+    return f"{linked_dir}/*.parquet"
+
+
+def _sql_webtext_from_crawl(sf_dir: str) -> str:
+    """One statement across both planes: closure over the binary link tree
+    (same independent rank derivation as q_crawl_bfs' oracle), then the
+    webtext corpus chain restricted to the closure pages (the oracle reads
+    the linked table's stored text; the pipeline re-extracts from html —
+    the byte-identical extract invariant bridges them)."""
+    from ..sources.pages import LINKED_SEED_RANKS
+
+    seed_list = ", ".join(str(r) for r in LINKED_SEED_RANKS)
+    lg = _linked_glob(sf_dir)
+    return f"""
+WITH RECURSIVE v AS (SELECT DISTINCT url FROM read_parquet('{lg}')),
+r AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rk FROM v),
+e AS (
+  SELECT p.rk AS src_rk, c.rk AS dst_rk, c.url AS dst
+  FROM r p JOIN r c ON c.rk = 2 * p.rk + 1 OR c.rk = 2 * p.rk + 2
+),
+reach AS (
+  SELECT rk, url FROM r WHERE rk IN ({seed_list})
+  UNION
+  SELECT e.dst_rk AS rk, e.dst AS url FROM e JOIN reach ON e.src_rk = reach.rk
+),
+pages AS (
+  SELECT l.url, l.text, l.html FROM read_parquet('{lg}') l JOIN reach USING (url)
+),
+{_SQL_WEBTEXT_TOK_CTES},
+filt AS (
+  SELECT p.url, COALESCE(nt.n_tokens, 0) AS n_tokens, sha256(decode(p.html)) AS h
+  FROM pages p
+  LEFT JOIN nt USING (url) LEFT JOIN mb USING (url) LEFT JOIN rt USING (url)
+  WHERE COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(mb.max_bg, 0)
+    AND COALESCE(nt.n_tokens, 0) >= 10 * COALESCE(rt.rep_tg, 0)
+    AND COALESCE(nt.n_tokens, 0) >= 5
+),
+{_SQL_WEBTEXT_PACK_TAIL}
+"""
 
 
 SQL_WEBTEXT_GATE_DROPS = f"""
@@ -1806,14 +1898,15 @@ WITH c AS (
   SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, COUNT(*) AS n
   FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
 ),
-eps AS (
-  -- constant upper bound (range() takes only constants); filtered by the
-  -- join predicate, so any bound >= max epochs is exact
-  SELECT range AS ep FROM range(0, 100000)
+he AS (
+  -- per-host epoch indices via generate_series: no fixed bound, so the
+  -- oracle can never silently truncate a pathological hot host (same
+  -- no-silent-caps fix as SQL_DOC_CHUNKS, ADVICE r3 #5)
+  SELECT n, unnest(generate_series(0, CAST((n - 1) // 100 AS BIGINT))) AS ep FROM c
 )
 SELECT 'epoch' || lpad(CAST(ep AS VARCHAR), 5, '0') AS partition,
        CAST(SUM(least(100, n - ep * 100)) AS BIGINT) AS n_rows
-FROM c JOIN eps ON ep * 100 < n
+FROM he
 GROUP BY ep ORDER BY partition
 """
 
@@ -3438,6 +3531,7 @@ QUERIES = {
     "q_webtext_corpus_v2": q_webtext_corpus_v2,
     "q_webtext_gate_drops": q_webtext_gate_drops,
     "q_timestamping_verified": q_timestamping_verified,
+    "q_webtext_from_crawl": q_webtext_from_crawl,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3456,7 +3550,6 @@ QUERIES = {
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
-    "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_timestamping": q_timestamping,
     "q_crawl_epochs": q_crawl_epochs,
     "q_wacz_media": q_wacz_media,
@@ -3470,6 +3563,7 @@ QUERIES = {
     "q_doc_langid": q_doc_langid,
     "q_doc_source_mix": q_doc_source_mix,
     "q_doc_length_quantiles": q_doc_length_quantiles,
+    "q_doc_stratified_sample": q_doc_stratified_sample,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3632,6 +3726,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_webtext_corpus": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS),
         "q_webtext_corpus_v2": _sql_pages(sf_dir, SQL_WEBTEXT_CORPUS_V2),
         "q_webtext_gate_drops": _sql_pages(sf_dir, SQL_WEBTEXT_GATE_DROPS),
+        "q_webtext_from_crawl": _sql_webtext_from_crawl(sf_dir),
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
         "q_pages_urlfilter": _sql_pages(sf_dir, _sql_pages_urlfilter()),
         "q_crawl_incremental": _sql_pages(sf_dir, SQL_CRAWL_INCREMENTAL),

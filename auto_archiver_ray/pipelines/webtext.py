@@ -182,6 +182,40 @@ def webtext_corpus(
     return _pack(filtered, shard_tokens)
 
 
+def webtext_from_crawl(
+    fetched_ds,
+    shard_tokens: int = 2000,
+    min_tokens: int = 5,
+    classifier_gate: bool = False,
+    counter=None,
+):
+    """Compose the CRAWL plane into the webtext flagship (VERDICT r3 #10):
+    ``fetched_ds`` is a crawl output (``crawl_bfs`` / ``crawl_streaming``
+    partitions — pages already validated, fetched and extracted, html
+    dropped at extract), so the corpus chain enters directly at the hygiene
+    gate and reuses phase B (global content dedup → distributed prefix scan
+    → fixed-token packing) unchanged. Only (url, sha256, text_extracted)
+    is read from the crawl partitions; text is dropped at the gate."""
+    filtered = (
+        fetched_ds.select_columns(["url", "sha256", "text_extracted"])
+        .map_batches(
+            HygieneStage,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 4),
+            fn_constructor_kwargs={
+                "min_tokens": min_tokens,
+                "classifier_gate": classifier_gate,
+                "counter": counter,
+            },
+            max_restarts=-1,
+            max_task_retries=-1,
+        )
+        .materialize()
+    )
+    return _pack(filtered, shard_tokens)
+
+
 def webtext_corpus_sharded(
     sf_dir: str,
     out_root: str,

@@ -293,7 +293,7 @@ LINKED_TS = datetime(2023, 1, 1, 0, 0, 0)
 def linked_pages_path(sf_dir: str) -> str:
     sf = os.path.basename(os.path.normpath(sf_dir))
     rows = SF_ROWS.get(sf, 3000)
-    return f"/tmp/aar_pages/{sf}_r{rows}_linked_v1"
+    return f"/tmp/aar_pages/{sf}_r{rows}_linked_v2"
 
 
 def ensure_linked_pages(sf_dir: str) -> tuple[str, list[str]]:
@@ -333,7 +333,10 @@ def ensure_linked_pages(sf_dir: str) -> tuple[str, list[str]]:
     for r, u in enumerate(valid_urls):
         kids = [valid_urls[c] for c in (2 * r + 1, 2 * r + 2) if c < n]
         anchors = "".join(f'<a href="{k}">child {i}</a> ' for i, k in enumerate(kids))
-        body = f"<p>bfs node {r} of {n}</p>"
+        # wording chosen so every page PASSES the Gopher repetition gate
+        # (no repeated bigram; >= 10 tokens even for leaves) — the crawl ×
+        # webtext composition (q_webtext_from_crawl) gates these texts
+        body = f"<p>bfs tree page rank {r} holds body copy for corpus {n}</p>"
         noise = f'<img src="https://cdn.example.org/img/photo-{r}.jpg">'
         html = f"<html><head><title>node {r}</title></head><body>{body}{anchors}{noise}</body></html>"
         htmls.append(html.encode("utf-8"))

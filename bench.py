@@ -28,8 +28,50 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_PAGES = os.environ.get("GRAFT_BENCH_PAGES", "bench")  # 1.2M-row pages profile
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# Idle-machine burn-probe references (BASELINE.md "scaling ceiling
+# normalization": multiprocessing 1e7-loop speedup 8.0x/15.0x/25.7x at
+# 8/16/32 procs on the idle box). The probe re-measures at bench time so
+# the RECORD itself carries the noise control (VERDICT r3 "Next round" #7):
+# ceiling_now / ceiling_idle < 1 means the hypervisor is stealing parallel
+# capacity during THIS measurement window.
+_IDLE_CEILING = {8: 8.0 / 8, 16: 15.0 / 16, 32: 25.7 / 32}
+
+
+def _burn_once(n: int = 10_000_000) -> float:
+    t0 = time.time()
+    x = 0
+    for i in range(n):
+        x += i & 7
+    return time.time() - t0
+
+
+def burn_probe(procs: int) -> dict:
+    """Pure-CPU hypervisor-noise probe: serial quantum time + parallel
+    speedup at ``procs`` workers (no Ray, no I/O)."""
+    import multiprocessing as mp
+
+    serial = _burn_once()
+    t0 = time.time()
+    with mp.Pool(procs) as pool:
+        pool.map(_burn_once, [10_000_000] * procs)
+    wall = time.time() - t0
+    speedup = procs * serial / wall if wall > 0 else 0.0
+    ceiling = speedup / procs
+    idle = _IDLE_CEILING.get(procs)
+    return {
+        "burn_serial_sec": round(serial, 3),
+        "burn_speedup": round(speedup, 2),
+        "burn_ceiling": round(ceiling, 3),
+        "burn_ceiling_idle_ref": idle,
+        "noise_factor": round(ceiling / idle, 3) if idle else None,
+    }
+
 
 def run_bench(skip_queries: bool = False) -> dict:
+    # burn probe BEFORE ray.init: measures the BOX (hypervisor steal), not
+    # contention with Ray's own idle workers/actor pool
+    probe = burn_probe(min(NUM_CPUS, 32))
+
     import ray
 
     ray.init(
@@ -73,11 +115,19 @@ def run_bench(skip_queries: bool = False) -> dict:
     # processes and spawns the full actor pool before the timed run
     build("/root/testdata/sf0.001").count()
 
-    out_dir = f"/tmp/aar_bench_out_{os.getpid()}"
-    t0 = time.time()
-    build(BENCH_PAGES).write_parquet(out_dir)
-    headline = time.time() - t0
-    shutil.rmtree(out_dir, ignore_errors=True)
+    # 3 timed headline runs: hypervisor steal on this VM is one-sided (it
+    # only slows), so min is the engine's number and the spread is the
+    # noise evidence — all runs stay in the record (A/B protocol embedded
+    # per VERDICT r3 #7)
+    n_runs = int(os.environ.get("GRAFT_HEADLINE_RUNS", "1" if skip_queries else "3"))
+    runs = []
+    for ri in range(n_runs):
+        out_dir = f"/tmp/aar_bench_out_{os.getpid()}_{ri}"
+        t0 = time.time()
+        build(BENCH_PAGES).write_parquet(out_dir)
+        runs.append(round(time.time() - t0, 3))
+        shutil.rmtree(out_dir, ignore_errors=True)
+    headline = min(runs)
 
     per_query = {}
     if not skip_queries:
@@ -107,6 +157,9 @@ def run_bench(skip_queries: bool = False) -> dict:
         "unit": "sec",
         "urls_per_sec": round(n_pages / headline, 1),
         "n_pages": n_pages,
+        "headline_runs": runs,
+        "headline_median": sorted(runs)[len(runs) // 2],
+        **probe,
         "queries": per_query,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -165,6 +218,9 @@ def run_scaling() -> None:
                 "urls_per_sec_lo": r_lo["urls_per_sec"],
                 "urls_per_sec_hi": r_hi["urls_per_sec"],
                 "eff": round((r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo), 3),
+                # per-level burn ceilings: the box's state during THIS pair
+                "burn_ceiling_lo": r_lo.get("burn_ceiling"),
+                "burn_ceiling_hi": r_hi.get("burn_ceiling"),
             }
         )
     pairs_sorted = sorted(pairs, key=lambda p: p["eff"])
