@@ -3474,6 +3474,30 @@ def q_doc_incremental_neardup(sf_dir: str):
     )
 
 
+def q_image_neardup(sf_dir: str):
+    """Perceptual image near-dup (the multimodal dedup plane): decodable
+    64×64 PGM corpus (sources/images.py — planted variant groups) → real
+    DCT perceptual codes (functions/percephash.py, computed per batch in
+    pdq_hash_enrich) → 16-band pigeonhole LSH pair search
+    (stages/dedup.pdq_candidate_pairs). Pigeonhole recall at Hamming ≤ 15
+    is exact, so the result must equal the independent serial replay's
+    brute-force ALL-pairs scan (scripts/golden_serial.pdq_pairs_serial —
+    its own PGM decoder + DCT; codes verified bit-identical)."""
+    from ..sources.images import ensure_image_corpus
+    from ..stages.dedup import pdq_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_image_corpus(sf_dir))
+    coded = ds.map_batches(
+        lambda b: enrich.pdq_hash_enrich(b, payload_col="payload").drop_columns(["payload"]),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    out = pdq_candidate_pairs(coded, id_col="media_id", code_col="pdq_hash").to_pandas()
+    out = out.astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: bounded-sample
     k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
@@ -3532,6 +3556,7 @@ QUERIES = {
     "q_webtext_gate_drops": q_webtext_gate_drops,
     "q_timestamping_verified": q_timestamping_verified,
     "q_webtext_from_crawl": q_webtext_from_crawl,
+    "q_image_neardup": q_image_neardup,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3548,8 +3573,6 @@ QUERIES = {
     "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_splits": q_doc_splits,
     "q_doc_exact_dedup": q_doc_exact_dedup,
-    "q_doc_token_stats": q_doc_token_stats,
-    "q_doc_fingerprint": q_doc_fingerprint,
     "q_timestamping": q_timestamping,
     "q_crawl_epochs": q_crawl_epochs,
     "q_wacz_media": q_wacz_media,
@@ -3564,6 +3587,8 @@ QUERIES = {
     "q_doc_source_mix": q_doc_source_mix,
     "q_doc_length_quantiles": q_doc_length_quantiles,
     "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3740,6 +3765,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_doc_simhash_pairs": (
             f"SELECT id_a, id_b, hamming FROM read_parquet('{g}/q_doc_simhash_pairs.parquet') "
+            "ORDER BY id_a, id_b"
+        ),
+        "q_image_neardup": (
+            f"SELECT id_a, id_b, hamming FROM read_parquet('{g}/q_image_neardup.parquet') "
             "ORDER BY id_a, id_b"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",

@@ -711,6 +711,105 @@ def simhash_candidate_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Perceptual-hash (PDQ-style 256-bit) image near-dup
+# ---------------------------------------------------------------------------
+
+
+def pdq_candidate_pairs(
+    ds,
+    id_col: str = "media_id",
+    code_col: str = "pdq_hash",
+    max_hamming: int = 15,
+    n_bands: int = 16,
+    bucket_cap: int = 256,
+):
+    """Near-dup image pairs by 256-bit perceptual code (the distributed
+    half the reference's PDQ enricher implies,
+    ref:modules/pdq_hash_enricher/pdq_hash_enricher.py:24-62): band each
+    code into ``n_bands`` 16-bit keys — any pair within Hamming ≤
+    ``n_bands - 1`` shares at least one exact band (pigeonhole, so recall
+    at ``max_hamming <= n_bands - 1`` is EXACT) — groupby band, verify
+    Hamming per bucket on the packed uint8 code matrix. Band rows carry
+    (id, band_key, 32-byte code); buckets over ``bucket_cap`` count their
+    overflow in truncation_stats("pdq"). Same machinery as
+    :func:`simhash_candidate_pairs`, widened to 256 bits."""
+    band_bits = 256 // n_bands
+
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        codes = batch.column(code_col).to_pylist()
+        out_id, out_band, out_code = [], [], []
+        for i, c in zip(ids, codes):
+            if not c:
+                continue
+            raw = bytes.fromhex(c)
+            bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
+            for b in range(n_bands):
+                seg = bits[b * band_bits : (b + 1) * band_bits]
+                band_val = int(np.packbits(seg).view(">u2")[0]) if band_bits == 16 else int(
+                    "".join(map(str, seg.tolist())), 2
+                )
+                out_id.append(i)
+                out_band.append((b << 16) | band_val)
+                out_code.append(raw)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_key": pa.array(out_band, pa.int64()),
+                "code": pa.array(out_code, pa.binary()),
+            }
+        )
+
+    bands = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
+    counter = truncation_counter("pdq")
+
+    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        dropped = 0
+        for _, g in group.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            m = np.frombuffer(b"".join(g["code"]), dtype=np.uint8).reshape(len(g), -1)
+            cap = min(len(ids), bucket_cap)
+            if len(ids) > bucket_cap:
+                dropped += len(ids) - bucket_cap
+            for i in range(cap):
+                x = m[i + 1 : cap] ^ m[i]
+                if not x.size:
+                    continue
+                dist = (
+                    np.bitwise_count(x).sum(axis=1)
+                    if hasattr(np, "bitwise_count")
+                    else np.unpackbits(x, axis=1).sum(axis=1)
+                )
+                for h in np.nonzero(dist <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_h.append(int(dist[h]))
+        if dropped:
+            import ray
+
+            print(f"[dedup:pdq] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
+            ray.get(counter.add.remote(dropped))
+        if not out_a:
+            return _empty_pairs("hamming", "int64")
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    bands = bands.add_column(
+        "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"
+    )
+    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
+    pairs = pairs.add_column(
+        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
+    )
+    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard verification (over candidate pairs)
 # ---------------------------------------------------------------------------
 

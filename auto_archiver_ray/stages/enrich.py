@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -47,11 +48,24 @@ def hash_enrich(batch: pa.Table, payload_col: str = "html", algorithm: str = "SH
     )
 
 
+_HRB_UNITS = np.array(["bytes", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB"])
+_HRB_BOUNDS = 1024.0 ** np.arange(1, 9)  # exact powers of two
+
+
 def meta_enrich(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+    """Vectorized size_human (VERDICT r3 minor #5): unit index by digitize
+    against exact 1024^k boundaries, one exact power-of-two division, and
+    printf formatting via np.char — bit-identical to the scalar
+    :func:`human_readable_bytes` loop (dividing by 2^10 k times == one
+    divide by 2^10k; %.1f == f'{:.1f}'), pinned by
+    tests/test_merge_keygen.py::test_meta_enrich_vector_parity."""
     sizes = pc.binary_length(batch.column(payload_col))
-    human = [human_readable_bytes(float(s)) for s in sizes.to_pylist()]
+    s = sizes.cast(pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    unit = np.digitize(s, _HRB_BOUNDS)
+    scaled = s / (1024.0**unit)
+    human = np.char.add(np.char.add(np.char.mod("%.1f", scaled), " "), _HRB_UNITS[unit])
     return batch.append_column("size_bytes", sizes.cast(pa.int64())).append_column(
-        "size_human", pa.array(human, pa.string())
+        "size_human", pa.array(human.tolist(), pa.string())
     )
 
 

@@ -494,3 +494,64 @@ def incremental_neardup_serial(
     full = minhash_pairs_serial(docs, threshold=threshold, num_perm=num_perm, num_bands=num_bands)
     cross = full[(full["id_a"] < split_id) & (full["id_b"] >= split_id)]
     return cross.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+# ------------------------------------------------------- perceptual hash
+# Spec (shared with auto_archiver_ray.functions.percephash, re-implemented
+# here from the published pHash/PDQ construction): 8-bit luminance → 64×64
+# box mean → 2-D DCT-II (cosine matrix, matmul) → the 16×16 lowest AC
+# block (skip DC row/col) → median threshold → 256 bits big-endian packed.
+
+
+def _pgm_gray(payload: bytes) -> np.ndarray:
+    """Binary PGM (P5) decode — the only format the golden corpus uses.
+    Header tokens are scanned explicitly (str.split would swallow pixel
+    bytes that happen to be whitespace codes)."""
+    assert payload[:2] == b"P5"
+    toks: list[int] = []
+    i = 2
+    while len(toks) < 3:
+        while payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval
+    w, h, maxval = toks
+    assert maxval <= 255
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=i)
+    return px.reshape(h, w).astype(np.float64)
+
+
+def pdq256_serial(payload: bytes) -> np.ndarray:
+    g = _pgm_gray(payload)
+    n = 64
+    h, w = g.shape
+    assert h % n == 0 and w % n == 0  # golden corpus is exact-multiple sized
+    g = g.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    dct = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d = dct @ g @ dct.T
+    block = d[1:17, 1:17].ravel()
+    return block > np.median(block)
+
+
+def pdq_pairs_serial(images: pd.DataFrame, max_hamming: int = 15) -> pd.DataFrame:
+    """Brute-force ALL-pairs Hamming over the perceptual codes — no
+    banding, no buckets; the distributed operator's pigeonhole recall at
+    max_hamming <= n_bands-1 must reproduce this set exactly."""
+    ids = images["media_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    bits = np.stack([pdq256_serial(p) for p in images["payload"].to_numpy()[order]])
+    rows = []
+    for i in range(len(ids)):
+        d = (bits[i + 1 :] != bits[i]).sum(axis=1)
+        for j in np.nonzero(d <= max_hamming)[0]:
+            rows.append((int(ids[i]), int(ids[i + 1 + j]), int(d[j])))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
+    )

@@ -75,6 +75,15 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/q_media_store_tree.parquet", index=False
     )
     gs.media_features_serial(sidecar).to_parquet(f"{out_dir}/q_media_features.parquet", index=False)
+
+    # perceptual image near-dup — corpus generation is package input data
+    # (like the testdata parquet); the hash + all-pairs scan is gs's own
+    from auto_archiver_ray.sources.images import generate_images
+
+    images = generate_images(sf_dir).to_pandas()
+    gs.pdq_pairs_serial(images, max_hamming=15).to_parquet(
+        f"{out_dir}/q_image_neardup.parquet", index=False
+    )
     print(f"serial goldens written to {out_dir}")
 
 

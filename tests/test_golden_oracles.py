@@ -380,3 +380,23 @@ def test_semdedup_chunked_scan_memory_bound():
     formula = 4 * m * (d + chunk)  # documented bound (bytes)
     assert peak < 4 * formula  # 4x slack for pandas/tolist overhead
     assert peak < m * m * 4 // 8  # an order below the naive pairwise buffer
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_neardup_distributed_matches_serial():
+    """16-band pigeonhole pair search over real DCT perceptual codes must
+    reproduce the serial brute-force ALL-pairs scan exactly (recall at
+    Hamming <= n_bands-1 is exact by pigeonhole; the serial replay uses its
+    own PGM decoder and DCT)."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_image_neardup
+
+    got = q_image_neardup(SF_SMALL)
+    from auto_archiver_ray.sources.images import generate_images
+
+    want = gs.pdq_pairs_serial(generate_images(SF_SMALL).to_pandas(), max_hamming=15)
+    want = want.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(got) > 10  # planted variant groups actually pair up
+    assert (got["hamming"] > 0).any()  # near-dups, not just exact-dups

@@ -155,3 +155,25 @@ def test_hierarchical_path_policy():
     assert len(deep.split("/")) == 8
     # determinism
     assert p == hierarchical_path("https://media.example.org/2024/May/photo%20set/img1.jpg?w=9")
+
+
+def test_meta_enrich_vector_parity():
+    """The vectorized size_human path is bit-identical to the scalar loop
+    across unit boundaries, zero, and huge paylodless sizes."""
+    import numpy as np
+    import pyarrow as pa
+
+    from auto_archiver_ray.stages.enrich import meta_enrich
+
+    payloads = [b"", b"x" * 500, b"y" * 1023, b"z" * 1024, b"w" * 2048, b"v" * (1024 * 1024 - 1), b"u" * (3 * 1024 * 1024)]
+    batch = pa.table({"html": pa.array(payloads, pa.binary())})
+    out = meta_enrich(batch)
+    want = [human_readable_bytes(float(len(p))) for p in payloads]
+    assert out.column("size_human").to_pylist() == want
+    assert out.column("size_bytes").to_pylist() == [len(p) for p in payloads]
+    # randomized cross-check (payload lengths up to 64 KiB keep it cheap)
+    rng = np.random.Generator(np.random.PCG64(5))
+    sizes = [int(s) for s in rng.integers(0, 65536, 50)]
+    b = pa.table({"html": pa.array([b"x" * s for s in sizes], pa.binary())})
+    got = meta_enrich(b).column("size_human").to_pylist()
+    assert got == [human_readable_bytes(float(s)) for s in sizes]
