@@ -223,6 +223,7 @@ def webtext_corpus_sharded(
     shard_tokens: int = 2000,
     min_tokens: int = 5,
     extract_concurrency=(1, 8),
+    classifier_gate: bool = False,
 ):
     """Resumable flagship: phase A (validate→extract→hygiene — where ~95%
     of the compute lives) runs per input-shard group and checkpoints each
@@ -246,14 +247,22 @@ def webtext_corpus_sharded(
     for gi in range(0, len(files), files_per_part):
         part = f"shard{gi // files_per_part:05d}"
         group = files[gi : gi + files_per_part]
-        # the partition's identity is its member file list: resuming with a
-        # changed file set or files_per_part must fail loudly, not skip a
-        # "done" partition that covered a different group (ADVICE r3 #2)
-        digest = hashlib.sha256("\n".join(group).encode("utf-8")).hexdigest()
+        # the partition's identity is its member file list PLUS the gate
+        # configuration: resuming with a changed file set, files_per_part or
+        # gate must fail loudly, not skip a "done" partition that covered
+        # different work (ADVICE r3 #2)
+        ident = "\n".join(group) + ("\ngate=clf" if classifier_gate else "")
+        digest = hashlib.sha256(ident.encode("utf-8")).hexdigest()
         if writer.is_done(part, inputs=digest):
             continue
         ds = rd.read_parquet(group, columns=["url", "html"])
-        writer.write(part, _extract_hygiene(ds, min_tokens, extract_concurrency), inputs=digest)
+        writer.write(
+            part,
+            _extract_hygiene(
+                ds, min_tokens, extract_concurrency, classifier_gate=classifier_gate
+            ),
+            inputs=digest,
+        )
 
     filtered = writer.read_all()
     packed = _pack(filtered, shard_tokens)

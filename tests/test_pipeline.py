@@ -227,6 +227,35 @@ def test_webtext_v2_classifier_gate_and_ledger(ray_session):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_webtext_sharded_v2_matches_streaming(tmp_path):
+    """The resumable sharded flagship with the classifier gate on equals the
+    streaming v2 result, and a gate-off checkpoint cannot be silently
+    reused by a gate-on resume (the gate is part of the partition's input
+    identity — fails loudly)."""
+    import pandas as pd
+
+    from auto_archiver_ray.pipelines.webtext import webtext_corpus, webtext_corpus_sharded
+
+    sf = "/root/testdata/sf0.001"
+    stream = (
+        webtext_corpus(sf, extract_concurrency=2, classifier_gate=True)
+        .to_pandas()
+        .sort_values("tok_offset")
+        .reset_index(drop=True)
+    )
+    out = str(tmp_path / "wt_v2")
+    _, corpus = webtext_corpus_sharded(sf, out, files_per_part=1, classifier_gate=True)
+    sharded = (
+        pd.read_parquet(corpus).sort_values("tok_offset").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(sharded[stream.columns.tolist()], stream)
+    # gate flips the partition identity: resuming the SAME out_root with the
+    # gate off must raise, not skip
+    with pytest.raises(ValueError, match="different inputs"):
+        webtext_corpus_sharded(sf, out, files_per_part=1, classifier_gate=False)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_webtext_sharded_resume(tmp_path):
     """Resumable flagship: phase-A (extract/hygiene) checkpoints per input
     shard; output equals the streaming pipeline; a second run re-extracts
