@@ -37,6 +37,7 @@ state.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -534,7 +535,12 @@ def crawl_bfs(
         epoch = int(plan.take(1)[0]["fetch_epoch"]) if len(member) else emitted
         emitted += 1
         part = f"epoch{epoch:05d}"
-        if not writer.is_done(part) and len(member):
+        # the partition's identity is its member-key set: a resumed run with
+        # the same checkpoint re-derives the same members and skips; reusing
+        # an out_root with DIFFERENT seeds/corpus fails loudly instead of
+        # silently treating a foreign epoch as done (the ADVICE r3 #2 class)
+        member_digest = hashlib.sha256(member.tobytes()).hexdigest()
+        if not writer.is_done(part, inputs=member_digest) and len(member):
             # per-EPOCH membership broadcast: bounded by budget × hosts
             # (never the whole frontier — that is the shards' job)
             member_ref = ray.put(member)
@@ -574,7 +580,7 @@ def crawl_bfs(
             epoch_ds = epoch_ds.drop_columns(["media_links"]).map_batches(
                 add_epoch, batch_format="pyarrow", batch_size=batch_size
             )
-            writer.write(part, epoch_ds)
+            writer.write(part, epoch_ds, inputs=member_digest)
 
         # discovery feedback — from the WRITTEN partition (uniform across
         # fresh runs and resume-skips)

@@ -466,3 +466,33 @@ def test_bfs_kill_mid_crawl_resumes_identically(tmp_path):
         .sort_values("url").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_foreign_out_root_fails_loudly(tmp_path):
+    """Epoch partitions carry their member-key digest: reusing an out_root
+    with a DIFFERENT seed set must raise, not silently treat the old run's
+    epoch as done (the ADVICE r3 #2 class, applied to the BFS writer)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_bfs
+    from auto_archiver_ray.sources.pages import ensure_linked_pages
+
+    linked, seeds = ensure_linked_pages("/root/testdata/sf0.001")
+    out = str(tmp_path / "reused")
+
+    def run(seed_urls, name):
+        f = Frontier(num_shards=2, capacity_per_shard=100_000, name_prefix=name)
+        try:
+            return crawl_bfs(
+                rd.from_arrow(pa.table({"url": pa.array(seed_urls, pa.string())})),
+                lambda: rd.read_parquet(linked), out,
+                frontier=f, per_host_budget=5, extract_concurrency=2, max_epochs=1,
+            )
+        finally:
+            f.shutdown()
+
+    run(seeds, "bfs_own")
+    with pytest.raises(ValueError, match="different inputs"):
+        run(seeds[:1], "bfs_foreign")  # different seed set, same out_root
