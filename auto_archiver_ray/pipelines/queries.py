@@ -2154,6 +2154,46 @@ FROM __PAGES__ WHERE {_VALID_SQL}
 """
 
 
+def q_pages_ghostarchive(sf_dir: str):
+    """Ghostarchive enricher flow (ref:modules/ghostarchive_enricher/
+    ghostarchive_enricher.py:129-158), distributed: valid pages → auth-wall
+    skip (ref::130-133) → anti-join against the already-archived set
+    (ref::135-137 short-circuit; sharded key-set actors, no driver set) →
+    sharded submit/poll gateway (the Cloudflare form in production; stub
+    artifact = pure function of the url) → archive url joined back.
+    Every local computation is exact in the oracle; only the network
+    submission is stubbed."""
+    from ..functions.ghostarchive import ghostarchive_enrich
+    from ..stages.externaljob import ShardedJobGateway
+    from ..stages.sample import deterministic_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+    pages = ds.select_columns(["url"])
+    # "already archived" = a deterministic 20% of the corpus (stands in for
+    # the reference's prior-enrichment record; same md5 rule in the SQL)
+    already = deterministic_sample(pages, "url", permille=200)
+    gw = ShardedJobGateway(num_shards=4, polls_to_done=1)
+    out = ghostarchive_enrich(pages, already, gw, url_col="url", out_col="ghostarchive")
+    df = out.select_columns(["url", "ghostarchive"]).to_pandas()
+    gw.shutdown()
+    return df.sort_values("url").reset_index(drop=True)
+
+
+SQL_PAGES_GHOSTARCHIVE = f"""
+SELECT url,
+       'https://archive.example/' || substr(sha256(url), 1, 16) AS ghostarchive
+FROM __PAGES__
+WHERE ({_VALID_SQL})
+  AND NOT regexp_matches(url, '^https?://t\\.me/c/.+/[0-9]+')
+  AND NOT regexp_matches(url, '^https?://(www\\.)?instagram\\.com')
+  AND md5_number_lower(url) % 1000 >= 200
+ORDER BY url
+"""
+
+
 def q_media_store(sf_dir: str):
     """Media storage plane (rows-only): discovered media → storage keys →
     content-dedup → parallel blob write manifest (S3 no-dups + LocalStorage
@@ -3557,6 +3597,7 @@ QUERIES = {
     "q_timestamping_verified": q_timestamping_verified,
     "q_webtext_from_crawl": q_webtext_from_crawl,
     "q_image_neardup": q_image_neardup,
+    "q_pages_ghostarchive": q_pages_ghostarchive,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3570,7 +3611,6 @@ QUERIES = {
     "q_doc_dupspans": q_doc_dupspans,
     "q_doc_top_terms": q_doc_top_terms,
     "q_doc_rank_perplexity": q_doc_rank_perplexity,
-    "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_splits": q_doc_splits,
     "q_doc_exact_dedup": q_doc_exact_dedup,
     "q_timestamping": q_timestamping,
@@ -3589,6 +3629,7 @@ QUERIES = {
     "q_doc_stratified_sample": q_doc_stratified_sample,
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_boilerplate": q_doc_boilerplate,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3715,6 +3756,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_timestamping": _sql_pages(sf_dir, SQL_TIMESTAMPING),
         "q_timestamping_verified": _sql_pages(sf_dir, SQL_TIMESTAMPING_VERIFIED),
         "q_pages_wayback": _sql_pages(sf_dir, SQL_PAGES_WAYBACK),
+        "q_pages_ghostarchive": _sql_pages(sf_dir, SQL_PAGES_GHOSTARCHIVE),
         "q_crawl_plan": _sql_pages(sf_dir, SQL_CRAWL_PLAN),
         "q_crawl_epochs": _sql_pages(sf_dir, SQL_CRAWL_EPOCHS),
         "q_doc_quality": SQL_DOC_QUALITY,
