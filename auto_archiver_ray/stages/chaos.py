@@ -47,3 +47,24 @@ class KillOnceStage:
         return batch.append_column(
             self.out_col, pa.array([v * 2 + 1 for v in vals], pa.int64())
         )
+
+
+class KillOnceWrap:
+    """Generic chaos wrapper around any importable actor-stage class: the
+    first wrapper actor to see the flag file hard-exits (same arbitration
+    as :class:`KillOnceStage`); every other call delegates to the wrapped
+    stage. ``inner_factory`` must be an importable class/callable (module
+    reference — see the module docstring's restart caveat)."""
+
+    def __init__(self, flag_path: str, inner_factory, inner_kwargs: dict | None = None):
+        self.flag_path = flag_path
+        self.inner = inner_factory(**(inner_kwargs or {}))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if os.path.exists(self.flag_path):
+            try:
+                os.unlink(self.flag_path)
+                os._exit(1)
+            except FileNotFoundError:
+                pass
+        return self.inner(batch)

@@ -42,3 +42,65 @@ def test_actor_death_mid_run_yields_identical_output():
     with_kill = run(flag)
     assert not os.path.exists(flag)  # the kill actually fired
     pd.testing.assert_frame_equal(with_kill, clean)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hygiene_gate_actor_death_yields_identical_rows():
+    """Killing a v2 hygiene actor mid-run must not change the KEPT ROWS
+    (lineage retry, deterministic kernel). The drop LEDGER is documented to
+    possibly over-count the retried batch (observability side effect, not
+    row data) — pinned as >= the clean totals, never under-counting."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.webtext import HygieneStage, make_gate_counter
+    from auto_archiver_ray.stages.chaos import KillOnceWrap
+
+    texts = [f"w{i} x{i} y{i} z{i} a{i} b{i} c{i} d{i} e{i} f{i}" for i in range(3000)]
+    tbl = pa.table(
+        {
+            "url": pa.array([f"https://h.example.org/p/{i}" for i in range(3000)]),
+            "sha256": pa.array([hashlib.sha256(t.encode()).hexdigest() for t in texts]),
+            "text_extracted": pa.array(texts),
+        }
+    )
+
+    def run(flag, counter):
+        flag_path = flag or os.path.join(tempfile.gettempdir(), "absent")
+        return (
+            rd.from_arrow(tbl)
+            .map_batches(
+                KillOnceWrap,
+                fn_constructor_kwargs={
+                    "flag_path": flag_path,
+                    "inner_factory": HygieneStage,
+                    "inner_kwargs": {"classifier_gate": True, "counter": counter},
+                },
+                batch_format="pyarrow",
+                batch_size=256,
+                concurrency=2,
+                max_restarts=-1,
+                max_task_retries=-1,
+            )
+            .to_pandas()
+            .sort_values("url")
+            .reset_index(drop=True)
+        )
+
+    c_clean = make_gate_counter()
+    clean = run(None, c_clean)
+    totals_clean = ray.get(c_clean.value.remote())
+
+    flag = os.path.join(tempfile.gettempdir(), f"aar_hyg_kill_{os.getpid()}")
+    open(flag, "w").close()
+    c_kill = make_gate_counter()
+    killed = run(flag, c_kill)
+    totals_kill = ray.get(c_kill.value.remote())
+
+    assert not os.path.exists(flag)  # the kill actually fired
+    pd.testing.assert_frame_equal(killed, clean)  # row data identical
+    for k, v in totals_clean.items():
+        assert totals_kill.get(k, 0) >= v  # ledger never under-counts
