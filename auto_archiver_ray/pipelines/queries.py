@@ -2154,6 +2154,54 @@ FROM __PAGES__ WHERE {_VALID_SQL}
 """
 
 
+def q_pages_ssl(sf_dir: str):
+    """SSL enricher, verified flavor (upgrades the round-3 stub-cert
+    partial): per DISTINCT host one certificate issuance (fixture CA with
+    REAL RSA signing, stages/hostops.py), broadcast attach, then a
+    stateless verify pass — subject binding + validity window + CA
+    signature — with only the CA public key shipped. The oracle pins
+    one row per host with n_pages and verified=TRUE; any signing/verify
+    inconsistency flips rows to FALSE and fails the hash. Tamper rejection
+    is pinned in tests/test_patterns.py (not SQL-expressible)."""
+    from ..stages.hostops import per_host_cert_enrich
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+    out = per_host_cert_enrich(ds.select_columns(["host"]))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n_pages": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "ok": pc.cast(batch["ssl_verified"], pa.int64()),
+            }
+        )
+        return t.group_by("host").aggregate([("n_pages", "sum"), ("ok", "min")]).rename_columns(
+            ["host", "n_pages", "ok"]
+        )
+
+    agg = driver_reduce(
+        out.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"n_pages": "sum", "ok": "min"},
+    )
+    agg["cert_verified"] = agg.pop("ok").astype(bool)
+    agg["n_pages"] = agg["n_pages"].astype("int64")
+    return agg.sort_values("host").reset_index(drop=True)
+
+
+SQL_PAGES_SSL = f"""
+SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_pages,
+       TRUE AS cert_verified
+FROM __PAGES__ WHERE {_VALID_SQL}
+GROUP BY host ORDER BY host
+"""
+
+
 def q_pages_ghostarchive(sf_dir: str):
     """Ghostarchive enricher flow (ref:modules/ghostarchive_enricher/
     ghostarchive_enricher.py:129-158), distributed: valid pages → auth-wall
@@ -3598,6 +3646,7 @@ QUERIES = {
     "q_webtext_from_crawl": q_webtext_from_crawl,
     "q_image_neardup": q_image_neardup,
     "q_pages_ghostarchive": q_pages_ghostarchive,
+    "q_pages_ssl": q_pages_ssl,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3609,7 +3658,6 @@ QUERIES = {
     "q_doc_decontaminate": q_doc_decontaminate,
     "q_doc_repetition": q_doc_repetition,
     "q_doc_dupspans": q_doc_dupspans,
-    "q_doc_top_terms": q_doc_top_terms,
     "q_doc_rank_perplexity": q_doc_rank_perplexity,
     "q_doc_splits": q_doc_splits,
     "q_doc_exact_dedup": q_doc_exact_dedup,
@@ -3630,6 +3678,7 @@ QUERIES = {
     "q_doc_token_stats": q_doc_token_stats,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_boilerplate": q_doc_boilerplate,
+    "q_doc_top_terms": q_doc_top_terms,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3757,6 +3806,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_timestamping_verified": _sql_pages(sf_dir, SQL_TIMESTAMPING_VERIFIED),
         "q_pages_wayback": _sql_pages(sf_dir, SQL_PAGES_WAYBACK),
         "q_pages_ghostarchive": _sql_pages(sf_dir, SQL_PAGES_GHOSTARCHIVE),
+        "q_pages_ssl": _sql_pages(sf_dir, SQL_PAGES_SSL),
         "q_crawl_plan": _sql_pages(sf_dir, SQL_CRAWL_PLAN),
         "q_crawl_epochs": _sql_pages(sf_dir, SQL_CRAWL_EPOCHS),
         "q_doc_quality": SQL_DOC_QUALITY,

@@ -36,3 +36,96 @@ def per_host_enrich(ds, host_col: str = "host", fetch=_stub_host_cert, out_col: 
         return batch.append_column(out_col, pa.array(col, pa.string()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Real-signature host certificates (upgrades the stub above): one fixture CA
+# key signs a deterministic leaf certificate per host; verification is the
+# REAL RSA-PKCS#1-v1.5 check (functions/rfc3161.py) plus a validity-window
+# check — the same three semantic steps a TLS chain validation performs
+# (binding, signature, expiry), minus the network fetch the sandbox forbids.
+# ---------------------------------------------------------------------------
+
+_CA_LABEL = "fixture-host-ca"
+_CERT_NOT_BEFORE = "20250101000000Z"
+_CERT_NOT_AFTER = "20270101000000Z"
+_FIXTURE_NOW = "20260101000000Z"  # deterministic clock (oracle-checkable)
+
+
+def _cert_tbs_digest(host: str, spki: str, not_before: str, not_after: str) -> bytes:
+    return hashlib.sha256(f"hostcert|{host}|{spki}|{not_before}|{not_after}".encode()).digest()
+
+
+def ca_public():
+    from ..functions import rfc3161
+
+    return rfc3161._key(_CA_LABEL).public()
+
+
+def issue_host_cert(host: str) -> str:
+    """Deterministic leaf certificate (JSON-compact): the subject's pseudo
+    SPKI is content-derived (the leaf key never signs anything in this
+    plane, so a real per-host keypair — ~1 s of keygen per host — buys
+    nothing); the CA SIGNATURE over the TBS digest is real RSA."""
+    import json
+
+    from ..functions import rfc3161
+
+    spki = hashlib.sha256(b"spki:" + host.encode()).hexdigest()
+    sig = rfc3161._key(_CA_LABEL).sign_digest(
+        _cert_tbs_digest(host, spki, _CERT_NOT_BEFORE, _CERT_NOT_AFTER)
+    )
+    return json.dumps(
+        {
+            "host": host,
+            "spki": spki,
+            "not_before": _CERT_NOT_BEFORE,
+            "not_after": _CERT_NOT_AFTER,
+            "sig": sig,
+        },
+        sort_keys=True,
+        separators=(",", ":"),
+    )
+
+
+def verify_host_cert(host: str, cert_json: str, ca_pub, now: str = _FIXTURE_NOW) -> bool:
+    """Three checks: subject binding (cert.host == host), validity window
+    (not_before <= now <= not_after — the strings are ASN.1-style
+    YYYYMMDDHHMMSSZ, so string comparison IS time comparison), and the CA's
+    RSA signature over the TBS digest."""
+    import json
+
+    from ..functions import rfc3161
+
+    try:
+        c = json.loads(cert_json)
+        chost, spki = c["host"], c["spki"]
+        nb, na, sig = c["not_before"], c["not_after"], c["sig"]
+    except (ValueError, KeyError, TypeError):
+        return False
+    if chost != host or not (nb <= now <= na):
+        return False
+    return rfc3161.verify_signature(ca_pub, _cert_tbs_digest(chost, spki, nb, na), sig)
+
+
+def per_host_cert_enrich(ds, host_col: str = "host"):
+    """SSL enricher, verified flavor: distinct hosts → ONE cert issuance
+    each (driver; CA key cached at module level) → broadcast attach → a
+    separate stateless verify pass using only the CA PUBLIC key. Output
+    adds ``ssl_cert`` and ``ssl_verified`` columns."""
+    enriched = per_host_enrich(ds, host_col=host_col, fetch=issue_host_cert, out_col="ssl_cert")
+    pub = ca_public()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        hosts = batch.column(host_col).to_pylist()
+        certs = batch.column("ssl_cert").to_pylist()
+        memo: dict[tuple[str, str], bool] = {}  # one RSA check per distinct host/batch
+        ok = []
+        for h, c in zip(hosts, certs):
+            k = (h, c)
+            if k not in memo:
+                memo[k] = verify_host_cert(h, c, pub)
+            ok.append(memo[k])
+        return batch.append_column("ssl_verified", pa.array(ok, pa.bool_()))
+
+    return enriched.map_batches(verify, batch_format="pyarrow")

@@ -374,3 +374,52 @@ def test_sharded_job_gateway_timeout_expires_to_empty():
     out = submitted.map_batches(gw.join_results_stage(), batch_format="pyarrow").to_pandas()
     gw.shutdown()
     assert (out["external_url"] == "").all()
+
+
+def test_host_cert_verify_and_tamper_rejection():
+    """Real-signature host certificates (upgrades the round-3 stub): valid
+    certs verify; tampered signature, rebound host, expired window, wrong
+    CA and garbage all reject."""
+    import json
+
+    from auto_archiver_ray.functions import rfc3161
+    from auto_archiver_ray.stages import hostops
+
+    host = "example.org"
+    cert = hostops.issue_host_cert(host)
+    pub = hostops.ca_public()
+    assert hostops.verify_host_cert(host, cert, pub)
+    # tampered signature
+    c = json.loads(cert)
+    c["sig"] = hex(int(c["sig"], 16) ^ 1)[2:]
+    assert not hostops.verify_host_cert(host, json.dumps(c), pub)
+    # rebound to a different host (cert content unchanged)
+    assert not hostops.verify_host_cert("evil.example", cert, pub)
+    # host field edited to match but signature covers the original
+    c2 = json.loads(cert)
+    c2["host"] = "evil.example"
+    assert not hostops.verify_host_cert("evil.example", json.dumps(c2), pub)
+    # expired / not-yet-valid clock
+    assert not hostops.verify_host_cert(host, cert, pub, now="20280101000000Z")
+    assert not hostops.verify_host_cert(host, cert, pub, now="20240101000000Z")
+    # wrong CA
+    wrong = rfc3161.RsaKey("not-the-host-ca").public()
+    assert not hostops.verify_host_cert(host, cert, wrong)
+    # garbage
+    assert not hostops.verify_host_cert(host, "", pub)
+    assert not hostops.verify_host_cert(host, "{}", pub)
+
+
+def test_per_host_cert_enrich_distributed(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.hostops import per_host_cert_enrich
+
+    tbl = pa.table({"host": pa.array(["a.com", "b.com", "a.com", "c.com"], pa.string())})
+    out = per_host_cert_enrich(rd.from_arrow(tbl)).to_pandas()
+    assert out["ssl_verified"].all()
+    # one cert per host, shared across its rows
+    by_host = out.groupby("host")["ssl_cert"].nunique()
+    assert (by_host == 1).all()
+    assert out[out["host"] == "a.com"]["ssl_cert"].nunique() == 1
