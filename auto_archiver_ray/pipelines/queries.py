@@ -3586,6 +3586,77 @@ def q_image_neardup(sf_dir: str):
     return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_image_dedup(sf_dir: str):
+    """END-TO-END perceptual image dedup — the multimodal deliverable:
+    keep exactly one image per near-duplicate cluster (the cluster's min
+    media_id) plus every unclustered image. Pipeline: real DCT codes →
+    16-band pigeonhole pairs (q_image_neardup's chain) → distributed
+    min-label propagation → losers removed via the sharded anti-join.
+    Oracle: recursive transitive-closure CTE over the GOLDEN pair set
+    (itself independently serial-verified), survivors re-derived from the
+    generator-intent id law (base*16+variant)."""
+    from ..sources.images import ensure_image_corpus
+    from ..stages.dedup import label_propagate, pdq_candidate_pairs
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_image_corpus(sf_dir))
+    coded = ds.map_batches(
+        lambda b: enrich.pdq_hash_enrich(b, payload_col="payload").drop_columns(["payload"]),
+        batch_format="pyarrow",
+        batch_size=256,
+    ).materialize()  # pairs AND the anti-join both consume it
+    pairs = pdq_candidate_pairs(coded, id_col="media_id", code_col="pdq_hash")
+    labels = label_propagate(pairs)
+
+    def losers(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["node"], batch["label"])
+        return pa.table({"media_id": batch.filter(keep)["node"]})
+
+    dropped = labels.map_batches(losers, batch_format="pyarrow")
+    surv = anti_join(
+        coded.select_columns(["media_id"]), dropped, on="media_id", strategy="sharded"
+    ).to_pandas()
+    surv["media_id"] = surv["media_id"].astype("int64")
+    return surv.sort_values("media_id").reset_index(drop=True)
+
+
+def _sql_image_dedup(golden_dir: str, sf_dir: str) -> str:
+    """Survivors = every corpus id minus non-root component members; the
+    component labels come from a recursive closure over the golden pair
+    parquet, and the corpus id list is re-derived from the generator's id
+    law (media_id = base*16 + variant, variants 0..1+base%3 — the sidecar
+    intent, no package import)."""
+    from ..sources.pages import SF_ROWS
+
+    import os as _os
+
+    rows = SF_ROWS.get(_os.path.basename(_os.path.normpath(sf_dir)), 3000)
+    n_base = max(10, rows // 60)
+    g = f"{golden_dir}/q_image_neardup.parquet"
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM read_parquet('{g}')
+  UNION
+  SELECT id_b AS a, id_a AS b FROM read_parquet('{g}')
+), nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+),
+labels AS (SELECT node, MIN(r) AS label FROM reach GROUP BY node),
+corpus AS (
+  SELECT CAST(b.range * 16 + v.range AS BIGINT) AS media_id
+  FROM range(0, {n_base}) b
+  JOIN range(0, 16) v ON v.range < 2 + b.range % 3
+)
+SELECT media_id FROM corpus
+WHERE media_id NOT IN (SELECT node FROM labels WHERE node <> label)
+ORDER BY media_id
+"""
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: bounded-sample
     k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
@@ -3647,6 +3718,7 @@ QUERIES = {
     "q_image_neardup": q_image_neardup,
     "q_pages_ghostarchive": q_pages_ghostarchive,
     "q_pages_ssl": q_pages_ssl,
+    "q_image_dedup": q_image_dedup,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3657,7 +3729,6 @@ QUERIES = {
     "q_doc_dsir": q_doc_dsir,
     "q_doc_decontaminate": q_doc_decontaminate,
     "q_doc_repetition": q_doc_repetition,
-    "q_doc_dupspans": q_doc_dupspans,
     "q_doc_rank_perplexity": q_doc_rank_perplexity,
     "q_doc_splits": q_doc_splits,
     "q_doc_exact_dedup": q_doc_exact_dedup,
@@ -3679,6 +3750,7 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_top_terms": q_doc_top_terms,
+    "q_doc_dupspans": q_doc_dupspans,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3863,6 +3935,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"SELECT id_a, id_b, hamming FROM read_parquet('{g}/q_image_neardup.parquet') "
             "ORDER BY id_a, id_b"
         ),
+        "q_image_dedup": _sql_image_dedup(g, sf_dir),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (
             "WITH labels AS (" + _sql_cluster_labels(g) + ") "

@@ -400,3 +400,20 @@ def test_image_neardup_distributed_matches_serial():
     pd.testing.assert_frame_equal(got, want)
     assert len(got) > 10  # planted variant groups actually pair up
     assert (got["hamming"] > 0).any()  # near-dups, not just exact-dups
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_dedup_keeps_every_base():
+    """End-to-end image dedup: every planted BASE image (media_id % 16 == 0,
+    always the minimum id of its variant group; distinct bases are ~118
+    bits apart so components never cross bases) survives, and the variant
+    collapse actually removed rows."""
+    from auto_archiver_ray.pipelines.queries import q_image_dedup
+    from auto_archiver_ray.sources.images import generate_images
+
+    surv = set(q_image_dedup(SF_SMALL)["media_id"])
+    all_ids = set(generate_images(SF_SMALL).to_pandas()["media_id"])
+    bases = {i for i in all_ids if i % 16 == 0}
+    assert bases <= surv
+    assert len(surv) < len(all_ids)
+    assert surv <= all_ids
