@@ -24,9 +24,10 @@ from __future__ import annotations
 
 import re
 
+from .textkit import _A_HREF_RE  # ONE anchor-href pattern across planes
+
 GHOSTARCHIVE_BASE = "https://ghostarchive.org"
 ARCHIVE_URL_PATTERN = re.compile(r"/archive/([A-Za-z0-9]+)")
-_A_HREF_RE = re.compile(r"<a\b[^>]*?href=[\"']([^\"']+)[\"']", re.IGNORECASE)
 
 
 def normalize_archive_href(href: str) -> str | None:

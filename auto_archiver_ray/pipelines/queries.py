@@ -2193,8 +2193,9 @@ def q_pages_ssl(sf_dir: str):
     return agg.sort_values("host").reset_index(drop=True)
 
 
-SQL_PAGES_SSL = f"""
-SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+def _sql_pages_ssl() -> str:
+    return f"""
+SELECT {_sql_canon_host('url')} AS host,
        CAST(COUNT(*) AS BIGINT) AS n_pages,
        TRUE AS cert_verified
 FROM __PAGES__ WHERE {_VALID_SQL}
@@ -2349,9 +2350,12 @@ def q_timestamping_verified(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
-SQL_TIMESTAMPING_VERIFIED = f"""
+def _sql_timestamping_verified() -> str:
+    # canonical host key (ADVICE r3 #4 class): same normalization
+    # validate_batch emits, so mixed-case/port/userinfo urls cannot diverge
+    return f"""
 WITH hashed AS (
-  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url,
+  SELECT {_sql_canon_host('url')} AS host, url,
          sha256(decode(html)) AS h
   FROM __PAGES__ WHERE {_VALID_SQL}
 ),
@@ -2365,9 +2369,10 @@ FROM manifests ORDER BY host
 """
 
 
-SQL_TIMESTAMPING = f"""
+def _sql_timestamping() -> str:
+    return f"""
 WITH hashed AS (
-  SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host, url,
+  SELECT {_sql_canon_host('url')} AS host, url,
          sha256(decode(html)) AS h
   FROM __PAGES__ WHERE {_VALID_SQL}
 ),
@@ -3874,11 +3879,11 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_trackers": _sql_pages(sf_dir, SQL_PAGES_TRACKERS),
         "q_pages_deletion": _sql_pages(sf_dir, _sql_pages_deletion()),
         "q_wacz_media": _sql_wacz_media(),
-        "q_timestamping": _sql_pages(sf_dir, SQL_TIMESTAMPING),
-        "q_timestamping_verified": _sql_pages(sf_dir, SQL_TIMESTAMPING_VERIFIED),
+        "q_timestamping": _sql_pages(sf_dir, _sql_timestamping()),
+        "q_timestamping_verified": _sql_pages(sf_dir, _sql_timestamping_verified()),
         "q_pages_wayback": _sql_pages(sf_dir, SQL_PAGES_WAYBACK),
         "q_pages_ghostarchive": _sql_pages(sf_dir, SQL_PAGES_GHOSTARCHIVE),
-        "q_pages_ssl": _sql_pages(sf_dir, SQL_PAGES_SSL),
+        "q_pages_ssl": _sql_pages(sf_dir, _sql_pages_ssl()),
         "q_crawl_plan": _sql_pages(sf_dir, SQL_CRAWL_PLAN),
         "q_crawl_epochs": _sql_pages(sf_dir, SQL_CRAWL_EPOCHS),
         "q_doc_quality": SQL_DOC_QUALITY,

@@ -46,12 +46,20 @@ def _lazy_gate_counter():
     class GateCounter:
         """No-silent-caps ledger for the hygiene gates: how many rows each
         gate dropped (repetition, min-length, classifier) — read after the
-        pipeline executes."""
+        pipeline executes. Adds are IDEMPOTENT by batch key, so a Ray task
+        retry or actor restart re-sending the same batch's deltas cannot
+        inflate the counts (the ledger is exact, not approximate; the seen
+        set holds one 16-byte digest per batch — shard the counter if a
+        single run exceeds ~10^8 batches)."""
 
         def __init__(self):
             self.counts: dict[str, int] = {}
+            self.seen: set[bytes] = set()
 
-        def add(self, deltas: dict) -> None:
+        def add(self, key: bytes, deltas: dict) -> None:
+            if key in self.seen:
+                return
+            self.seen.add(key)
             for k, v in deltas.items():
                 self.counts[k] = self.counts.get(k, 0) + int(v)
 
@@ -103,13 +111,17 @@ class HygieneStage:
             mask &= keep_clf
         deltas["kept"] = int(mask.sum())
         if self.counter is not None:
-            # synchronous: the delta is recorded before this batch task
-            # completes, so a post-execution read sees every batch (a task
-            # RETRY double-counts — acceptable for an observability ledger,
-            # noted here per the no-silent-caps rule)
+            # synchronous (the delta is recorded before this batch task
+            # completes, so a post-execution read sees every batch) and
+            # IDEMPOTENT: the batch key is a digest of its url column, so a
+            # retried task re-sends the same key and the ledger ignores the
+            # duplicate — counts stay exact under failures
+            import hashlib as _hl
+
             import ray
 
-            ray.get(self.counter.add.remote(deltas))
+            key = _hl.sha256(b"\x00".join(u.encode() for u in batch.column("url").to_pylist())).digest()[:16]
+            ray.get(self.counter.add.remote(key, deltas))
         out = pa.table(
             {
                 "url": batch["url"],
@@ -247,11 +259,16 @@ def webtext_corpus_sharded(
     for gi in range(0, len(files), files_per_part):
         part = f"shard{gi // files_per_part:05d}"
         group = files[gi : gi + files_per_part]
-        # the partition's identity is its member file list PLUS the gate
-        # configuration: resuming with a changed file set, files_per_part or
-        # gate must fail loudly, not skip a "done" partition that covered
-        # different work (ADVICE r3 #2)
-        ident = "\n".join(group) + ("\ngate=clf" if classifier_gate else "")
+        # the partition's identity is its member file list PLUS every phase-A
+        # filter parameter (gate, min_tokens): resuming with a changed file
+        # set, files_per_part, gate or threshold must fail loudly, not skip
+        # a "done" partition that covered different work (ADVICE r3 #2).
+        # Defaults keep the legacy digest so old checkpoints stay valid.
+        ident = "\n".join(group)
+        if classifier_gate:
+            ident += "\ngate=clf"
+        if min_tokens != 5:
+            ident += f"\nmin_tokens={min_tokens}"
         digest = hashlib.sha256(ident.encode("utf-8")).hexdigest()
         if writer.is_done(part, inputs=digest):
             continue

@@ -108,12 +108,35 @@ def verify_host_cert(host: str, cert_json: str, ca_pub, now: str = _FIXTURE_NOW)
     return rfc3161.verify_signature(ca_pub, _cert_tbs_digest(chost, spki, nb, na), sig)
 
 
-def per_host_cert_enrich(ds, host_col: str = "host"):
-    """SSL enricher, verified flavor: distinct hosts → ONE cert issuance
-    each (driver; CA key cached at module level) → broadcast attach → a
-    separate stateless verify pass using only the CA PUBLIC key. Output
-    adds ``ssl_cert`` and ``ssl_verified`` columns."""
-    enriched = per_host_enrich(ds, host_col=host_col, fetch=issue_host_cert, out_col="ssl_cert")
+def per_host_cert_enrich(ds, host_col: str = "host", strategy: str = "inline"):
+    """SSL enricher, verified flavor. Two strategies:
+
+    - ``"inline"`` (default, the UNBOUNDED-host path): certificates are a
+      pure deterministic function of the host, so each worker issues them
+      in-stream with a per-actor memo — NO driver-resident host map, no
+      broadcast; the CA key derives once per worker process (module cache).
+    - ``"broadcast"``: distinct hosts → one issuance each on the driver →
+      ``ray.put`` map attach — the shape a real NETWORK fetch needs (fetch
+      exactly once globally), bounded to host sets that fit driver memory
+      (~1e7; beyond that a real fetcher should shard the cache the way
+      stages/externaljob.py shards jobs).
+
+    Either way a separate stateless verify pass re-checks every cert with
+    only the CA PUBLIC key. Output adds ``ssl_cert`` and ``ssl_verified``."""
+    if strategy == "inline":
+
+        def attach_inline(batch: pa.Table) -> pa.Table:
+            memo: dict[str, str] = {}
+            col = []
+            for h in batch.column(host_col).to_pylist():
+                if h not in memo:
+                    memo[h] = issue_host_cert(h)
+                col.append(memo[h])
+            return batch.append_column("ssl_cert", pa.array(col, pa.string()))
+
+        enriched = ds.map_batches(attach_inline, batch_format="pyarrow")
+    else:
+        enriched = per_host_enrich(ds, host_col=host_col, fetch=issue_host_cert, out_col="ssl_cert")
     pub = ca_public()
 
     def verify(batch: pa.Table) -> pa.Table:

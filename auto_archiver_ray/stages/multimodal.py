@@ -130,7 +130,11 @@ class FrameSampleStage:
         num = int(min(max(1, (duration / 60.0) * per_minute), max_frames))
         return [duration / (num + 1) * i for i in range(1, num + 1)]
 
-    def _grab_frame(self, payload: bytes, ts: float, index: int) -> bytes:
+    def _grab_frames(self, payload: bytes, times: list[float]) -> list[bytes]:
+        """All of one row's frames: the (potentially large) payload is
+        written to a temp file ONCE per row, then one fast `-ss`-seek
+        ffmpeg invocation per sampled frame reads it — not one payload
+        rewrite per frame."""
         if self.ffmpeg:
             import subprocess
             import tempfile
@@ -138,17 +142,21 @@ class FrameSampleStage:
             with tempfile.NamedTemporaryFile(suffix=".bin") as f:
                 f.write(payload)
                 f.flush()
-                result = subprocess.run(
-                    [
-                        self.ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
-                        "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-",
-                    ],
-                    capture_output=True,
-                )
-            if result.returncode == 0 and result.stdout:
-                return result.stdout
-            # fall through: corrupt/undecodable payload gets the stand-in
-        return hashlib.sha256(payload + b":frame:%d" % index).digest()
+                out: list[bytes] = []
+                for i, ts in enumerate(times):
+                    result = subprocess.run(
+                        [
+                            self.ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
+                            "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-",
+                        ],
+                        capture_output=True,
+                    )
+                    if result.returncode == 0 and result.stdout:
+                        out.append(result.stdout)
+                    else:  # corrupt/undecodable payload → stand-in frame
+                        out.append(hashlib.sha256(payload + b":frame:%d" % i).digest())
+                return out
+        return [hashlib.sha256(payload + b":frame:%d" % i).digest() for i in range(len(times))]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import json
@@ -165,12 +173,14 @@ class FrameSampleStage:
             duration = float(json.loads(pj or "{}").get("duration", 0.0))
             if duration <= 0:
                 continue
-            for i, t in enumerate(self.frame_times(duration, self.per_minute, self.max_frames)):
+            times = self.frame_times(duration, self.per_minute, self.max_frames)
+            frames = self._grab_frames(payload or b"", times) if self.decode else None
+            for i, t in enumerate(times):
                 out_id.append(mid)
                 out_t.append(t)
                 out_i.append(i)
-                if self.decode:
-                    out_f.append(self._grab_frame(payload or b"", t, i))
+                if frames is not None:
+                    out_f.append(frames[i])
         cols = {
             "media_id": pa.array(out_id, pa.string()),
             "frame_index": pa.array(out_i, pa.int32()),

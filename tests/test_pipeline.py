@@ -249,10 +249,12 @@ def test_webtext_sharded_v2_matches_streaming(tmp_path):
         pd.read_parquet(corpus).sort_values("tok_offset").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(sharded[stream.columns.tolist()], stream)
-    # gate flips the partition identity: resuming the SAME out_root with the
-    # gate off must raise, not skip
+    # gate and threshold are part of the partition identity: resuming the
+    # SAME out_root with either changed must raise, not skip
     with pytest.raises(ValueError, match="different inputs"):
         webtext_corpus_sharded(sf, out, files_per_part=1, classifier_gate=False)
+    with pytest.raises(ValueError, match="different inputs"):
+        webtext_corpus_sharded(sf, out, files_per_part=1, classifier_gate=True, min_tokens=50)
 
 
 @pytest.mark.usefixtures("ray_session")
