@@ -634,6 +634,74 @@ def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash
     return batch.append_column(out_col, pa.array(hs))
 
 
+def _banded_hamming_pairs(bands, id_col, make_dist, tag, max_hamming, bucket_cap):
+    """The shared half of the pigeonhole-band pair search (SimHash 64-bit
+    and PDQ 256-bit use IDENTICAL machinery; only the code width differs):
+    coarse-bucket the band rows, per exact band sort/dedupe ids, cap the
+    bucket (overflow counted in truncation_stats(tag), never silent), emit
+    id pairs whose code distance ≤ ``max_hamming``, and globally dedupe
+    pairs found in several bands. ``make_dist(g)`` returns a callable
+    ``(i, cap) -> distance vector of row i vs rows i+1..cap`` over one
+    band group's frame — the only code-width-specific piece."""
+    counter = truncation_counter(tag)
+
+    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        dropped = 0
+        for _, g in group.groupby("band_key", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+            if len(g) < 2:
+                continue
+            ids = g[id_col].to_numpy()
+            dist_fn = make_dist(g)
+            cap = min(len(ids), bucket_cap)
+            if len(ids) > bucket_cap:
+                dropped += len(ids) - bucket_cap
+            for i in range(cap):
+                dist = dist_fn(i, cap)
+                if dist is None or not len(dist):
+                    continue
+                for h in np.nonzero(dist <= max_hamming)[0]:
+                    out_a.append(ids[i])
+                    out_b.append(ids[i + 1 + h])
+                    out_h.append(int(dist[h]))
+        if dropped:
+            import ray
+
+            print(f"[dedup:{tag}] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
+            ray.get(counter.add.remote(dropped))
+        if not out_a:
+            return _empty_pairs("hamming", "int64")
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    bands = bands.add_column(
+        "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"
+    )
+    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
+    pairs = pairs.add_column(
+        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
+    )
+    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
+
+
+def _simhash_dist(g: pd.DataFrame):
+    codes = g["simhash"].to_numpy().astype(np.uint64)
+
+    def d(i: int, cap: int):
+        x = codes[i + 1 : cap] ^ codes[i]
+        if not x.size:
+            return x
+        return (
+            np.bitwise_count(x)
+            if hasattr(np, "bitwise_count")
+            else np.asarray([bin(int(v)).count("1") for v in x])
+        )
+
+    return d
+
+
 def simhash_candidate_pairs(
     ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3, bucket_cap: int = 256
 ):
@@ -663,51 +731,7 @@ def simhash_candidate_pairs(
         )
 
     bands = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
-
-    counter = truncation_counter("simhash")
-
-    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h = [], [], []
-        dropped = 0
-        for _, g in group.groupby("band_key", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            if len(g) < 2:
-                continue
-            ids = g[id_col].to_numpy()
-            codes = g["simhash"].to_numpy().astype(np.uint64)
-            cap = min(len(ids), bucket_cap)
-            if len(ids) > bucket_cap:
-                dropped += len(ids) - bucket_cap
-            for i in range(cap):
-                x = codes[i + 1 : cap] ^ codes[i]
-                if not x.size:
-                    continue
-                dist = np.bitwise_count(x) if hasattr(np, "bitwise_count") else np.asarray(
-                    [bin(int(v)).count("1") for v in x]
-                )
-                for h in np.nonzero(dist <= max_hamming)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + h])
-                    out_h.append(int(dist[h]))
-        if dropped:
-            import ray
-
-            print(f"[dedup:simhash] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
-            ray.get(counter.add.remote(dropped))
-        if not out_a:
-            return _empty_pairs("hamming", "int64")
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
-
-    bands = bands.add_column(
-        "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"
-    )
-    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
-    pairs = pairs.add_column(
-        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
-    )
-    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
+    return _banded_hamming_pairs(bands, id_col, _simhash_dist, "simhash", max_hamming, bucket_cap)
 
 
 # ---------------------------------------------------------------------------
@@ -761,52 +785,23 @@ def pdq_candidate_pairs(
         )
 
     bands = ds.map_batches(sig_batch, batch_format="pyarrow", batch_size=2048)
-    counter = truncation_counter("pdq")
+    return _banded_hamming_pairs(bands, id_col, _pdq_dist, "pdq", max_hamming, bucket_cap)
 
-    def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h = [], [], []
-        dropped = 0
-        for _, g in group.groupby("band_key", sort=False):
-            if len(g) < 2:
-                continue
-            g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
-            if len(g) < 2:
-                continue
-            ids = g[id_col].to_numpy()
-            m = np.frombuffer(b"".join(g["code"]), dtype=np.uint8).reshape(len(g), -1)
-            cap = min(len(ids), bucket_cap)
-            if len(ids) > bucket_cap:
-                dropped += len(ids) - bucket_cap
-            for i in range(cap):
-                x = m[i + 1 : cap] ^ m[i]
-                if not x.size:
-                    continue
-                dist = (
-                    np.bitwise_count(x).sum(axis=1)
-                    if hasattr(np, "bitwise_count")
-                    else np.unpackbits(x, axis=1).sum(axis=1)
-                )
-                for h in np.nonzero(dist <= max_hamming)[0]:
-                    out_a.append(ids[i])
-                    out_b.append(ids[i + 1 + h])
-                    out_h.append(int(dist[h]))
-        if dropped:
-            import ray
 
-            print(f"[dedup:pdq] bucket over cap={bucket_cap}: dropped {dropped} ids from pair search")
-            ray.get(counter.add.remote(dropped))
-        if not out_a:
-            return _empty_pairs("hamming", "int64")
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+def _pdq_dist(g: pd.DataFrame):
+    m = np.frombuffer(b"".join(g["code"]), dtype=np.uint8).reshape(len(g), -1)
 
-    bands = bands.add_column(
-        "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"
-    )
-    pairs = bands.groupby("coarse").map_groups(coarse_bucket_pairs, batch_format="pandas")
-    pairs = pairs.add_column(
-        "pair_key", lambda df: df["id_a"].astype(str) + ":" + df["id_b"].astype(str), batch_format="pandas"
-    )
-    return exact_dedup(pairs, "pair_key", "id_a", strategy="shuffle").drop_columns(["pair_key"])
+    def d(i: int, cap: int):
+        x = m[i + 1 : cap] ^ m[i]
+        if not x.size:
+            return np.empty(0, dtype=np.int64)
+        return (
+            np.bitwise_count(x).sum(axis=1)
+            if hasattr(np, "bitwise_count")
+            else np.unpackbits(x, axis=1).sum(axis=1)
+        )
+
+    return d
 
 
 # ---------------------------------------------------------------------------
