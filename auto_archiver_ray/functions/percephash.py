@@ -30,6 +30,24 @@ import numpy as np
 # --- luminance weights (ITU-R BT.601) -------------------------------------
 _LUMA = np.array([0.299, 0.587, 0.114])
 
+# Plausibility bounds for the built-in decoders: a payload whose header
+# claims dimensions outside these is treated as not-an-image (returns None)
+# BEFORE any allocation/decompression — both a decode-bomb guard and part of
+# the "don't silently perceptual-hash a non-image that matches a magic"
+# contract (stages/enrich._pdq256 gating).
+_MAX_DIM = 1 << 15
+_MAX_PIXELS = 1 << 26
+
+
+def _implausible(width: int, height: int) -> bool:
+    return (
+        width <= 0
+        or height <= 0
+        or width > _MAX_DIM
+        or height > _MAX_DIM
+        or width * height > _MAX_PIXELS
+    )
+
 
 # ---------------------------------------------------------------------------
 # pure-python decoders (public format specs; 8-bit depth, non-interlaced)
@@ -88,7 +106,7 @@ def _decode_png(payload: bytes) -> np.ndarray | None:
             idat += data
         elif tag == b"IEND":
             break
-    if width is None or bitdepth != 8 or interlace:
+    if width is None or bitdepth != 8 or interlace or _implausible(width, height):
         return None
     nch = {0: 1, 2: 3, 4: 2, 6: 4}.get(color)
     if nch is None:
@@ -120,6 +138,8 @@ def _decode_bmp(payload: bytes) -> np.ndarray | None:
     width, height = struct.unpack_from("<ii", payload, 18)
     bpp, compression = struct.unpack_from("<HI", payload, 28)[0], struct.unpack_from("<I", payload, 30)[0]
     if compression != 0 or bpp not in (24, 32) or width <= 0 or height == 0:
+        return None
+    if _implausible(width, abs(height)):
         return None
     flip = height > 0
     height = abs(height)
@@ -159,7 +179,7 @@ def _decode_pnm(payload: bytes) -> np.ndarray | None:
         width, height, maxval = (int(t) for t in toks)
     except (ValueError, TypeError):
         return None
-    if maxval > 255 or width <= 0 or height <= 0:
+    if maxval > 255 or _implausible(width, height):
         return None
     nch = 1 if payload[:2] == b"P5" else 3
     need = width * height * nch

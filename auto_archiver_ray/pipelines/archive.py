@@ -97,7 +97,14 @@ def archive_pages(
 
         ds = exact_dedup(ds, "sha256", "url_canon")
     ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        # html is a TEXT column: pin the content-hash path (decode=False) so
+        # a payload that happens to parse as an image can never switch rows
+        # to perceptual semantics; media payloads get decode=True downstream
+        lambda b: enrich.pdq_hash_enrich(b, decode=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
     # int → autoscaling (1, N) pool: never let a full pool reserve every CPU
     # and starve the read stage (deadlocks a small ray.init). A tuple passes
     # through — bench uses (A, A) fixed pools spawned during warmup.
@@ -176,7 +183,14 @@ def _archive_transform(ds, batch_size: int = 256, extract_concurrency=4):
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.map_batches(enrich.pdq_hash_enrich, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(
+        # html is a TEXT column: pin the content-hash path (decode=False) so
+        # a payload that happens to parse as an image can never switch rows
+        # to perceptual semantics; media payloads get decode=True downstream
+        lambda b: enrich.pdq_hash_enrich(b, decode=False),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
     return ds.map_batches(
         extract.ExtractStage,

@@ -42,6 +42,13 @@ def _cents(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
     return pc.cast(pc.round(pc.multiply(arr, pa.scalar(100.0))), pa.int64())
 
 
+def _ren(t: pa.Table, ren: dict[str, str]) -> pa.Table:
+    """Rename group_by().aggregate() outputs by SOURCE name, never by
+    position — the group-key column's position has moved between pyarrow
+    releases."""
+    return t.rename_columns([ren.get(c, c) for c in t.column_names])
+
+
 def _sum_aggs(*cols: str):
     from ray.data.aggregate import Sum
 
@@ -2179,9 +2186,9 @@ def q_pages_ssl(sf_dir: str):
                 "ok": pc.cast(batch["ssl_verified"], pa.int64()),
             }
         )
-        return t.group_by("host").aggregate([("n_pages", "sum"), ("ok", "min")]).rename_columns(
-            ["host", "n_pages", "ok"]
-        )
+        out = t.group_by("host").aggregate([("n_pages", "sum"), ("ok", "min")])
+        ren = {"n_pages_sum": "n_pages", "ok_min": "ok"}
+        return out.rename_columns([ren.get(c, c) for c in out.column_names])
 
     agg = driver_reduce(
         out.map_batches(partial, batch_format="pyarrow", batch_size=4096),
@@ -3371,10 +3378,14 @@ def q_crawl_bfs(sf_dir: str):
         fetched = writer.read_all()
         out = driver_reduce(
             fetched.select_columns(["host"]).map_batches(
-                lambda b: pa.table({"host": b["host"], "n_fetched": pa.array(np.ones(b.num_rows, dtype=np.int64))})
-                .group_by("host")
-                .aggregate([("n_fetched", "sum")])
-                .rename_columns(["host", "n_fetched"]),
+                lambda b: _ren(
+                    pa.table(
+                        {"host": b["host"], "n_fetched": pa.array(np.ones(b.num_rows, dtype=np.int64))}
+                    )
+                    .group_by("host")
+                    .aggregate([("n_fetched", "sum")]),
+                    {"n_fetched_sum": "n_fetched"},
+                ),
                 batch_format="pyarrow",
                 batch_size=8192,
             ),

@@ -110,18 +110,31 @@ class HygieneStage:
             deltas["clf_dropped"] = int((mask & ~keep_clf).sum())
             mask &= keep_clf
         deltas["kept"] = int(mask.sum())
+        fut = None
         if self.counter is not None:
-            # synchronous (the delta is recorded before this batch task
-            # completes, so a post-execution read sees every batch) and
-            # IDEMPOTENT: the batch key is a digest of its url column, so a
-            # retried task re-sends the same key and the ledger ignores the
-            # duplicate — counts stay exact under failures
+            # IDEMPOTENT add: the batch key digests the batch's FULL row
+            # content (url + sha256 + n_tokens), so a retried task re-sends
+            # the same key and the ledger ignores the duplicate — counts
+            # stay exact under failures. Precondition for exactly-once:
+            # distinct batches must have distinct row multisets, which the
+            # validated pages table guarantees (urls are unique); a caller
+            # feeding two batches of IDENTICAL rows would see the second
+            # batch's deltas dropped as a presumed retry.
+            #
+            # The get below is deliberately SYNCHRONOUS-per-batch (submitted
+            # here, awaited after output construction so the RPC overlaps
+            # useful work): the delta must be recorded before this batch
+            # task COMPLETES, else an actor death between batches loses a
+            # completed batch's delta — Ray fate-shares in-flight tasks with
+            # their owner and never retries a completed batch, so a
+            # fire-and-forget ledger could undercount under the exact chaos
+            # contract tests/test_fault_tolerance.py pins.
             import hashlib as _hl
 
-            import ray
-
-            key = _hl.sha256(b"\x00".join(u.encode() for u in batch.column("url").to_pylist())).digest()[:16]
-            ray.get(self.counter.add.remote(key, deltas))
+            h = _hl.sha256(b"\x00".join(u.encode() for u in batch.column("url").to_pylist()))
+            h.update(b"\x01".join(s.encode() for s in batch.column("sha256").to_pylist()))
+            h.update(n_tok.tobytes())
+            fut = self.counter.add.remote(h.digest()[:16], deltas)
         out = pa.table(
             {
                 "url": batch["url"],
@@ -129,7 +142,12 @@ class HygieneStage:
                 "n_tokens": pa.array(n_tok),
             }
         )
-        return out.filter(pa.array(mask))
+        out = out.filter(pa.array(mask))
+        if fut is not None:
+            import ray
+
+            ray.get(fut)
+        return out
 
 
 def _extract_hygiene(

@@ -770,11 +770,22 @@ def pdq_candidate_pairs(
             bits = np.unpackbits(np.frombuffer(raw, dtype=np.uint8))
             for b in range(n_bands):
                 seg = bits[b * band_bits : (b + 1) * band_bits]
-                band_val = int(np.packbits(seg).view(">u2")[0]) if band_bits == 16 else int(
-                    "".join(map(str, seg.tolist())), 2
-                )
+                # band index tagged ABOVE the value bits so keys from
+                # different bands can never collide (the old `b << 16`
+                # only held for band_bits == 16); packbits pads the last
+                # byte's low bits with zeros, so the encoding stays
+                # injective for any band width.
+                band_val = int.from_bytes(np.packbits(seg).tobytes(), "big")
+                if band_bits > 56:
+                    # wide bands (n_bands <= 4) don't fit int64 beside the
+                    # tag: fold the value through a stable 56-bit digest.
+                    # Collisions only merge buckets (extra verify work);
+                    # recall stays exact — verification is per-pair.
+                    band_val = int.from_bytes(
+                        hashlib.blake2b(seg.tobytes(), digest_size=7).digest(), "big"
+                    )
                 out_id.append(i)
-                out_band.append((b << 16) | band_val)
+                out_band.append((b << min(band_bits, 56)) | band_val)
                 out_code.append(raw)
         return pa.table(
             {

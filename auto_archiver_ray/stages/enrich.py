@@ -97,27 +97,31 @@ def select_metadata(all_md: dict[str, str], requested_keys: list[str]) -> dict[s
     return out
 
 
-def _pdq256(payload: bytes) -> str:
+def _pdq256(payload: bytes, decode: bool = True) -> str:
     """256-bit perceptual hash (hex). Decodable images take the REAL path:
     a DCT-based PDQ-style code (functions/percephash.py — luminance → 64×64
     → 2-D DCT → median-thresholded 16×16 low-frequency block), so
     near-duplicate images land within small Hamming distance and bucket
-    together under ``pdq_band_keys``. Non-image payloads (e.g. the html
-    column the archive pipeline hashes) keep the deterministic content-hash
-    fallback: identical payloads still collide (exact-dup semantics),
-    matching the round-3 behavior for every existing pipeline.
+    together under ``pdq_band_keys``. Non-image payloads keep the
+    deterministic content-hash fallback: identical payloads still collide
+    (exact-dup semantics). Pass ``decode=False`` for columns KNOWN not to
+    hold images (e.g. the archive pipeline's html column): it pins the
+    content-hash path so a text payload that happens to start with a valid
+    image magic can never silently switch that row to perceptual-dedup
+    semantics — and skips the decode probe entirely.
     Parity: ref:modules/pdq_hash_enricher/pdq_hash_enricher.py:24-62."""
-    from ..functions import percephash
+    if decode:
+        from ..functions import percephash
 
-    code = percephash.pdq256(payload)
-    if code is not None:
-        return code
+        code = percephash.pdq256(payload)
+        if code is not None:
+            return code
     return hashlib.sha256(b"pdq:" + payload).hexdigest()
 
 
-def pdq_hash_enrich(batch: pa.Table, payload_col: str = "html") -> pa.Table:
+def pdq_hash_enrich(batch: pa.Table, payload_col: str = "html", decode: bool = True) -> pa.Table:
     payloads = batch.column(payload_col).to_pylist()
-    codes = ["" if p is None else _pdq256(p) for p in payloads]
+    codes = ["" if p is None else _pdq256(p, decode=decode) for p in payloads]
     return batch.append_column("pdq_hash", pa.array(codes, pa.string()))
 
 

@@ -124,31 +124,71 @@ def per_host_cert_enrich(ds, host_col: str = "host", strategy: str = "inline"):
     Either way a separate stateless verify pass re-checks every cert with
     only the CA PUBLIC key. Output adds ``ssl_cert`` and ``ssl_verified``."""
     if strategy == "inline":
-
-        def attach_inline(batch: pa.Table) -> pa.Table:
-            memo: dict[str, str] = {}
-            col = []
-            for h in batch.column(host_col).to_pylist():
-                if h not in memo:
-                    memo[h] = issue_host_cert(h)
-                col.append(memo[h])
-            return batch.append_column("ssl_cert", pa.array(col, pa.string()))
-
-        enriched = ds.map_batches(attach_inline, batch_format="pyarrow")
+        enriched = ds.map_batches(
+            InlineCertStage,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+            fn_constructor_kwargs={"host_col": host_col},
+        )
     else:
         enriched = per_host_enrich(ds, host_col=host_col, fetch=issue_host_cert, out_col="ssl_cert")
-    pub = ca_public()
+    return enriched.map_batches(
+        VerifyCertStage,
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"host_col": host_col},
+    )
 
-    def verify(batch: pa.Table) -> pa.Table:
-        hosts = batch.column(host_col).to_pylist()
+
+class InlineCertStage:
+    """Per-ACTOR cert issuance (the model-load position): one RSA signature
+    per distinct host per worker across ALL its batches — not per batch.
+    The memo is capped (hosts are unbounded in the inline strategy); an
+    epoch clear on overflow only costs re-issuance, never correctness."""
+
+    def __init__(self, host_col: str = "host", memo_cap: int = 65536):
+        self.host_col, self.memo_cap = host_col, memo_cap
+        self.memo: dict[str, str] = {}
+        self.issued = 0  # distinct-host issuances, test-observable
+
+    def _issue(self, host: str) -> str:
+        cert = self.memo.get(host)
+        if cert is None:
+            cert = issue_host_cert(host)
+            self.issued += 1
+            if len(self.memo) >= self.memo_cap:
+                self.memo.clear()
+            self.memo[host] = cert
+        return cert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = [self._issue(h) for h in batch.column(self.host_col).to_pylist()]
+        return batch.append_column("ssl_cert", pa.array(col, pa.string()))
+
+
+class VerifyCertStage:
+    """Stateless-in-spirit verify pass with the same per-actor memo: one RSA
+    check per distinct (host, cert) per worker. Only the CA PUBLIC key is
+    held (derived once per actor)."""
+
+    def __init__(self, host_col: str = "host", memo_cap: int = 65536):
+        self.host_col, self.memo_cap = host_col, memo_cap
+        self.pub = ca_public()
+        self.memo: dict[tuple[str, str], bool] = {}
+        self.checked = 0  # distinct (host, cert) RSA verifications
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hosts = batch.column(self.host_col).to_pylist()
         certs = batch.column("ssl_cert").to_pylist()
-        memo: dict[tuple[str, str], bool] = {}  # one RSA check per distinct host/batch
         ok = []
         for h, c in zip(hosts, certs):
             k = (h, c)
-            if k not in memo:
-                memo[k] = verify_host_cert(h, c, pub)
-            ok.append(memo[k])
+            v = self.memo.get(k)
+            if v is None:
+                v = verify_host_cert(h, c, self.pub)
+                self.checked += 1
+                if len(self.memo) >= self.memo_cap:
+                    self.memo.clear()
+                self.memo[k] = v
+            ok.append(v)
         return batch.append_column("ssl_verified", pa.array(ok, pa.bool_()))
-
-    return enriched.map_batches(verify, batch_format="pyarrow")

@@ -119,11 +119,19 @@ class FrameSampleStage:
     stand-in derived from (payload digest, frame index) so the schema and
     every downstream stage stay identical and testable."""
 
-    def __init__(self, per_minute: int = 1, max_frames: int = 16, decode: bool = False):
+    def __init__(
+        self,
+        per_minute: int = 1,
+        max_frames: int = 16,
+        decode: bool = False,
+        decode_timeout_s: float = 30.0,
+    ):
         import shutil
 
         self.per_minute, self.max_frames, self.decode = per_minute, max_frames, decode
         self.ffmpeg = shutil.which("ffmpeg") if decode else None
+        self.decode_timeout_s = decode_timeout_s
+        self.decode_timeouts = 0
 
     @staticmethod
     def frame_times(duration: float, per_minute: int, max_frames: int) -> list[float]:
@@ -144,13 +152,21 @@ class FrameSampleStage:
                 f.flush()
                 out: list[bytes] = []
                 for i, ts in enumerate(times):
-                    result = subprocess.run(
-                        [
-                            self.ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
-                            "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-",
-                        ],
-                        capture_output=True,
-                    )
+                    try:
+                        result = subprocess.run(
+                            [
+                                self.ffmpeg, "-v", "error", "-ss", f"{ts:.3f}", "-i", f.name,
+                                "-frames:v", "1", "-f", "image2pipe", "-vcodec", "png", "-",
+                            ],
+                            capture_output=True,
+                            timeout=self.decode_timeout_s,
+                        )
+                    except subprocess.TimeoutExpired:
+                        # A malformed payload must not stall the actor (and the
+                        # whole pipeline) — count it and emit the stand-in frame.
+                        self.decode_timeouts += 1
+                        out.append(hashlib.sha256(payload + b":frame:%d" % i).digest())
+                        continue
                     if result.returncode == 0 and result.stdout:
                         out.append(result.stdout)
                     else:  # corrupt/undecodable payload → stand-in frame

@@ -103,3 +103,36 @@ def test_hygiene_gate_actor_death_yields_identical_rows():
     assert not os.path.exists(flag)  # the kill actually fired
     pd.testing.assert_frame_equal(killed, clean)  # row data identical
     assert totals_kill == totals_clean  # ledger exact under retries
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gate_ledger_key_includes_batch_content():
+    """ADVICE r4: the idempotence key digests the batch's FULL row content,
+    not just urls — two batches with identical url sequences but different
+    text must BOTH be counted (only a true retry is deduped)."""
+    import hashlib
+
+    import pyarrow as pa
+    import ray
+
+    from auto_archiver_ray.pipelines.webtext import HygieneStage, make_gate_counter
+
+    def mk_batch(texts):
+        return pa.table(
+            {
+                "url": pa.array([f"https://h.example.org/p/{i}" for i in range(len(texts))]),
+                "sha256": pa.array([hashlib.sha256(t.encode()).hexdigest() for t in texts]),
+                "text_extracted": pa.array(texts),
+            }
+        )
+
+    counter = make_gate_counter()
+    stage = HygieneStage(counter=counter)
+    long_t = "w x y z a b c d e f"
+    b1 = mk_batch([long_t, "short"])  # 1 kept, 1 len-dropped
+    b2 = mk_batch([long_t, long_t])  # same urls, different content: 2 kept
+    stage(b1)
+    stage(b2)
+    stage(b2)  # true retry (identical content) → ignored
+    totals = ray.get(counter.value.remote())
+    assert totals == {"rep_dropped": 0, "len_dropped": 1, "kept": 3}

