@@ -223,6 +223,90 @@ def _make_claim_filter(num_shards: int = 8):
     return claim_stage, shards
 
 
+def _stage_validated_source(source_factory, batch_size: int = 256, max_rows_per_file: int = 65536):
+    """Stage the validated pages source ONCE into a parquet dir (VERDICT r4
+    #1 — kills the O(epochs × corpus) per-epoch source re-scan the dynamic
+    crawl loops had). Returns ``(stage_dir, files)``; files are bounded to
+    ``max_rows_per_file`` rows so the per-epoch read unit (one file) stays
+    small. The html payload is written once and per-epoch reads then touch
+    ONLY the files the epoch's members live in (see
+    :func:`_build_file_manifest`). In a real deployment the "source scan"
+    is the network fetch itself, keyed by URL; under this engine's
+    scan-based source contract the staged copy is the equivalent random
+    access."""
+    import glob as _glob
+    import tempfile
+
+    stage_dir = tempfile.mkdtemp(prefix="aar_crawl_stage_")
+    ds = source_factory()
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+    ds.write_parquet(stage_dir, max_rows_per_file=max_rows_per_file)
+    files = sorted(_glob.glob(f"{stage_dir}/*.parquet"))
+    return stage_dir, files
+
+
+def _build_file_manifest(files: list[str], snapshot_keys: bool, num_shards: int = 16):
+    """Sharded u64 key → staged-file-id map: one distributed task per staged
+    file reads ONLY the key column(s) (columnar pushdown) and pushes
+    (key, file_id) pairs into :class:`KeyMapShard` actors — 16 B/URL spread
+    across the pool, never a driver-resident array. ``snapshot_keys``
+    selects (url_hash, warc_ts) combined keys (the :func:`crawl_streaming`
+    plan identity) vs url_hash-only (:func:`crawl_bfs` fetches *the page*).
+    For a key present in several files the lookup returns one of them —
+    byte-identical duplicate snapshots stay single-fetch (the claim filter
+    dedups within the chosen file)."""
+    import ray
+    import ray.data as rd
+
+    KeyMapShard = _lazy_keymap_shard()
+    shards = [KeyMapShard.remote() for _ in range(num_shards)]
+    cols = ["url_hash", "warc_ts"] if snapshot_keys else ["url_hash"]
+
+    def push(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        n = 0
+        for path, fid in zip(batch.column("path").to_pylist(), batch.column("fid").to_pylist()):
+            t = pq.read_table(path, columns=cols)
+            hx = t.column("url_hash").to_pylist()
+            if not hx:
+                continue
+            h = (
+                _snapshot_key_u64(hx, _ts_us(t.column("warc_ts")))
+                if snapshot_keys
+                else _hash_hex_to_u64(hx)
+            )
+            v = np.full(len(h), fid, dtype=np.int64)
+            sid = (h % np.uint64(num_shards)).astype(np.int64)
+            futs = [shards[int(s)].add.remote(h[sid == s], v[sid == s]) for s in np.unique(sid)]
+            ray.get(futs)  # delivery barrier
+            n += len(h)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    if files:
+        rd.from_items([{"path": p, "fid": i} for i, p in enumerate(files)]).map_batches(
+            push, batch_format="pyarrow", batch_size=1
+        ).sum("n")
+    ray.get([s.seal.remote() for s in shards])
+    return shards
+
+
+def _member_file_ids(shards, member: np.ndarray) -> list[int]:
+    """The staged-file ids an epoch's member keys live in — the epoch reads
+    ONLY these files, so per-epoch bytes are bounded by
+    ``len(member) × max_file_bytes`` regardless of corpus size."""
+    import ray
+
+    if not len(member) or not shards:
+        return []
+    n = len(shards)
+    sid = (member % np.uint64(n)).astype(np.int64)
+    futs = [shards[int(s)].lookup.remote(member[sid == s]) for s in np.unique(sid)]
+    fids = np.concatenate(ray.get(futs)) if futs else np.empty(0, dtype=np.int64)
+    return sorted({int(f) for f in fids if f >= 0})
+
+
 def crawl(
     pages_source,
     out_root: str,
@@ -451,6 +535,7 @@ def crawl_bfs(
     checkpoint_dir: str | None = None,
     robots_rules: dict[str, list[str]] | None = None,
     plan_batch_size: int = 4096,
+    stage_max_rows_per_file: int = 65536,
 ):
     """The FULL BFS crawl loop — discovery feedback closed over the
     shard-resident frontier (the reference's media/link discovery feeding
@@ -515,6 +600,16 @@ def crawl_bfs(
     # idempotent under resume: the restored bloom blocks re-admission
     _offer(seeds_source)
 
+    # stage the validated corpus ONCE + sharded key→file manifest: each
+    # epoch below reads only its members' files, not the corpus (the last
+    # O(epochs × corpus) term in the crawl plane, VERDICT r4 #1)
+    stage_dir, staged_files = _stage_validated_source(
+        pages_source_factory, batch_size=batch_size, max_rows_per_file=stage_max_rows_per_file
+    )
+    manifest_shards = _build_file_manifest(staged_files, snapshot_keys=False)
+    writer.epoch_reads = []  # per-epoch read accounting (tests + bench)
+    _file_bytes = [os.path.getsize(p) for p in staged_files]
+
     conc = extract_concurrency if isinstance(extract_concurrency, tuple) else (1, extract_concurrency)
     emitted = 0
     while frontier.pending_total() > 0:
@@ -556,9 +651,28 @@ def crawl_bfs(
                 mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
                 return batch.filter(pa.array(mask))
 
-            epoch_ds = pages_source_factory()
-            epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
-            epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+            # read ONLY the members' staged files (already validated); when
+            # no member is in the corpus (external links), one file carries
+            # the schema through the chain and keep_epoch drops every row
+            fids = _member_file_ids(manifest_shards, member)
+            writer.epoch_reads.append(
+                {
+                    "epoch": epoch,
+                    "n_members": int(len(member)),
+                    "files_read": len(fids) if fids else min(1, len(staged_files)),
+                    "files_total": len(staged_files),
+                    "bytes_read": sum(_file_bytes[i] for i in fids)
+                    if fids
+                    else (_file_bytes[0] if _file_bytes else 0),
+                    "bytes_total": sum(_file_bytes),
+                }
+            )
+            if staged_files:
+                epoch_ds = rd.read_parquet([staged_files[i] for i in (fids or [0])])
+            else:  # empty corpus corner: fall back to the (empty) source
+                epoch_ds = pages_source_factory()
+                epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+                epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
@@ -601,6 +715,11 @@ def crawl_bfs(
         if checkpoint_dir:
             frontier.checkpoint(checkpoint_dir)
 
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    for s in manifest_shards:
+        ray.kill(s)
     return writer, frontier.stats()
 
 
@@ -617,6 +736,7 @@ def crawl_streaming(
     pages_source_factory=None,
     plan_batch_size: int = 8192,
     dedup_fetch: bool = True,
+    stage_max_rows_per_file: int = 65536,
 ):
     """North-rule crawl driven by the SHARD-RESIDENT frontier (v3): seed
     keys are OFFERED into the shards — seen-filter admission + per-host
@@ -631,6 +751,21 @@ def crawl_streaming(
     epoch counter after every written epoch; a killed run restores and
     re-emits the in-flight epoch deterministically (the partition writer
     skips fully-written epochs)."""
+    import time as _time
+
+    import ray
+    import ray.data as rd
+
+    _trace_on = os.environ.get("AAR_TRACE") == "1"
+    _t0 = _time.time()
+
+    def _trace(tag: str):
+        nonlocal _t0
+        if _trace_on:
+            now = _time.time()
+            print(f"[aar-trace] {tag}: {now - _t0:.1f}s", flush=True)
+            _t0 = now
+
     frontier = frontier or Frontier(num_shards=8)
     restored = frontier.restore(checkpoint_dir) if checkpoint_dir else 0
     if robots_rules:
@@ -640,17 +775,29 @@ def crawl_streaming(
 
     from ..stages.dedup import _lazy_drop_counter, exact_dedup
 
-    import ray
-
-    # key-only plan source at plan-sized batches (same 2× lesson as crawl())
-    plan_src = source_factory().select_columns(
-        [c for c in ("url", "warc_ts") if c in (pages_source.columns() or ("url", "warc_ts"))]
+    # stage the validated corpus ONCE (payload written once, validated
+    # once); the plan below reads only the staged KEY COLUMNS (columnar
+    # pushdown — the same 2× key-only lesson as crawl()), and each epoch
+    # reads only its members' staged files via the sharded key→file
+    # manifest (VERDICT r4 #1: no per-epoch corpus re-scan)
+    stage_dir, staged_files = _stage_validated_source(
+        source_factory, batch_size=batch_size, max_rows_per_file=stage_max_rows_per_file
     )
-    keyed = plan_src.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=plan_batch_size)
-    keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=plan_batch_size)
+    _trace("stage")
+    manifest_shards = _build_file_manifest(staged_files, snapshot_keys=True)
+    _trace("manifest")
+    writer.epoch_reads = []
+    _file_bytes = [os.path.getsize(p) for p in staged_files]
+
+    if staged_files:
+        keyed = rd.read_parquet(staged_files, columns=PLAN_COLUMNS)
+    else:
+        keyed = source_factory()
+        keyed = keyed.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=plan_batch_size)
+        keyed = keyed.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=plan_batch_size)
+        keyed = keyed.select_columns(PLAN_COLUMNS)
     if robots_rules:
         keyed = keyed.map_batches(frontier.robots_filter_stage(), batch_format="pyarrow", batch_size=plan_batch_size)
-    keyed = keyed.select_columns(PLAN_COLUMNS)
     snap_dup_counter = _lazy_drop_counter().remote() if dedup_fetch else None
     keyed = exact_dedup(
         keyed, "url_hash", "warc_ts", strategy="shuffle", key_id_dup_counter=snap_dup_counter
@@ -660,6 +807,7 @@ def crawl_streaming(
     keyed.map_batches(frontier.offer_stage(), batch_format="pyarrow", batch_size=plan_batch_size).sum(
         "n_offered"
     )
+    _trace("plan+dedup+offer")
 
     claim_stage, claim_shards = (None, [])
     if snap_dup_counter is not None:
@@ -674,7 +822,9 @@ def crawl_streaming(
         if max_epochs is not None and emitted >= max_epochs:
             break
         plan = frontier.emit_epoch(per_host_budget)
+        _trace("emit_epoch")
         member, _ = _plan_member_arrays(plan)
+        _trace("member_arrays")
         epoch = int(plan.take(1)[0]["fetch_epoch"]) if len(member) else emitted
         emitted += 1
         part = f"epoch{epoch:05d}"
@@ -695,9 +845,26 @@ def crawl_streaming(
             mask = (w[pos] == h) if len(w) else np.zeros(len(hx), dtype=bool)
             return batch.filter(pa.array(mask))
 
-        epoch_ds = source_factory()
-        epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
-        epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
+        # read ONLY the members' staged files — already validated
+        fids = _member_file_ids(manifest_shards, member)
+        writer.epoch_reads.append(
+            {
+                "epoch": epoch,
+                "n_members": int(len(member)),
+                "files_read": len(fids) if fids else min(1, len(staged_files)),
+                "files_total": len(staged_files),
+                "bytes_read": sum(_file_bytes[i] for i in fids)
+                if fids
+                else (_file_bytes[0] if _file_bytes else 0),
+                "bytes_total": sum(_file_bytes),
+            }
+        )
+        if staged_files:
+            epoch_ds = rd.read_parquet([staged_files[i] for i in (fids or [0])])
+        else:  # empty corpus corner
+            epoch_ds = source_factory()
+            epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
+            epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
         if claim_stage is not None:
             epoch_ds = epoch_ds.map_batches(claim_stage, batch_format="pyarrow", batch_size=batch_size)
@@ -709,11 +876,18 @@ def crawl_streaming(
         epoch_ds = epoch_ds.drop_columns(["media_links", "page_links"]).add_column(
             "fetch_epoch", lambda df: np.full(len(df), epoch, dtype="int64"), batch_format="pandas"
         )
+        _trace(f"epoch{epoch}:read_lookup_extract_write")
         writer.write(part, epoch_ds)
+        _trace(f"epoch{epoch}:write_done")
         if checkpoint_dir:
             frontier.checkpoint(checkpoint_dir)
 
     if claim_shards:
         for s in claim_shards:
             ray.kill(s)
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    for s in manifest_shards:
+        ray.kill(s)
     return writer, frontier.stats()

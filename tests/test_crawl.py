@@ -496,3 +496,55 @@ def test_bfs_foreign_out_root_fails_loudly(tmp_path):
     run(seeds, "bfs_own")
     with pytest.raises(ValueError, match="different inputs"):
         run(seeds[:1], "bfs_foreign")  # different seed set, same out_root
+
+@pytest.mark.usefixtures("ray_session")
+def test_epoch_reads_bounded_by_members(tmp_path):
+    """VERDICT r4 #1 done-criterion: the corpus is staged ONCE into bounded
+    files with a sharded key→file manifest, and each politeness epoch reads
+    ONLY the files its members live in — per-epoch bytes are bounded by the
+    epoch's member partitions, never the corpus."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_bfs, crawl_streaming
+    from auto_archiver_ray.sources.pages import ensure_linked_pages
+
+    path = ensure_pages("/root/testdata/sf0.001")
+    f = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="bnd_s")
+    w, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "out_s"), frontier=f,
+        per_host_budget=5, extract_concurrency=2,
+        stage_max_rows_per_file=8,  # ~275 valid rows → ~35 staged files
+    )
+    f.shutdown()
+    reads = w.epoch_reads
+    assert len(reads) >= 3
+    assert reads[0]["files_total"] >= 20
+    for r in reads:
+        # each member key maps to exactly one staged file
+        assert r["files_read"] <= max(1, r["n_members"])
+        assert r["bytes_read"] <= r["bytes_total"]
+    # tail epochs (only the hottest hosts remain) touch a sliver of the corpus
+    assert reads[-1]["files_read"] < reads[-1]["files_total"] / 2
+    # aggregate: NOT O(epochs × corpus) — the old re-scan read every file
+    # every epoch
+    rescan_files = len(reads) * reads[0]["files_total"]
+    assert sum(r["files_read"] for r in reads) < rescan_files / 2
+
+    # same bound for the BFS loop (epochs discovered dynamically)
+    linked, seeds = ensure_linked_pages("/root/testdata/sf0.001")
+    import pyarrow as pa
+
+    f2 = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="bnd_b")
+    wb, _ = crawl_bfs(
+        rd.from_arrow(pa.table({"url": pa.array(seeds, pa.string())})),
+        lambda: rd.read_parquet(linked), str(tmp_path / "out_b"),
+        frontier=f2, per_host_budget=5, extract_concurrency=2,
+        stage_max_rows_per_file=8,
+    )
+    f2.shutdown()
+    breads = wb.epoch_reads
+    assert len(breads) >= 3
+    for r in breads:
+        assert r["files_read"] <= max(1, r["n_members"])
+        assert r["bytes_read"] <= r["bytes_total"]
+    assert sum(r["files_read"] for r in breads) < len(breads) * breads[0]["files_total"] / 2
