@@ -2644,6 +2644,64 @@ def q_doc_dupspans(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_substring_dedup(sf_dir: str):
+    """Exact-substring dedup WITH REMOVAL (VERDICT r4 #8 — Lee et al. 2021
+    "ExactSubstr", completing the detection-only q_doc_dupspans): every
+    5-token window occurring >= 2 times corpus-wide keeps its first
+    occurrence (min doc_id, then position); other occurrences mask their
+    token spans; docs are rebuilt from unmasked tokens
+    (stages/dedup.substring_dedup — bucketed window exchange + doc-sharded
+    drop lists; the corpus text never shuffles). Oracle: the full chain in
+    one SQL statement — window ranking, mask union, token anti-join,
+    ordered string_agg rebuild."""
+    from ..stages.dedup import substring_dedup
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = substring_dedup(ds, num_buckets=64).to_pandas()
+    for c in ("doc_id", "n_tokens", "kept_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_SUBSTRING_DEDUP = f"""
+WITH {{toks}},
+wins AS (
+  SELECT doc_id, pos,
+         tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+             || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w AS win
+  FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+v AS (SELECT doc_id, pos, win FROM wins WHERE win IS NOT NULL),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM v
+),
+covered AS (
+  SELECT DISTINCT r.doc_id, r.pos + j.range AS tp
+  FROM ranked r CROSS JOIN range(0, 5) j
+  WHERE r.rn > 1
+),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok
+  FROM toks t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.tp = t.pos
+  WHERE c.doc_id IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+         string_agg(tok, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(n.n_tokens, 0) AS n_tokens,
+       COALESCE(r.kept_tokens, 0) AS kept_tokens,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN ntok n USING (doc_id) LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+""".replace("{toks}", _SQL_DOC_TOKS)
+
+
 SQL_DOC_DUPSPANS = f"""
 WITH {_SQL_DOC_TOKS},
 wins AS (
@@ -3673,6 +3731,118 @@ ORDER BY media_id
 """
 
 
+def q_image_knn(sf_dir: str):
+    """kNN over REAL image features (VERDICT r4 #7 — the feature plane
+    catches up with the real perceptual-hash plane): decodable corpus →
+    per-actor DCT feature extraction (stages/multimodal.ImageFeatureStage
+    with ``real_decode=True``, i.e. percephash.dct_features' unit-norm
+    low-frequency AC band) → broadcast-query brute-force cosine top-8
+    (stages/similarity.knn_brute_force). Planted near-duplicate variants
+    are their base's nearest neighbors. Oracle: independent serial replay
+    (scripts/golden_serial.image_knn_serial — own PGM decode + DCT +
+    zigzag + float64 exact scan); ranks compared, cosine dropped for the
+    same float-summation-order reason as q_knn."""
+    import numpy as _np
+    import pyarrow.parquet as _pq
+
+    from ..functions import percephash
+    from ..sources.images import ensure_image_corpus
+    from ..stages.multimodal import ImageFeatureStage
+    from ..stages.similarity import knn_brute_force
+
+    rd = _rd()
+    path = ensure_image_corpus(sf_dir)
+    # query vectors = three fixed BASE images' own features; row-group
+    # filter pushdown keeps the driver read to those 3 rows
+    qids = [0, 16, 32]
+    tbl = _pq.read_table(path, columns=["media_id", "payload"], filters=[("media_id", "in", qids)])
+    by = dict(zip(tbl.column("media_id").to_pylist(), tbl.column("payload").to_pylist()))
+    queries = _np.stack([percephash.dct_features(by[q], 32) for q in qids])
+
+    feats = rd.read_parquet(path).map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"dim": 32, "real_decode": True},
+        max_restarts=-1,
+        max_task_retries=-1,
+    ).select_columns(["media_id", "feature"])
+    out = knn_brute_force(feats, queries, k=8, id_col="media_id", vec_col="feature")
+    out = out.drop(columns=["cosine"])
+    for c in ("query_id", "media_id", "rank"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def q_archive_media_dedup(sf_dir: str):
+    """The image plane wired into the FLAGSHIP (VERDICT r4 #9): archive
+    extract → discovered-media explode → distinct media (exact dedup on
+    media_url_hash, slim key column only) → deterministic media "fetch"
+    returning REAL decodable corpus images (int(h[:8],16) % n over the
+    media_id-sorted corpus, broadcast once via ray.put — the stand-in for
+    the network GET the sandbox can't do) → real DCT perceptual codes →
+    16-band pigeonhole pairs → min-label propagation → perceptual
+    (cluster_label, size) per size>=2 cluster. Oracle: independent serial
+    replay (scripts/golden_serial.archive_media_clusters_serial — media
+    set re-derived from the page generator's planted-media sidecar, own
+    PGM decode + DCT + union-find closure)."""
+    import ray
+
+    from ..pipelines.archive import archive_pages
+    from ..sources.images import ensure_image_corpus
+    from ..stages.dedup import exact_dedup, label_propagate, pdq_candidate_pairs
+    from ..stages.media import explode_media
+
+    rd = _rd()
+    import pyarrow.parquet as _pq
+
+    corpus = _pq.read_table(ensure_image_corpus(sf_dir), columns=["media_id", "payload"])
+    order = pc.sort_indices(corpus, sort_keys=[("media_id", "ascending")])
+    imgs = corpus.take(order).column("payload").to_pylist()
+    imgs_ref = ray.put(imgs)
+    n_imgs = len(imgs)
+
+    ds = archive_pages(sf_dir, extract_concurrency=4)
+    m = ds.select_columns(["url", "media_links"]).map_batches(
+        explode_media, batch_format="pyarrow", batch_size=1024
+    )
+    def add_media_id(batch: pa.Table) -> pa.Table:
+        hs = batch.column("media_url_hash").to_pylist()
+        return batch.append_column(
+            "media_id", pa.array([int(h[:15], 16) for h in hs], pa.int64())
+        )
+
+    keyed = m.select_columns(["media_url_hash"]).map_batches(
+        add_media_id, batch_format="pyarrow", batch_size=2048
+    )
+    # media_id is a pure function of the hash, so min-id-per-key == distinct
+    distinct = exact_dedup(keyed, "media_url_hash", "media_id")
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        pool = ray.get(imgs_ref)
+        hs = batch.column("media_url_hash").to_pylist()
+        pays = [pool[int(h[:8], 16) % n_imgs] for h in hs]
+        return pa.table(
+            {"media_id": batch.column("media_id"), "payload": pa.array(pays, pa.binary())}
+        )
+
+    coded = distinct.map_batches(fetch, batch_format="pyarrow", batch_size=512).map_batches(
+        lambda b: enrich.pdq_hash_enrich(b, payload_col="payload").drop_columns(["payload"]),
+        batch_format="pyarrow",
+        batch_size=256,
+    )
+    pairs = pdq_candidate_pairs(coded, id_col="media_id", code_col="pdq_hash")
+    labels = label_propagate(pairs)
+    sizes = labels.groupby("label").count()
+    out = sizes.to_pandas()
+    ren = {"label": "cluster_label", "count()": "size"}
+    out = out.rename(columns=ren)
+    out["cluster_label"] = out["cluster_label"].astype("int64")
+    out["size"] = out["size"].astype("int64")
+    return out[["cluster_label", "size"]].sort_values("cluster_label").reset_index(drop=True)
+
+
 def q_embed_semdedup(sf_dir: str):
     """SemDeDup semantic dedup over the embeddings table: bounded-sample
     k-means (the IVF trainer), per-cluster chunked cosine scan, drop every
@@ -3735,6 +3905,8 @@ QUERIES = {
     "q_pages_ghostarchive": q_pages_ghostarchive,
     "q_pages_ssl": q_pages_ssl,
     "q_image_dedup": q_image_dedup,
+    "q_image_knn": q_image_knn,
+    "q_archive_media_dedup": q_archive_media_dedup,
     # --- high-value round-3 queries (driver-verified r3; keep in window) ---
     "q_embed_semdedup": q_embed_semdedup,
     "q_pages_hostrank": q_pages_hostrank,
@@ -3767,6 +3939,7 @@ QUERIES = {
     "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_top_terms": q_doc_top_terms,
     "q_doc_dupspans": q_doc_dupspans,
+    "q_doc_substring_dedup": q_doc_substring_dedup,
     # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
@@ -3907,6 +4080,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_repetition": SQL_DOC_REPETITION,
         "q_doc_top_terms": SQL_DOC_TOP_TERMS,
         "q_doc_dupspans": SQL_DOC_DUPSPANS,
+        "q_doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
         "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,
         "q_doc_source_mix": SQL_DOC_SOURCE_MIX,
         "q_doc_length_quantiles": SQL_DOC_LENGTH_QUANTILES,
@@ -3952,6 +4126,14 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY id_a, id_b"
         ),
         "q_image_dedup": _sql_image_dedup(g, sf_dir),
+        "q_image_knn": (
+            f"SELECT query_id, media_id, rank FROM read_parquet('{g}/q_image_knn.parquet') "
+            "ORDER BY query_id, rank"
+        ),
+        "q_archive_media_dedup": (
+            f"SELECT cluster_label, size FROM read_parquet('{g}/q_archive_media_dedup.parquet') "
+            "ORDER BY cluster_label"
+        ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (
             "WITH labels AS (" + _sql_cluster_labels(g) + ") "

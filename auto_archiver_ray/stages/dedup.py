@@ -1139,6 +1139,126 @@ def segment_dedup(
     )
 
 
+def substring_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    w: int = 5,
+    num_buckets: int = 256,
+    num_shards: int = 16,
+):
+    """Exact-substring dedup with span REMOVAL — the other half of Lee et
+    al. 2021 §4.1 "ExactSubstr" (the detection half is
+    stages/textstats.window_occ_partials → q_doc_dupspans): every
+    ``w``-token window occurring >= 2 times corpus-wide keeps exactly its
+    FIRST occurrence (min doc_id, then min token position); every other
+    occurrence masks its ``w`` token positions; each doc is rebuilt from
+    its unmasked tokens (overlapping duplicated windows union their masks,
+    so a repeated run longer than ``w`` is removed wholly — the reference
+    paper's suffix-array semantics re-expressed over windows).
+
+    Scale shape (100 TB): one (16 B md5 key, doc_id, pos) row per token
+    POSITION crosses a hash(win)%num_buckets exchange — heavier than the
+    detection pass (which moves per-doc DISTINCT windows) but still never
+    window text; first-occurrence election is a vectorized
+    ``duplicated(keep='first')`` per bucket; dropped occurrences
+    (duplicate mass only) land in the doc-sharded
+    :func:`_lazy_droplist_shard` pool and the corpus then STREAMS through
+    a stateless rebuild — document text is never shuffled. (Lee et al.
+    build distributed suffix arrays; the windowed exchange trades their
+    construction machinery for one bounded shuffle.)
+
+    Returns a Dataset of (doc_id, n_tokens, kept_tokens, clean_text).
+    """
+    import hashlib
+
+    import ray
+
+    def occ_rows(batch: pa.Table) -> pa.Table:
+        ids, poss, keys = [], [], []
+        for did, text in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            toks = (text or "").split()
+            for p in range(len(toks) - w + 1):
+                ids.append(did)
+                poss.append(p)
+                keys.append(hashlib.md5(" ".join(toks[p : p + w]).encode("utf-8")).hexdigest())
+        t = pa.table(
+            {
+                "win_key": pa.array(keys, pa.string()),
+                id_col: pa.array(ids, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+        return t.append_column("__kb", pa.array(_coarse_u64(keys, num_buckets)))
+
+    def elect_dropped(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["win_key", id_col, "pos"], kind="mergesort")
+        dropped = g[g.duplicated("win_key", keep="first")]
+        return dropped[[id_col, "pos"]]
+
+    dropped = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(occ_rows, batch_format="pyarrow", batch_size=2048)
+        .groupby("__kb")
+        .map_groups(elect_dropped, batch_format="pandas")
+    )
+
+    DropListShard = _lazy_droplist_shard()
+    shards = [DropListShard.remote() for _ in range(num_shards)]
+
+    def push(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        poss = np.asarray(batch.column("pos").to_pylist(), dtype=np.int64)
+        sid = _coarse_u64(ids, num_shards)
+        futs = [shards[int(s)].add.remote(ids[sid == s], poss[sid == s]) for s in np.unique(sid)]
+        ray.get(futs)  # delivery barrier — rows are shard-resident before the task ends
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    dropped.map_batches(push, batch_format="pyarrow").sum("n")
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n = len(ids)
+        drop_lists: list = [None] * n
+        if n:
+            arr = np.asarray(ids, dtype=np.int64)
+            sid = _coarse_u64(arr, num_shards)
+            futs, idx_groups = [], []
+            for s in np.unique(sid):
+                sel = np.nonzero(sid == s)[0]
+                futs.append(shards[int(s)].get.remote(arr[sel]))
+                idx_groups.append(sel)
+            for fut, sel in zip(ray.get(futs), idx_groups):
+                for pos, lst in zip(sel, fut):
+                    drop_lists[pos] = lst
+        n_toks, kept, clean = [], [], []
+        for text, drops in zip(texts, drop_lists):
+            toks = (text or "").split()
+            if drops:
+                mask = np.zeros(len(toks), dtype=bool)
+                for p in drops:
+                    mask[p : p + w] = True
+                keep_toks = [t for t, m in zip(toks, mask) if not m]
+            else:
+                keep_toks = toks
+            n_toks.append(len(toks))
+            kept.append(len(keep_toks))
+            clean.append(" ".join(keep_toks))
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_tokens": pa.array(n_toks, pa.int64()),
+                "kept_tokens": pa.array(kept, pa.int64()),
+                "clean_text": pa.array(clean, pa.string()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        rebuild, batch_format="pyarrow", batch_size=2048
+    )
+
+
 # ---------------------------------------------------------------------------
 # Incremental near-dup admission against a persisted band index
 # ---------------------------------------------------------------------------

@@ -80,12 +80,38 @@ class ImageDecodeStage:
 class ImageFeatureStage:
     """image payload → unit-norm feature vector (list<float32>[dim]).
 
-    Real path: a vision model loaded once per actor. Fake path: seeded
-    projection of the payload digest — deterministic, unit-norm, so ANN /
-    near-dup stages downstream run realistically."""
+    ``real_decode=True`` (the image-corpus path, VERDICT r4 #7): decodable
+    payloads get REAL DCT low-frequency coefficients
+    (functions/percephash.dct_features) — near-duplicate images land at
+    high cosine, so downstream kNN / SemDeDup over image features is
+    semantically real, matching the real perceptual-hash plane.
 
-    def __init__(self, dim: int = 32):
+    ``real_decode=False`` (default — the archive media sidecar, whose
+    payloads are known-fake stand-in blobs): seeded projection of the
+    payload digest, deterministic and unit-norm, pinned so a fake blob
+    that happens to match an image magic can never silently switch
+    semantics (the same gating rule as pdq_hash_enrich's ``decode=``).
+    Undecodable payloads under ``real_decode=True`` fall back to the same
+    projection (counted in ``self.fake``, never silent)."""
+
+    def __init__(self, dim: int = 32, real_decode: bool = False):
         self.dim = dim
+        self.real_decode = real_decode
+        self.real = 0
+        self.fake = 0
+        if real_decode:
+            from ..functions import percephash
+
+            self._dct_features = percephash.dct_features
+        else:
+            self._dct_features = None
+
+    def _fallback(self, p: bytes) -> list[float]:
+        seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
+        rng = np.random.Generator(np.random.PCG64(seed))
+        v = rng.standard_normal(self.dim).astype(np.float32)
+        v /= np.linalg.norm(v) or 1.0
+        return v.tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column("payload").to_pylist()
@@ -94,11 +120,14 @@ class ImageFeatureStage:
             if p is None:
                 feats.append([0.0] * self.dim)
                 continue
-            seed = int.from_bytes(hashlib.sha256(p).digest()[:8], "little")
-            rng = np.random.Generator(np.random.PCG64(seed))
-            v = rng.standard_normal(self.dim).astype(np.float32)
-            v /= np.linalg.norm(v) or 1.0
-            feats.append(v.tolist())
+            if self._dct_features is not None:
+                f = self._dct_features(p, self.dim)
+                if f is not None:
+                    self.real += 1
+                    feats.append(f.tolist())
+                    continue
+            self.fake += 1
+            feats.append(self._fallback(p))
         return batch.append_column("feature", pa.array(feats, pa.list_(pa.float32())))
 
 

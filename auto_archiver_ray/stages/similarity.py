@@ -89,7 +89,7 @@ def knn_brute_force(
         ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
         for rank, (s, negid) in enumerate(ranked, 1):
             rows.append((qi, -negid, float(s), rank))
-    return pd.DataFrame(rows, columns=["query_id", "vec_id", "cosine", "rank"])
+    return pd.DataFrame(rows, columns=["query_id", id_col, "cosine", "rank"])
 
 
 def train_ivf_centroids(ds, nlist: int = 16, vec_col: str = "embedding", sample_rows: int = 4096, seed: int = 7, iters: int = 10) -> np.ndarray:

@@ -555,3 +555,101 @@ def pdq_pairs_serial(images: pd.DataFrame, max_hamming: int = 15) -> pd.DataFram
     return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming"]).astype(
         {"id_a": "int64", "id_b": "int64", "hamming": "int64"}
     )
+
+def _dct_features_serial(payload: bytes, dim: int = 32) -> np.ndarray:
+    """Independent replay of the real image-feature path: own PGM decode,
+    own DCT, own zigzag — unit-norm float32 of the `dim` lowest-frequency
+    AC coefficients (DC excluded)."""
+    g = _pgm_gray(payload)
+    n = 64
+    h, w = g.shape
+    assert h % n == 0 and w % n == 0
+    g = g.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    k = np.arange(n)[:, None]
+    x = np.arange(n)[None, :]
+    dct = np.cos(np.pi * (2 * x + 1) * k / (2 * n))
+    d = dct @ g @ dct.T
+    coords = []
+    for s in range(1, 2 * n - 1):
+        for u in range(max(0, s - n + 1), min(s, n - 1) + 1):
+            coords.append((u, s - u))
+            if len(coords) == dim:
+                break
+        if len(coords) == dim:
+            break
+    v = np.asarray([d[u, w_] for u, w_ in coords], dtype=np.float32)
+    nv = float(np.linalg.norm(v))
+    return v / (nv or 1.0)
+
+
+def image_knn_serial(
+    images: pd.DataFrame, dim: int = 32, k: int = 8, query_ids=(0, 16, 32)
+) -> pd.DataFrame:
+    """Exact float64 cosine top-k over the real DCT image features; query
+    vectors are the listed base images' own features. Ranks break cosine
+    ties by ascending media_id. Output (query_id, media_id, rank) — cosine
+    dropped for the same float-summation-order reason as q_knn."""
+    ids = images["media_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    feats = np.stack(
+        [_dct_features_serial(p, dim) for p in images["payload"].to_numpy()[order]]
+    ).astype(np.float64)
+    by_id = {int(i): feats[n] for n, i in enumerate(ids)}
+    rows = []
+    for qi, qid in enumerate(query_ids):
+        sims = feats @ by_id[int(qid)]
+        top = sorted(range(len(ids)), key=lambda j: (-sims[j], ids[j]))[:k]
+        rows.extend((qi, int(ids[j]), r + 1) for r, j in enumerate(top))
+    return pd.DataFrame(rows, columns=["query_id", "media_id", "rank"]).astype(
+        {"query_id": "int64", "media_id": "int64", "rank": "int64"}
+    )
+
+def archive_media_clusters_serial(
+    sidecar: pd.DataFrame, images: pd.DataFrame, max_hamming: int = 15
+) -> pd.DataFrame:
+    """Perceptual clusters among the archive flagship's DISTINCT media
+    payloads, fully re-derived from generator intent: distinct
+    media_url_hash (from the planted-media sidecar) → int60 id (first 15
+    hex chars) → deterministic corpus image (int(h[:8],16) % n over the
+    media_id-sorted corpus — the engine's stand-in "fetch") → own PGM
+    decode + DCT code → brute-force all-pairs Hamming <= max_hamming →
+    transitive closure → (cluster_label = min member id, size) for every
+    cluster of size >= 2."""
+    ex = media_exploded_serial(sidecar)
+    hashes = sorted(set(ex["media_url_hash"]))
+    imgs = images.sort_values("media_id", kind="mergesort")["payload"].tolist()
+    ids = np.asarray([int(h[:15], 16) for h in hashes], dtype=np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    hs = [hashes[i] for i in order]
+    bits = np.stack([pdq256_serial(imgs[int(h[:8], 16) % len(imgs)]) for h in hs])
+
+    parent = list(range(len(ids)))
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for i in range(len(ids)):
+        d = (bits[i + 1 :] != bits[i]).sum(axis=1)
+        for j in np.nonzero(d <= max_hamming)[0]:
+            ra, rb = find(i), find(int(i + 1 + j))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    comp: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        comp.setdefault(find(i), []).append(i)
+    rows = [
+        (int(ids[m].min()), len(m))
+        for m in (np.asarray(v) for v in comp.values())
+        if len(m) >= 2
+    ]
+    return (
+        pd.DataFrame(rows, columns=["cluster_label", "size"])
+        .astype({"cluster_label": "int64", "size": "int64"})
+        .sort_values("cluster_label")
+        .reset_index(drop=True)
+    )

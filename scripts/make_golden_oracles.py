@@ -84,6 +84,10 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.pdq_pairs_serial(images, max_hamming=15).to_parquet(
         f"{out_dir}/q_image_neardup.parquet", index=False
     )
+    gs.image_knn_serial(images).to_parquet(f"{out_dir}/q_image_knn.parquet", index=False)
+    gs.archive_media_clusters_serial(sidecar, images).to_parquet(
+        f"{out_dir}/q_archive_media_dedup.parquet", index=False
+    )
     print(f"serial goldens written to {out_dir}")
 
 
