@@ -3869,66 +3869,29 @@ def q_embed_semdedup(sf_dir: str):
 # TPC-H-style warm-ups (stable since round 1) are demoted to the tail with a
 # few representatives kept high (VERDICT r3 "Next round" #1).
 QUERIES = {
-    # --- round-3 tail that escaped the driver window (judge-verified only) ---
-    "q_webtext_corpus": q_webtext_corpus,
-    "q_pages_extract_text": q_pages_extract_text,
-    "q_doc_minhash_pairs": q_doc_minhash_pairs,
-    "q_doc_simhash_pairs": q_doc_simhash_pairs,
-    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
-    "q_doc_clusters": q_doc_clusters,
-    "q_doc_neardup_dedup": q_doc_neardup_dedup,
-    "q_doc_segment_dedup": q_doc_segment_dedup,
-    "q_knn": q_knn,
-    "q_knn_ivf": q_knn_ivf,
-    "q_embed_neardup": q_embed_neardup,
-    "q_doc_pii": q_doc_pii,
-    "q_doc_chunks": q_doc_chunks,
-    "q_crawl_discover": q_crawl_discover,
-    "q_crawl_incremental": q_crawl_incremental,
-    "q_pages_host_quality": q_pages_host_quality,
-    "q_pages_urlfilter": q_pages_urlfilter,
-    "q_pages_hosts": q_pages_hosts,
-    "q_pages_dedup": q_pages_dedup,
-    "q_pages_trackers": q_pages_trackers,
-    "q_pages_deletion": q_pages_deletion,
-    "q_pages_media_plan": q_pages_media_plan,
-    "q_archive_stats": q_archive_stats,
-    "q_crawl_plan": q_crawl_plan,
-    # --- round-4 additions are registered here, inside the window ---
-    "q_archive_summary": q_archive_summary,
-    "q_crawl_bfs": q_crawl_bfs,
-    "q_webtext_corpus_v2": q_webtext_corpus_v2,
-    "q_webtext_gate_drops": q_webtext_gate_drops,
-    "q_timestamping_verified": q_timestamping_verified,
-    "q_webtext_from_crawl": q_webtext_from_crawl,
-    "q_image_neardup": q_image_neardup,
-    "q_pages_ghostarchive": q_pages_ghostarchive,
-    "q_pages_ssl": q_pages_ssl,
-    "q_image_dedup": q_image_dedup,
+    # --- driver window (first 50): round-5 new/touched pins, then the
+    # r3-stale tail rotated in (VERDICT r4 'Next round' #2) ---
+    "q_doc_substring_dedup": q_doc_substring_dedup,
     "q_image_knn": q_image_knn,
     "q_archive_media_dedup": q_archive_media_dedup,
-    # --- high-value round-3 queries (driver-verified r3; keep in window) ---
-    "q_embed_semdedup": q_embed_semdedup,
-    "q_pages_hostrank": q_pages_hostrank,
-    "q_crawl_authority": q_crawl_authority,
-    "q_doc_incremental_neardup": q_doc_incremental_neardup,
-    "q_doc_token_shards": q_doc_token_shards,
-    "q_doc_classifier": q_doc_classifier,
-    "q_doc_dsir": q_doc_dsir,
-    "q_doc_decontaminate": q_doc_decontaminate,
-    "q_doc_repetition": q_doc_repetition,
-    "q_doc_rank_perplexity": q_doc_rank_perplexity,
-    "q_doc_splits": q_doc_splits,
-    "q_doc_exact_dedup": q_doc_exact_dedup,
-    "q_timestamping": q_timestamping,
+    "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
-    "q_wacz_media": q_wacz_media,
-    "q_pages_wayback": q_pages_wayback,
+    "q_crawl_plan": q_crawl_plan,
+    "q_crawl_incremental": q_crawl_incremental,
+    "q_webtext_from_crawl": q_webtext_from_crawl,
+    "q_webtext_corpus_v2": q_webtext_corpus_v2,
+    "q_webtext_gate_drops": q_webtext_gate_drops,
+    "q_webtext_corpus": q_webtext_corpus,
+    "q_pages_ssl": q_pages_ssl,
+    "q_image_neardup": q_image_neardup,
+    "q_image_dedup": q_image_dedup,
+    "q_archive_stats": q_archive_stats,
+    "q_pages_extract_text": q_pages_extract_text,
+    # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
     "q_media_store": q_media_store,
     "q_media_store_tree": q_media_store_tree,
     "q_media_features": q_media_features,
     "q_pages_sample": q_pages_sample,
-    # --- stable since round 2-3, demoted to make window room (judge-checked) ---
     "q_doc_quality": q_doc_quality,
     "q_doc_langid": q_doc_langid,
     "q_doc_source_mix": q_doc_source_mix,
@@ -3939,14 +3902,11 @@ QUERIES = {
     "q_doc_boilerplate": q_doc_boilerplate,
     "q_doc_top_terms": q_doc_top_terms,
     "q_doc_dupspans": q_doc_dupspans,
-    "q_doc_substring_dedup": q_doc_substring_dedup,
-    # --- warm-up representatives (anti-join, topk, window, HLL, agg) ---
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_top_orders_per_customer": q_top_orders_per_customer,
     "q_events_sliding": q_events_sliding,
     "q_events_distinct_users_approx": q_events_distinct_users_approx,
     "q_lineitem_pricing": q_lineitem_pricing,
-    # --- TPC-H-style warm-ups, stable since round 1 (tail) ---
     "q_top_customers": q_top_customers,
     "q_supplier_nation": q_supplier_nation,
     "q_orders_priority": q_orders_priority,
@@ -3962,6 +3922,44 @@ QUERIES = {
     "q_orders_lineitem_join": q_orders_lineitem_join,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
+    # --- beyond the driver's 50-query window: r4-driver-green entries ---
+    "q_doc_minhash_pairs": q_doc_minhash_pairs,
+    "q_doc_simhash_pairs": q_doc_simhash_pairs,
+    "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
+    "q_doc_clusters": q_doc_clusters,
+    "q_doc_neardup_dedup": q_doc_neardup_dedup,
+    "q_doc_segment_dedup": q_doc_segment_dedup,
+    "q_knn": q_knn,
+    "q_knn_ivf": q_knn_ivf,
+    "q_embed_neardup": q_embed_neardup,
+    "q_doc_pii": q_doc_pii,
+    "q_doc_chunks": q_doc_chunks,
+    "q_crawl_discover": q_crawl_discover,
+    "q_pages_host_quality": q_pages_host_quality,
+    "q_pages_urlfilter": q_pages_urlfilter,
+    "q_pages_hosts": q_pages_hosts,
+    "q_pages_dedup": q_pages_dedup,
+    "q_pages_trackers": q_pages_trackers,
+    "q_pages_deletion": q_pages_deletion,
+    "q_pages_media_plan": q_pages_media_plan,
+    "q_archive_summary": q_archive_summary,
+    "q_timestamping_verified": q_timestamping_verified,
+    "q_pages_ghostarchive": q_pages_ghostarchive,
+    "q_embed_semdedup": q_embed_semdedup,
+    "q_pages_hostrank": q_pages_hostrank,
+    "q_crawl_authority": q_crawl_authority,
+    "q_doc_incremental_neardup": q_doc_incremental_neardup,
+    "q_doc_token_shards": q_doc_token_shards,
+    "q_doc_classifier": q_doc_classifier,
+    "q_doc_dsir": q_doc_dsir,
+    "q_doc_decontaminate": q_doc_decontaminate,
+    "q_doc_repetition": q_doc_repetition,
+    "q_doc_rank_perplexity": q_doc_rank_perplexity,
+    "q_doc_splits": q_doc_splits,
+    "q_doc_exact_dedup": q_doc_exact_dedup,
+    "q_timestamping": q_timestamping,
+    "q_wacz_media": q_wacz_media,
+    "q_pages_wayback": q_pages_wayback,
 }
 
 

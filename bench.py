@@ -244,8 +244,68 @@ def run_scaling() -> None:
     )
 
 
+def run_scaling_hunt() -> None:
+    """Opportunistic clean-window scaling capture (VERDICT r4 "Next round"
+    #3): probe the hypervisor FIRST and only spend a measurement pair when
+    the box is near-idle at BOTH levels' ceilings; append every attempt
+    (skipped probes included) to the attempts log so the final record
+    shows the selection was by machine state, not by outcome. Invoke
+    repeatedly across a session; the pair set whose per-level ceilings are
+    closest to idle is the representative record."""
+    attempts_path = os.environ.get("GRAFT_HUNT_LOG", "/tmp/aar_scaling_hunt.jsonl")
+    min_noise = float(os.environ.get("GRAFT_HUNT_MIN_NOISE", "0.88"))
+    stamp = time.time()
+
+    probe = burn_probe(16)
+    rec: dict = {"t": round(stamp, 1), "probe16": probe}
+    if (probe.get("noise_factor") or 0.0) < min_noise:
+        rec["action"] = "skip"
+        with open(attempts_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+        print(json.dumps({"metric": "scaling_hunt", "action": "skip", **probe}))
+        return
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from auto_archiver_ray.sources.pages import ensure_pages
+
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "bench2x")
+    ensure_pages(scaling_pages)
+    lo, hi = 4, 16
+
+    def one(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_BENCH_PAGES=scaling_pages,
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    pair = {
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "urls_per_sec_lo": r_lo["urls_per_sec"], "urls_per_sec_hi": r_hi["urls_per_sec"],
+        "eff": round((r_hi["urls_per_sec"] / r_lo["urls_per_sec"]) / (hi / lo), 3),
+        "burn_ceiling_lo": r_lo.get("burn_ceiling"),
+        "burn_ceiling_hi": r_hi.get("burn_ceiling"),
+        "noise_factor_lo": r_lo.get("noise_factor"),
+        "noise_factor_hi": r_hi.get("noise_factor"),
+    }
+    rec["action"] = "pair"
+    rec["pair"] = pair
+    with open(attempts_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps({"metric": "scaling_hunt", "action": "pair", "cpus_lo": lo, "cpus_hi": hi, **pair}))
+
+
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-hunt" in sys.argv:
+        run_scaling_hunt()
+    elif "--scaling" in sys.argv:
         run_scaling()
     else:
         print(json.dumps(run_bench(skip_queries=bool(os.environ.get("GRAFT_SKIP_QUERIES")))))
