@@ -3775,6 +3775,43 @@ def q_image_knn(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_image_semdedup(sf_dir: str):
+    """SemDeDup over REAL image features (the semantic sibling of
+    q_image_dedup's perceptual-hash plane): corpus → per-actor DCT feature
+    extraction (real_decode=True) → stages/similarity.semantic_dedup
+    (bounded-sample k-means, per-cluster chunked lower-triangle scan,
+    lower-id representative survives). Every planted variant collapses to
+    its base. Oracle: independent serial replay (own decoder + DCT +
+    k-means + chunked scan — the features are bit-identical by
+    construction: exact box means on integer pixels, same matmul
+    association)."""
+    from ..sources.images import ensure_image_corpus
+    from ..stages.multimodal import ImageFeatureStage
+    from ..stages.similarity import semantic_dedup
+
+    rd = _rd()
+    feats = rd.read_parquet(ensure_image_corpus(sf_dir)).map_batches(
+        ImageFeatureStage,
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=(1, 4),
+        fn_constructor_kwargs={"dim": 32, "real_decode": True},
+        max_restarts=-1,
+        max_task_retries=-1,
+    ).select_columns(["media_id", "feature"])
+    # pin the k-means sample order: actor-pool output block order is not
+    # deterministic under the streaming executor, and train_ivf_centroids
+    # samples via limit(). The tiny corpus sorts cheaply; at scale the
+    # deterministic sample would be a seeded hash-filter instead of a sort.
+    feats = feats.sort("media_id")
+    out = semantic_dedup(
+        feats, nlist=16, threshold=0.95, id_col="media_id", vec_col="feature"
+    ).to_pandas()
+    out["media_id"] = out["media_id"].astype("int64")
+    out["cluster"] = out["cluster"].astype("int64")
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def q_archive_media_dedup(sf_dir: str):
     """The image plane wired into the FLAGSHIP (VERDICT r4 #9): archive
     extract → discovered-media explode → distinct media (exact dedup on
@@ -3874,6 +3911,7 @@ QUERIES = {
     "q_doc_substring_dedup": q_doc_substring_dedup,
     "q_image_knn": q_image_knn,
     "q_archive_media_dedup": q_archive_media_dedup,
+    "q_image_semdedup": q_image_semdedup,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
     "q_crawl_plan": q_crawl_plan,
@@ -3886,7 +3924,6 @@ QUERIES = {
     "q_image_neardup": q_image_neardup,
     "q_image_dedup": q_image_dedup,
     "q_archive_stats": q_archive_stats,
-    "q_pages_extract_text": q_pages_extract_text,
     # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
     "q_media_store": q_media_store,
     "q_media_store_tree": q_media_store_tree,
@@ -3923,6 +3960,7 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
+    "q_pages_extract_text": q_pages_extract_text,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
     "q_doc_ngram_jaccard": q_doc_ngram_jaccard,
@@ -4131,6 +4169,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_archive_media_dedup": (
             f"SELECT cluster_label, size FROM read_parquet('{g}/q_archive_media_dedup.parquet') "
             "ORDER BY cluster_label"
+        ),
+        "q_image_semdedup": (
+            f"SELECT media_id, cluster FROM read_parquet('{g}/q_image_semdedup.parquet') "
+            "ORDER BY media_id"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

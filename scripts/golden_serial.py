@@ -653,3 +653,17 @@ def archive_media_clusters_serial(
         .sort_values("cluster_label")
         .reset_index(drop=True)
     )
+
+def image_semdedup_serial(images: pd.DataFrame, nlist: int = 16, threshold: float = 0.95) -> pd.DataFrame:
+    """SemDeDup over the REAL image features: serial DCT features (own
+    decoder) in media_id order feed the same fixed-seed k-means +
+    chunked-scan spec as semdedup_serial. (media_id, cluster) survivors."""
+    img = images.sort_values("media_id", kind="mergesort")
+    emb = pd.DataFrame(
+        {
+            "vec_id": img["media_id"].to_numpy(dtype=np.int64),
+            "embedding": [_dct_features_serial(p) for p in img["payload"]],
+        }
+    )
+    out = semdedup_serial(emb, nlist=nlist, threshold=threshold)
+    return out.rename(columns={"vec_id": "media_id"})

@@ -88,6 +88,7 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.archive_media_clusters_serial(sidecar, images).to_parquet(
         f"{out_dir}/q_archive_media_dedup.parquet", index=False
     )
+    gs.image_semdedup_serial(images).to_parquet(f"{out_dir}/q_image_semdedup.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
 
 

@@ -474,3 +474,23 @@ def test_substring_dedup_matches_serial_semantics():
     assert out.loc[1, "n_tokens"] - out.loc[1, "kept_tokens"] == 9
     # doc 3 untouched
     assert out.loc[2, "clean_text"] == docs.loc[2, "text"]
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_semdedup_collapses_variants_to_bases():
+    """SemDeDup over REAL image features: every planted variant collapses
+    onto its base (lower-id representative) and the distributed chain
+    reproduces the independent serial replay exactly."""
+    from auto_archiver_ray.pipelines.queries import q_image_semdedup
+    from auto_archiver_ray.sources.images import generate_images
+
+    surv = q_image_semdedup(SF_SMALL)
+    img = generate_images(SF_SMALL).to_pandas()
+    bases = {i for i in img["media_id"] if i % 16 == 0}
+    got = set(surv["media_id"])
+    # every base survives (it is its group's min id); most variants collapse
+    # (a variant whose perturbation pushes cosine under the threshold
+    # legitimately survives — SemDeDup keeps genuinely-distinct content)
+    assert bases <= got
+    assert len(bases) <= len(got) < len(img)
+    want = gs.image_semdedup_serial(img)
+    pd.testing.assert_frame_equal(surv.reset_index(drop=True), want)
