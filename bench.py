@@ -144,6 +144,8 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_classifier",
             "q_embed_semdedup",
             "q_pages_hostrank",
+            "q_doc_substring_dedup",
+            "q_image_semdedup",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
