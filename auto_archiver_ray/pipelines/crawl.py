@@ -223,7 +223,12 @@ def _make_claim_filter(num_shards: int = 8):
     return claim_stage, shards
 
 
-def _stage_validated_source(source_factory, batch_size: int = 256, max_rows_per_file: int = 65536):
+def _stage_validated_source(
+    source_factory,
+    batch_size: int = 256,
+    max_rows_per_file: int = 65536,
+    stage_root: str | None = None,
+):
     """Stage the validated pages source ONCE into a parquet dir (VERDICT r4
     #1 — kills the O(epochs × corpus) per-epoch source re-scan the dynamic
     crawl loops had). Returns ``(stage_dir, files)``; files are bounded to
@@ -233,11 +238,17 @@ def _stage_validated_source(source_factory, batch_size: int = 256, max_rows_per_
     :func:`_build_file_manifest`). In a real deployment the "source scan"
     is the network fetch itself, keyed by URL; under this engine's
     scan-based source contract the staged copy is the equivalent random
-    access."""
+    access.
+
+    ``stage_root`` (or ``$AAR_STAGE_ROOT``): on a multi-node cluster this
+    MUST be shared storage (NFS / object store URI) — every worker reads
+    epoch files and the driver lists them; the tempfile default is
+    single-node only."""
     import glob as _glob
     import tempfile
 
-    stage_dir = tempfile.mkdtemp(prefix="aar_crawl_stage_")
+    root = stage_root or os.environ.get("AAR_STAGE_ROOT")
+    stage_dir = tempfile.mkdtemp(prefix="aar_crawl_stage_", dir=root)
     ds = source_factory()
     ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
@@ -536,6 +547,7 @@ def crawl_bfs(
     robots_rules: dict[str, list[str]] | None = None,
     plan_batch_size: int = 4096,
     stage_max_rows_per_file: int = 65536,
+    stage_root: str | None = None,
 ):
     """The FULL BFS crawl loop — discovery feedback closed over the
     shard-resident frontier (the reference's media/link discovery feeding
@@ -604,7 +616,8 @@ def crawl_bfs(
     # epoch below reads only its members' files, not the corpus (the last
     # O(epochs × corpus) term in the crawl plane, VERDICT r4 #1)
     stage_dir, staged_files = _stage_validated_source(
-        pages_source_factory, batch_size=batch_size, max_rows_per_file=stage_max_rows_per_file
+        pages_source_factory, batch_size=batch_size,
+        max_rows_per_file=stage_max_rows_per_file, stage_root=stage_root,
     )
     manifest_shards = _build_file_manifest(staged_files, snapshot_keys=False)
     writer.epoch_reads = []  # per-epoch read accounting (tests + bench)
@@ -737,6 +750,7 @@ def crawl_streaming(
     plan_batch_size: int = 8192,
     dedup_fetch: bool = True,
     stage_max_rows_per_file: int = 65536,
+    stage_root: str | None = None,
 ):
     """North-rule crawl driven by the SHARD-RESIDENT frontier (v3): seed
     keys are OFFERED into the shards — seen-filter admission + per-host
@@ -781,7 +795,8 @@ def crawl_streaming(
     # reads only its members' staged files via the sharded key→file
     # manifest (VERDICT r4 #1: no per-epoch corpus re-scan)
     stage_dir, staged_files = _stage_validated_source(
-        source_factory, batch_size=batch_size, max_rows_per_file=stage_max_rows_per_file
+        source_factory, batch_size=batch_size,
+        max_rows_per_file=stage_max_rows_per_file, stage_root=stage_root,
     )
     _trace("stage")
     manifest_shards = _build_file_manifest(staged_files, snapshot_keys=True)
