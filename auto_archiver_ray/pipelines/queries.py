@@ -3775,6 +3775,25 @@ def q_image_knn(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def q_embed_kcenter(sf_dir: str):
+    """Greedy k-center coreset selection over the embeddings table
+    (farthest-point sampling — the diversity data-pruning rule of Sener &
+    Savarese 2018): 16 selected points in selection order, seed = min
+    vec_id, cosine-distance argmax with min-id tie-break. Distributed
+    shape: per-point nearest-center distances live in a sharded actor
+    pool; each round broadcasts ONE center and streams the corpus once
+    (stages/similarity.kcenter_select). Oracle: serial replay of the same
+    arithmetic spec (scripts/golden_serial.kcenter_serial)."""
+    from ..stages.similarity import kcenter_select
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = kcenter_select(ds, k=16)
+    out["order"] = out["order"].astype("int64")
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("order").reset_index(drop=True)
+
+
 def q_image_semdedup(sf_dir: str):
     """SemDeDup over REAL image features (the semantic sibling of
     q_image_dedup's perceptual-hash plane): corpus → per-actor DCT feature
@@ -3912,9 +3931,9 @@ QUERIES = {
     "q_image_knn": q_image_knn,
     "q_archive_media_dedup": q_archive_media_dedup,
     "q_image_semdedup": q_image_semdedup,
+    "q_embed_kcenter": q_embed_kcenter,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
-    "q_crawl_plan": q_crawl_plan,
     "q_crawl_incremental": q_crawl_incremental,
     "q_webtext_from_crawl": q_webtext_from_crawl,
     "q_webtext_corpus_v2": q_webtext_corpus_v2,
@@ -3960,6 +3979,7 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
+    "q_crawl_plan": q_crawl_plan,
     "q_pages_extract_text": q_pages_extract_text,
     "q_doc_minhash_pairs": q_doc_minhash_pairs,
     "q_doc_simhash_pairs": q_doc_simhash_pairs,
@@ -4173,6 +4193,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_image_semdedup": (
             f"SELECT media_id, cluster FROM read_parquet('{g}/q_image_semdedup.parquet') "
             "ORDER BY media_id"
+        ),
+        "q_embed_kcenter": (
+            f"SELECT \"order\", vec_id FROM read_parquet('{g}/q_embed_kcenter.parquet') "
+            'ORDER BY "order"'
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

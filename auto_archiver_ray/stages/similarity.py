@@ -230,3 +230,128 @@ def cluster_survivors(
                 dropped[r] = True
     keep = g.loc[~dropped, [id_col, "cluster"]]
     return keep
+
+
+def _lazy_mindist_shard():
+    import ray
+
+    # num_cpus=0: a memory service (same rationale as join.KeySetShard)
+    @ray.remote(num_cpus=0)
+    class MinDistShard:
+        """One partition of the per-point nearest-selected-center distance
+        for greedy k-center selection: 12 B/point spread across the pool,
+        never driver-resident. Each round the corpus streams once through
+        an update pass; the shard folds the new center's distances into
+        its running minimum and tracks a shard-local farthest candidate
+        (ties broken by MIN id — deterministic)."""
+
+        def __init__(self):
+            self._d: dict[int, float] = {}
+
+        def update(self, ids, dists) -> int:
+            d = self._d
+            for i, x in zip(ids.tolist(), dists.tolist()):
+                cur = d.get(i)
+                if cur is None or x < cur:
+                    d[i] = x
+            return len(d)
+
+        def seal_round(self):
+            """Shard-local farthest point under the CURRENT minima."""
+            if not self._d:
+                return (-1.0, -1)
+            best_dist = max(self._d.values())
+            best_id = min(i for i, x in self._d.items() if x == best_dist)
+            return (best_dist, best_id)
+
+        def remove(self, i: int) -> None:
+            self._d.pop(int(i), None)
+
+    return MinDistShard
+
+
+def kcenter_select(
+    ds,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int = 8,
+):
+    """Greedy k-center coreset selection (farthest-point sampling, Gonzalez
+    1985 — the selection rule of Sener & Savarese 2018 "Active Learning
+    for CNNs: A Core-Set Approach", the standard diversity-pruning op for
+    training data): start from the MINIMUM id, then repeatedly add the
+    point whose cosine distance to its nearest already-selected center is
+    largest (ties → min id). Returns a DataFrame ``(order, vec_id)`` of
+    the k selected points in selection order.
+
+    Scale shape: per-point nearest-center distances live in a sharded
+    actor pool (12 B/point — never on the driver); every round broadcasts
+    exactly ONE new center vector (``ray.put``) and streams the corpus
+    once through a task-pool update pass, then reads back one
+    (dist, id) candidate per shard. k rounds = k corpus passes over a
+    materialized slim (id, unit-vector) projection — the O(kN) cost is
+    the algorithm's own; nothing quadratic, nothing driver-resident."""
+    import ray
+
+    MinDistShard = _lazy_mindist_shard()
+    shards = [MinDistShard.remote() for _ in range(num_shards)]
+    n_sh = np.uint64(num_shards)
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        unit = _normalize(_as_matrix(batch.column(vec_col).to_pylist()))
+        return pa.table(
+            {id_col: pa.array(ids), "unit": pa.array(list(unit), pa.list_(pa.float32()))}
+        )
+
+    slim = ds.map_batches(unit_rows, batch_format="pyarrow", batch_size=8192).materialize()
+
+    first = slim.min(id_col)
+    selected = [int(first)]
+
+    center_ref = {"ref": None}
+
+    def update_pass(batch: pa.Table) -> pa.Table:
+        c = ray.get(center_ref["ref"])
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if not ids.size:
+            return pa.table({"n": pa.array([0], pa.int64())})
+        unit = np.asarray(batch.column("unit").to_pylist(), dtype=np.float32)
+        dist = (1.0 - unit @ c).astype(np.float64)
+        sid = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) % n_sh).astype(np.int64)
+        futs = [
+            shards[int(s)].update.remote(ids[sid == s], dist[sid == s]) for s in np.unique(sid)
+        ]
+        ray.get(futs)  # delivery barrier
+        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+
+    def center_vec(vid: int) -> np.ndarray:
+        def pick(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch[id_col], pa.scalar(vid, pa.int64())))
+
+        row = slim.map_batches(pick, batch_format="pyarrow", batch_size=8192).take(1)[0]
+        return np.asarray(row["unit"], dtype=np.float32)
+
+    while len(selected) < k:
+        new_id = selected[-1]
+        center_ref["ref"] = ray.put(center_vec(new_id))
+        for s in shards:
+            s.remove.remote(new_id)
+        slim.map_batches(update_pass, batch_format="pyarrow", batch_size=8192).sum("n")
+        cands = ray.get([s.seal_round.remote() for s in shards])
+        best_dist = max(c[0] for c in cands)
+        if best_dist < 0:
+            break  # corpus exhausted before k
+        best_id = min(c[1] for c in cands if c[0] == best_dist)
+        if int(best_id) in selected:
+            break  # only exact duplicates of selected points remain
+        selected.append(int(best_id))
+
+    for s in shards:
+        ray.kill(s)
+    return pd.DataFrame(
+        {"order": np.arange(len(selected), dtype=np.int64), id_col: np.asarray(selected, dtype=np.int64)}
+    )

@@ -667,3 +667,29 @@ def image_semdedup_serial(images: pd.DataFrame, nlist: int = 16, threshold: floa
     )
     out = semdedup_serial(emb, nlist=nlist, threshold=threshold)
     return out.rename(columns={"vec_id": "media_id"})
+
+def kcenter_serial(emb: pd.DataFrame, k: int = 16) -> pd.DataFrame:
+    """Greedy k-center (farthest-point) selection replay: float32 unit
+    vectors, float32 matmul distances (the engine's exact arithmetic),
+    incremental per-point min over selected centers, argmax with
+    min-id tie-break, seed = min vec_id. (order, vec_id)."""
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))[order]
+    sel = [int(ids[0])]
+    pos = {int(i): n for n, i in enumerate(ids)}
+    mind = np.full(len(ids), np.inf)
+    while len(sel) < k:
+        c = unit[pos[sel[-1]]]
+        d = (1.0 - unit @ c).astype(np.float64)
+        mind = np.minimum(mind, d)
+        mind[[pos[s] for s in sel]] = -np.inf  # selected can't re-win
+        best = mind.max()
+        if not np.isfinite(best):
+            break
+        cand = ids[mind == best]
+        sel.append(int(cand.min()))
+    return pd.DataFrame(
+        {"order": np.arange(len(sel), dtype=np.int64), "vec_id": np.asarray(sel, dtype=np.int64)}
+    )

@@ -172,7 +172,13 @@ def test_checked_in_goldens_are_fresh_sf001():
         "q_doc_incremental_neardup": lambda: gs.incremental_neardup_serial(
             docs, split_id=250, threshold=0.7
         ),
+        "q_embed_kcenter": lambda: gs.kcenter_serial(emb, k=16),
     }
+    from auto_archiver_ray.sources.images import generate_images
+
+    img = generate_images(SF_ORACLE).to_pandas()
+    checks["q_image_knn"] = lambda: gs.image_knn_serial(img)
+    checks["q_image_semdedup"] = lambda: gs.image_semdedup_serial(img)
     for name, recompute in checks.items():
         stored = pd.read_parquet(f"{GOLDEN}/{name}.parquet")
         pd.testing.assert_frame_equal(stored, recompute(), check_dtype=False), name
@@ -494,3 +500,32 @@ def test_image_semdedup_collapses_variants_to_bases():
     assert len(bases) <= len(got) < len(img)
     want = gs.image_semdedup_serial(img)
     pd.testing.assert_frame_equal(surv.reset_index(drop=True), want)
+
+@pytest.mark.usefixtures("ray_session")
+def test_kcenter_matches_serial_and_spreads():
+    """Greedy k-center selection: the sharded-actor distributed rounds
+    reproduce the serial farthest-point replay exactly, and the selected
+    set is pairwise farther apart than a prefix-of-ids baseline (the
+    diversity property the coreset exists for)."""
+    import numpy as np
+
+    from auto_archiver_ray.pipelines.queries import q_embed_kcenter
+
+    got = q_embed_kcenter(SF_SMALL)
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = gs.kcenter_serial(emb, k=16)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    unit = np.asarray(emb["embedding"].tolist(), dtype=np.float32)
+    unit /= np.linalg.norm(unit, axis=1, keepdims=True)
+    by_id = dict(zip(emb["vec_id"], range(len(emb))))
+
+    def min_pair_dist(ids):
+        m = unit[[by_id[i] for i in ids]]
+        sims = m @ m.T
+        np.fill_diagonal(sims, -1)
+        return float(1 - sims.max())
+
+    sel = got["vec_id"].tolist()
+    baseline = sorted(by_id)[: len(sel)]
+    assert min_pair_dist(sel) > min_pair_dist(baseline)
