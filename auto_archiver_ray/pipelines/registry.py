@@ -73,11 +73,17 @@ def _register_builtins() -> None:
     register("fingerprint", "kernel", textstats.fingerprint_stage)
 
     from ..stages import mergeops
-    from ..stages.multimodal import FrameSampleStage, ImageDecodeStage, ImageFeatureStage
+    from ..stages.multimodal import (
+        FrameSampleStage,
+        ImageDecodeStage,
+        ImageFeatureStage,
+        ImageResizeStage,
+    )
 
     register("best_variant", "kernel", mergeops.best_variant_stage)
     register("image_decode", "actor", ImageDecodeStage, {"concurrency": 4, "batch_size": 256})
     register("image_features", "actor", ImageFeatureStage, {"concurrency": 4, "batch_size": 256})
+    register("image_resize", "actor", ImageResizeStage, {"concurrency": 4, "batch_size": 256})
     register("frame_sample", "actor", FrameSampleStage, {"concurrency": 2, "batch_size": 256})
     from ..stages.multimodal import AudioFeatureStage
 

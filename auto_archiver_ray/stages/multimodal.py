@@ -276,3 +276,42 @@ class AudioFeatureStage:
             .append_column("sample_rate", pa.array(rates, pa.int32()))
             .append_column("audio_feature", pa.array(feats, pa.list_(pa.float32())))
         )
+
+
+class ImageResizeStage:
+    """image payload → resized grayscale payload (``resized`` binary PGM
+    column + ``resize_ok`` flag) at ``size``×``size``.
+
+    Real path: the pure-numpy decode probe chain
+    (functions/percephash.decode_gray — PNG/BMP/PGM/PPM + PIL when
+    present) then the exact box-bin downsample the perceptual hash uses
+    (percephash._box_resize), re-encoded as binary PGM — a decodable,
+    deterministic thumbnail any downstream stage (pdq, features, storage
+    keys) can consume. Undecodable payloads pass through with
+    ``resize_ok=False`` and an empty ``resized`` (counted per actor,
+    never silent). Setup (decoder imports) is per-actor, work per batch —
+    the model-load position."""
+
+    def __init__(self, size: int = 64):
+        self.size = size
+        self.failed = 0
+        from ..functions import percephash
+
+        self._decode = percephash.decode_gray
+        self._resize = percephash._box_resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out, ok = [], []
+        for p in batch.column("payload").to_pylist():
+            gray = self._decode(p) if p else None
+            if gray is None or gray.size == 0:
+                self.failed += 1
+                out.append(b"")
+                ok.append(False)
+                continue
+            small = np.clip(np.rint(self._resize(gray, self.size)), 0, 255).astype(np.uint8)
+            out.append(b"P5 %d %d 255 " % (self.size, self.size) + small.tobytes())
+            ok.append(True)
+        return batch.append_column("resized", pa.array(out, pa.binary())).append_column(
+            "resize_ok", pa.array(ok, pa.bool_())
+        )

@@ -401,3 +401,38 @@ def test_crawl_incremental_partitions_valid_set():
     manifest = {u for u in valid if hashlib.md5(u.encode()).hexdigest()[0] < "8"}
     assert admitted == set(valid) - manifest
     assert not admitted & manifest
+
+@pytest.mark.usefixtures("ray_session")
+def test_image_resize_stage_real_path():
+    """ImageResizeStage: decodable corpus images resize to exact-size PGM
+    thumbnails that remain decodable (pdq/features can consume them);
+    resizing is deterministic and idempotent at the same size; undecodable
+    payloads pass through flagged, never silently."""
+    import numpy as np
+    import pyarrow as pa
+
+    from auto_archiver_ray.functions import percephash
+    from auto_archiver_ray.sources.images import generate_images
+    from auto_archiver_ray.stages import multimodal
+
+    tbl = generate_images("/root/testdata/sf0.001").slice(0, 8)
+    tbl = tbl.append_column("extra", pa.array([b"not an image"] * 8, pa.binary()))
+    stage = multimodal.ImageResizeStage(size=32)
+    out = stage(tbl)
+    assert out.column("resize_ok").to_pylist() == [True] * 8
+    for rb in out.column("resized").to_pylist():
+        g = percephash.decode_gray(rb)
+        assert g is not None and g.shape == (32, 32)
+    # deterministic + idempotent at the same size
+    out2 = multimodal.ImageResizeStage(size=32)(tbl)
+    assert out.column("resized").to_pylist() == out2.column("resized").to_pylist()
+    again = multimodal.ImageResizeStage(size=32)(
+        pa.table({"payload": out.column("resized")})
+    )
+    assert again.column("resize_ok").to_pylist() == [True] * 8
+
+    bad = pa.table({"payload": pa.array([b"junk", None], pa.binary())})
+    st2 = multimodal.ImageResizeStage(size=32)
+    bout = st2(bad)
+    assert bout.column("resize_ok").to_pylist() == [False, False]
+    assert st2.failed == 2
