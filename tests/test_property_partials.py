@@ -144,3 +144,79 @@ def test_length_hist_partials_split_invariant(docs, cut):
         if p
     ]
     pd.testing.assert_frame_equal(whole, _sum_partials(parts, ["n_tokens"]), check_dtype=False)
+
+
+# ----------------------------------------------------- round-5 properties
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.integers(min_value=0, max_value=2**256 - 1),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=0, max_size=15, unique=True),
+)
+def test_pdq_pigeonhole_bound_exact(code_int, flip_positions):
+    """The recall guarantee the image near-dup plane rests on: two 256-bit
+    codes within Hamming distance n_bands-1 (=15) ALWAYS share at least
+    one of the 16 band keys — for any code and any <=15 bit flips."""
+    from auto_archiver_ray.functions import percephash as ph
+
+    a = f"{code_int:064x}"
+    bits = ph.hex_to_bits(a).copy()
+    for p in flip_positions:
+        bits[p] = ~bits[p]
+    b = ph.bits_to_hex(bits)
+    assert ph.hamming(a, b) == len(flip_positions)
+    assert set(ph.pdq_band_keys(a)) & set(ph.pdq_band_keys(b))
+
+
+def _substring_dedup_brute(docs: "pd.DataFrame", w: int = 3) -> "pd.DataFrame":
+    """O(n^2) single-process reference for substring_dedup's spec."""
+    occ: dict[str, tuple[int, int]] = {}
+    rows = []
+    toks_by = {int(i): (t or "").split() for i, t in zip(docs["doc_id"], docs["text"])}
+    for did in sorted(toks_by):
+        toks = toks_by[did]
+        for p in range(len(toks) - w + 1):
+            win = " ".join(toks[p : p + w])
+            occ.setdefault(win, (did, p))
+    for did in sorted(toks_by):
+        toks = toks_by[did]
+        mask = [False] * len(toks)
+        for p in range(len(toks) - w + 1):
+            win = " ".join(toks[p : p + w])
+            if occ[win] != (did, p):
+                for j in range(p, p + w):
+                    mask[j] = True
+        kept = [t for t, m in zip(toks, mask) if not m]
+        rows.append((did, len(toks), len(kept), " ".join(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "n_tokens", "kept_tokens", "clean_text"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=20).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_substring_dedup_matches_bruteforce(texts_list):
+    """Distributed substring removal == the quadratic single-process spec
+    on arbitrary tiny corpora (tokens drawn from a 5-symbol alphabet so
+    window collisions are common — the hard case)."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import substring_dedup
+
+    docs = pd.DataFrame({"doc_id": range(len(texts_list)), "text": texts_list})
+    got = (
+        substring_dedup(rd.from_pandas(docs), w=3, num_buckets=4, num_shards=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = got.astype({"doc_id": "int64", "n_tokens": "int64", "kept_tokens": "int64"})
+    want = _substring_dedup_brute(docs, w=3).astype(
+        {"doc_id": "int64", "n_tokens": "int64", "kept_tokens": "int64"}
+    )
+    pd.testing.assert_frame_equal(got, want)
