@@ -92,6 +92,17 @@ def _plan_member_arrays(planned_subset) -> tuple[np.ndarray, np.ndarray]:
     return keys[order], eps[order]
 
 
+def _epoch_concurrency(conc: tuple, n_members: int, batch_size: int) -> tuple:
+    """Cap the per-epoch extract pool by the epoch's own task count: a
+    tail epoch with a few hundred members forks 1-2 actors, not the full
+    pool (the pool is re-created per epoch pipeline, so spawning the full
+    pool for a 2-task epoch was pure fixed cost — ~5 s/epoch measured on
+    the 11-epoch bench)."""
+    n_tasks = max(1, -(-max(n_members, 1) // batch_size))
+    hi = max(1, min(conc[1], n_tasks))
+    return (min(conc[0], hi), hi)
+
+
 def _lazy_keymap_shard():
     import ray
 
@@ -690,7 +701,8 @@ def crawl_bfs(
             epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(
-                extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+                extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size,
+                concurrency=_epoch_concurrency(conc, len(member), batch_size),
             )
             # page_links stay IN the partition: they are the epoch's crawl
             # lineage, and the offer step below reads them back so a resumed
@@ -886,7 +898,8 @@ def crawl_streaming(
         epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(
-            extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size, concurrency=conc
+            extract.ExtractStage, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=_epoch_concurrency(conc, len(member), batch_size),
         )
         epoch_ds = epoch_ds.drop_columns(["media_links", "page_links"]).add_column(
             "fetch_epoch", lambda df: np.full(len(df), epoch, dtype="int64"), batch_format="pandas"
