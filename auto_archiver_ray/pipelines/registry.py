@@ -53,6 +53,16 @@ def _register_builtins() -> None:
     from ..stages import enrich, extract, format as fmt, media, textstats, validate
 
     register("pages", "source", lambda cfg: pages_src.read_pages(cfg["sf_dir"], cfg.get("columns")), doc="synthetic pages table")
+    register(
+        "images",
+        "source",
+        lambda cfg: __import__("ray").data.read_parquet(
+            __import__(
+                "auto_archiver_ray.sources.images", fromlist=["ensure_image_corpus"]
+            ).ensure_image_corpus(cfg["sf_dir"])
+        ),
+        doc="decodable image corpus (media_id, payload)",
+    )
     register("parquet", "source", lambda cfg: __import__("ray").data.read_parquet(cfg["path"], columns=cfg.get("columns")))
     register("csv_seeds", "source", lambda cfg: seeds_src.csv_seeds(cfg["files"], cfg.get("column")))
     register("items", "source", lambda cfg: seeds_src.items_seeds(cfg["urls"]))
