@@ -310,21 +310,27 @@ def kcenter_select(
     first = slim.min(id_col)
     selected = [int(first)]
 
-    center_ref = {"ref": None}
+    def make_update_pass(c_ref):
+        # a FRESH closure per round, with the round's center ObjectRef bound
+        # by value: a shared mutable cell (the first version used a dict the
+        # driver rewrote each round) can be re-serialized from a cached
+        # pickle by the runtime, silently re-running a round with the
+        # previous center
+        def update_pass(batch: pa.Table) -> pa.Table:
+            c = ray.get(c_ref)
+            ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+            if not ids.size:
+                return pa.table({"n": pa.array([0], pa.int64())})
+            unit = np.asarray(batch.column("unit").to_pylist(), dtype=np.float32)
+            dist = (1.0 - unit @ c).astype(np.float64)
+            sid = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) % n_sh).astype(np.int64)
+            futs = [
+                shards[int(s)].update.remote(ids[sid == s], dist[sid == s]) for s in np.unique(sid)
+            ]
+            ray.get(futs)  # delivery barrier
+            return pa.table({"n": pa.array([len(ids)], pa.int64())})
 
-    def update_pass(batch: pa.Table) -> pa.Table:
-        c = ray.get(center_ref["ref"])
-        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
-        if not ids.size:
-            return pa.table({"n": pa.array([0], pa.int64())})
-        unit = np.asarray(batch.column("unit").to_pylist(), dtype=np.float32)
-        dist = (1.0 - unit @ c).astype(np.float64)
-        sid = (ids.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15) % n_sh).astype(np.int64)
-        futs = [
-            shards[int(s)].update.remote(ids[sid == s], dist[sid == s]) for s in np.unique(sid)
-        ]
-        ray.get(futs)  # delivery barrier
-        return pa.table({"n": pa.array([len(ids)], pa.int64())})
+        return update_pass
 
     def center_vec(vid: int) -> np.ndarray:
         def pick(batch: pa.Table) -> pa.Table:
@@ -337,10 +343,12 @@ def kcenter_select(
 
     while len(selected) < k:
         new_id = selected[-1]
-        center_ref["ref"] = ray.put(center_vec(new_id))
-        for s in shards:
-            s.remove.remote(new_id)
-        slim.map_batches(update_pass, batch_format="pyarrow", batch_size=8192).sum("n")
+        ray.get([s.remove.remote(new_id) for s in shards])
+        slim.map_batches(
+            make_update_pass(ray.put(center_vec(new_id))),
+            batch_format="pyarrow",
+            batch_size=8192,
+        ).sum("n")
         cands = ray.get([s.seal_round.remote() for s in shards])
         best_dist = max(c[0] for c in cands)
         if best_dist < 0:
