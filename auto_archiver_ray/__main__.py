@@ -20,6 +20,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001", help="pages sf dir for the default pipeline")
     ap.add_argument("--out", help="output parquet dir")
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument(
+        "--stats",
+        action="store_true",
+        help="print per-stage ds.stats() after the run (wall time, rows, actor pool usage per operator)",
+    )
     args = ap.parse_args(argv)
 
     import ray
@@ -67,12 +72,16 @@ def main(argv: list[str] | None = None) -> int:
     if args.out:
         cfg["sink"] = {"type": "parquet", "path": args.out}
 
+    if args.stats:
+        cfg["print_stats"] = True
     result = build_pipeline(cfg)
     if isinstance(result, str):
         print(f"wrote {result}")
     else:
         n = result.count()
         print(f"rows: {n}")
+        if args.stats:
+            print(result.stats())
         for row in result.limit(3).take(3):
             keys = list(row)[:8]
             print({k: str(row[k])[:60] for k in keys})

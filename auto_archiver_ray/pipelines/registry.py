@@ -181,6 +181,8 @@ def build_pipeline(cfg: dict[str, Any]):
         sink_type = sink.pop("type")
         if sink_type == "parquet":
             ds.write_parquet(sink["path"])
+            if cfg.get("print_stats"):
+                print(ds.stats())
             return sink["path"]
         if sink_type == "csv":
             ds.write_csv(sink["path"])
