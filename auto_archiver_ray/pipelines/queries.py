@@ -2597,6 +2597,97 @@ FROM r WHERE rnk <= 3 ORDER BY doc_id, rank
 """
 
 
+BM25_TOPK = 10  # docs returned per query term
+BM25_NQ = 3  # query terms = top-NQ by (df DESC, term ASC)
+
+
+def q_doc_bm25(sf_dir: str):
+    """BM25 retrieval: rank the corpus against the corpus's own 3
+    highest-df terms (deterministic, self-contained query set) and return
+    the top-10 docs per term with their (tf, dl, score).
+
+    Okapi BM25 with k1=1.2, b=0.75 and the rational idf
+    ``((N-df)+0.5)/(df+0.5)`` — ln() is deliberately absent: ln is
+    monotone so per-term ranking is unchanged, and every remaining float
+    op is a single exactly-rounded IEEE expression, making the distributed
+    scores BIT-identical to the DuckDB oracle (numpy log vs libm ln would
+    not be).
+
+    Scale shape: pass 1 streams one-tokenization (term, df, tf) partials
+    (one row per term per batch) to a driver reduce — vocabulary is
+    sublinear in corpus size, same contract as :func:`q_doc_top_terms`;
+    avgdl falls out of the same table (``SUM(tf)``), n_docs from parquet
+    metadata. Pass 2 broadcasts 3 (term, idf) scalars in the closure and
+    keeps only each batch's local top-k per term (a doc lives wholly in
+    one batch, so batch-local pruning is lossless); the driver merges
+    ≤ batches×3×10 skinny rows. No shuffle anywhere."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    vocab = driver_reduce(
+        ds.map_batches(textstats.term_df_tf_partials, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        {"df": "sum", "tf": "sum"},
+    )
+    n_docs = ds.count()
+    total_tokens = int(vocab["tf"].sum())
+    avgdl = total_tokens / n_docs
+    top = vocab.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(BM25_NQ)
+    qterms = [str(t) for t in top["term"]]
+    idfs = np.asarray(
+        [((n_docs - int(d)) + 0.5) / (int(d) + 0.5) for d in top["df"]], dtype=np.float64
+    )
+    fn = textstats.bm25_stage(qterms, idfs, avgdl, k=BM25_TOPK)
+    parts = ds.map_batches(fn, batch_format="pyarrow", batch_size=4096).to_pandas()
+    frames = []
+    for t in sorted(qterms):
+        g = (
+            parts[parts["term"] == t]
+            .sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+            .head(BM25_TOPK)
+            .copy()
+        )
+        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        frames.append(g)
+    return pd.concat(frames, ignore_index=True)
+
+
+SQL_DOC_BM25 = rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+df AS (
+  SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY tok
+),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         CAST((SELECT SUM(dl) FROM dl) AS DOUBLE) / (SELECT COUNT(*) FROM documents) AS avgdl
+),
+qterms AS (SELECT term, df FROM df ORDER BY df DESC, term ASC LIMIT {BM25_NQ}),
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+scored AS (
+  SELECT q.term, t.doc_id, t.tf, d.dl,
+         ((CAST(s.n_docs - q.df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+            / (CAST(q.df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+         * ((t.tf * CAST(2.2 AS DOUBLE))
+            / (t.tf + CAST(1.2 AS DOUBLE)
+               * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * (d.dl / s.avgdl)))) AS score
+  FROM qterms q
+  JOIN tf t USING (term)
+  JOIN dl d ON d.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+r AS (
+  SELECT term, doc_id, tf, dl, score,
+         row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT term, CAST(rnk AS BIGINT) AS rank, doc_id, tf, dl, score
+FROM r WHERE rnk <= {BM25_TOPK} ORDER BY term, rank
+"""
+
+
 _DUPSPAN_W = 5  # repeated-span window width (tokens), shared with the oracle
 
 
@@ -4018,6 +4109,7 @@ QUERIES = {
     "q_timestamping": q_timestamping,
     "q_wacz_media": q_wacz_media,
     "q_pages_wayback": q_pages_wayback,
+    "q_doc_bm25": q_doc_bm25,
 }
 
 
@@ -4135,6 +4227,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_repetition": SQL_DOC_REPETITION,
         "q_doc_top_terms": SQL_DOC_TOP_TERMS,
+        "q_doc_bm25": SQL_DOC_BM25,
         "q_doc_dupspans": SQL_DOC_DUPSPANS,
         "q_doc_substring_dedup": SQL_DOC_SUBSTRING_DEDUP,
         "q_doc_stratified_sample": SQL_DOC_STRATIFIED_SAMPLE,

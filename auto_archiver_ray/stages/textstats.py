@@ -412,6 +412,105 @@ def term_tf_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def term_df_tf_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial (document frequency, total term frequency) in ONE
+    tokenization pass: one (term, df, tf) row per distinct term per batch.
+    Summing df over batches is the exact global document frequency (a doc
+    lives wholly in one batch row); summing tf is the exact corpus term
+    count, so ``SUM(tf)`` over the reduced table is the corpus token total
+    — one pass feeds both the BM25 idf table and avgdl."""
+    from collections import Counter
+
+    df_c: Counter = Counter()
+    tf_c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = (t or "").split()
+        tf_c.update(toks)
+        df_c.update(set(toks))
+    terms = list(tf_c.keys())
+    return pa.table(
+        {
+            "term": pa.array(terms, pa.string()),
+            "df": pa.array(np.fromiter((df_c[t] for t in terms), dtype=np.int64, count=len(terms))),
+            "tf": pa.array(np.fromiter((tf_c[t] for t in terms), dtype=np.int64, count=len(terms))),
+        }
+    )
+
+
+def bm25_stage(query_terms: list[str], idfs: np.ndarray, avgdl: float, k: int = 10):
+    """Build a map_batches fn scoring every doc that contains one of the
+    ``query_terms`` with Okapi BM25 (k1=1.2, b=0.75, rational idf
+    ``((N-df)+0.5)/(df+0.5)`` — no transcendental ops) and emitting only the
+    batch-LOCAL top-``k`` (score DESC, doc_id ASC) per term. Each doc lives
+    in exactly one batch, so a doc outside its batch's top-k cannot be in
+    the global top-k — the driver merges ≤ batches×terms×k skinny rows.
+
+    Every float op is a single exactly-rounded IEEE expression written with
+    the SAME association as the SQL oracle, so the distributed scores are
+    bit-identical to DuckDB's. Query terms + idf scalars ride the closure
+    (bytes, not a shuffle join); nothing here depends on batch composition,
+    so retries and batch-size changes leave scores unchanged.
+
+    Mirrors the retrieval half of the reference's relevance ranking surface
+    (ref:utils/url.py is_relevant_url chooses media by score-ordering; this
+    is the corpus-level analogue for document retrieval)."""
+    qterms = [str(t) for t in query_terms]
+    idf_by_term = {t: float(v) for t, v in zip(qterms, np.asarray(idfs, dtype=np.float64))}
+    avgdl_f = float(avgdl)
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        from collections import Counter
+
+        ids = batch.column(id_col).to_pylist()
+        per_term: dict[str, tuple[list, list, list]] = {t: ([], [], []) for t in qterms}
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            c = Counter(toks)
+            dl = len(toks)
+            for q in qterms:
+                tf = c.get(q, 0)
+                if tf:
+                    acc = per_term[q]
+                    acc[0].append(i)
+                    acc[1].append(tf)
+                    acc[2].append(dl)
+        cols_term: list[str] = []
+        cols_id: list[int] = []
+        cols_tf: list[int] = []
+        cols_dl: list[int] = []
+        cols_score: list[float] = []
+        for q in qterms:
+            d_ids, d_tf, d_dl = per_term[q]
+            if not d_ids:
+                continue
+            tf_f = np.asarray(d_tf, dtype=np.float64)
+            dl_f = np.asarray(d_dl, dtype=np.float64)
+            # association mirrors the SQL oracle exactly:
+            # idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+            score = idf_by_term[q] * ((tf_f * 2.2) / (tf_f + 1.2 * (0.25 + 0.75 * (dl_f / avgdl_f))))
+            id_arr = np.asarray(d_ids, dtype=np.int64)
+            order = np.lexsort((id_arr, -score))[:k]
+            for j in order:
+                cols_term.append(q)
+                cols_id.append(int(id_arr[j]))
+                cols_tf.append(int(d_tf[j]))
+                cols_dl.append(int(d_dl[j]))
+                cols_score.append(float(score[j]))
+        return pa.table(
+            {
+                "term": pa.array(cols_term, pa.string()),
+                "doc_id": pa.array(cols_id, pa.int64()),
+                "tf": pa.array(cols_tf, pa.int64()),
+                "dl": pa.array(cols_dl, pa.int64()),
+                "score": pa.array(cols_score, pa.float64()),
+            }
+        )
+
+    return fn
+
+
 def rank_score_stage(vocab_sorted: np.ndarray, ranks: np.ndarray):
     """Build a map_batches fn scoring each doc by the sum of its tokens'
     GLOBAL frequency ranks (rank 1 = most frequent term; ties broken by

@@ -529,3 +529,63 @@ def test_kcenter_matches_serial_and_spreads():
     sel = got["vec_id"].tolist()
     baseline = sorted(by_id)[: len(sel)]
     assert min_pair_dist(sel) > min_pair_dist(baseline)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_bit_identical_to_sql_and_batch_invariant():
+    """BM25 retrieval: (1) the distributed scores are BIT-identical to the
+    DuckDB oracle on a SECOND dataset (sf0.001 — the driver checks sf0.01),
+    floats compared exactly, which is the whole design claim of the
+    no-transcendentals rational-idf formulation; (2) the batch-local top-k
+    pruning is lossless under a different batch size (scores depend only on
+    broadcast globals, a doc lives wholly in one batch)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_BM25, q_doc_bm25
+
+    got = q_doc_bm25(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_BM25).df()
+    con.close()
+
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # batch-size invariance of the pruned partials path
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.agg import driver_reduce
+    from auto_archiver_ray.stages import textstats
+
+    docs = _docs(SF_SMALL)
+    ds = rd.from_pandas(docs)
+    vocab = driver_reduce(
+        ds.map_batches(textstats.term_df_tf_partials, batch_format="pyarrow", batch_size=7),
+        ["term"],
+        {"df": "sum", "tf": "sum"},
+    )
+    n_docs = len(docs)
+    avgdl = int(vocab["tf"].sum()) / n_docs
+    top = vocab.sort_values(["df", "term"], ascending=[False, True], kind="mergesort").head(3)
+    idfs = np.asarray(
+        [((n_docs - int(d)) + 0.5) / (int(d) + 0.5) for d in top["df"]], dtype=np.float64
+    )
+    fn = textstats.bm25_stage([str(t) for t in top["term"]], idfs, avgdl, k=10)
+    parts = ds.map_batches(fn, batch_format="pyarrow", batch_size=13).to_pandas()
+    frames = []
+    for t in sorted(str(t) for t in top["term"]):
+        g = (
+            parts[parts["term"] == t]
+            .sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+            .head(10)
+            .copy()
+        )
+        g.insert(1, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        frames.append(g)
+    redo = pd.concat(frames, ignore_index=True)
+    pd.testing.assert_frame_equal(redo, got, check_dtype=False, check_exact=True)
