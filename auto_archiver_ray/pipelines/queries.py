@@ -3885,6 +3885,22 @@ def q_embed_kcenter(sf_dir: str):
     return out.sort_values("order").reset_index(drop=True)
 
 
+def q_embed_kmeans(sf_dir: str):
+    """Distributed Lloyd k-means cluster assignment over the embeddings
+    table, INTEGER-exact (fixed-point int64 dot products — assignments and
+    center updates are bit-deterministic under any batch composition,
+    scheduling order, or retry). One streamed corpus pass per iteration;
+    only k×(d+2) integer partial-sum rows per batch reach the driver
+    reduce, whose integer adds are order-independent; centers broadcast
+    per round in fresh closures (stages/similarity.kmeans_assign). Oracle:
+    independent serial replay (scripts/golden_serial.kmeans_serial)."""
+    from ..stages.similarity import kmeans_assign
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(ds, k=8, iters=5)
+
+
 def q_image_semdedup(sf_dir: str):
     """SemDeDup over REAL image features (the semantic sibling of
     q_image_dedup's perceptual-hash plane): corpus → per-actor DCT feature
@@ -4023,6 +4039,7 @@ QUERIES = {
     "q_archive_media_dedup": q_archive_media_dedup,
     "q_image_semdedup": q_image_semdedup,
     "q_embed_kcenter": q_embed_kcenter,
+    "q_embed_kmeans": q_embed_kmeans,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
     "q_crawl_incremental": q_crawl_incremental,
@@ -4290,6 +4307,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_embed_kcenter": (
             f"SELECT \"order\", vec_id FROM read_parquet('{g}/q_embed_kcenter.parquet') "
             'ORDER BY "order"'
+        ),
+        "q_embed_kmeans": (
+            f"SELECT vec_id, cluster FROM read_parquet('{g}/q_embed_kmeans.parquet') "
+            "ORDER BY vec_id"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

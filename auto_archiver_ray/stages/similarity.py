@@ -363,3 +363,123 @@ def kcenter_select(
     return pd.DataFrame(
         {"order": np.arange(len(selected), dtype=np.int64), id_col: np.asarray(selected, dtype=np.int64)}
     )
+
+
+KMEANS_FP = 1 << 20  # fixed-point scale for integer-exact k-means
+
+
+def _kmeans_quantize(vecs: list) -> np.ndarray:
+    """float32 unit-normalize then fixed-point quantize to int64 — every
+    downstream dot product and partial sum is integer-exact, so assignments
+    and center updates are bit-deterministic regardless of batch
+    composition, scheduling order, or retries."""
+    m = _as_matrix(vecs)
+    if m.size == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    return np.rint(_normalize(m).astype(np.float64) * KMEANS_FP).astype(np.int64)
+
+
+def _kmeans_requantize(vsum: np.ndarray, count: int) -> np.ndarray:
+    """New center from integer partial sums: exact double mean, unit-norm,
+    re-quantize. One exactly-rounded double expression chain shared with
+    the serial golden (scripts/golden_serial.kmeans_serial)."""
+    mean = vsum.astype(np.float64) / count
+    norm = float(np.sqrt((mean * mean).sum()))
+    if norm == 0.0:
+        return vsum * 0
+    return np.rint((mean / norm) * KMEANS_FP).astype(np.int64)
+
+
+def kmeans_assign(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Distributed Lloyd k-means over an embedding column, INTEGER-exact:
+    cosine similarity as int64 fixed-point dot products (|x|<=2^20 per
+    component -> sums < 2^47 at d<=128, no overflow), ties argmax -> lowest
+    cluster id, init = the k smallest ``id_col`` rows' vectors.
+
+    Scale shape: one streamed corpus pass per iteration (the Lloyd
+    invariant); each pass moves only k x (d+2) partial-sum rows per batch
+    to a driver reduce whose integer adds are order-independent — no
+    shuffle, no driver materialization of the corpus. Centers (k x d x 8
+    bytes) broadcast once per round via ray.put, each round bound into a
+    FRESH closure (the kcenter lesson: never rebind a captured mutable).
+
+    Returns (id_col, cluster) int64. Empty clusters keep their previous
+    center (standard Lloyd degenerate-case rule, mirrored by the golden)."""
+    import ray
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()), vec_col: pa.array([], pa.list_(pa.float32()))})
+        order = np.argsort(ids, kind="stable")[:k]
+        vecs = batch.column(vec_col).to_pylist()
+        return pa.table(
+            {
+                id_col: pa.array(ids[order]),
+                vec_col: pa.array([vecs[i] for i in order]),
+            }
+        )
+
+    seeds = ds.map_batches(seed_partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    seeds = seeds.sort_values(id_col, kind="mergesort").head(k)
+    centers = _kmeans_quantize(seeds[vec_col].tolist())
+
+    def make_pass(c_ref, final: bool):
+        def assign_pass(batch: pa.Table) -> pa.Table:
+            cent = ray.get(c_ref)
+            xq = _kmeans_quantize(batch.column(vec_col).to_pylist())
+            if xq.shape[0] == 0:
+                if final:
+                    return pa.table({id_col: pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())})
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "count": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            scores = xq @ cent.T  # int64-exact
+            assign = scores.argmax(axis=1)  # ties -> lowest cluster id
+            if final:
+                ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+                return pa.table({id_col: pa.array(ids), "cluster": pa.array(assign.astype(np.int64))})
+            clusters, counts, vsums = [], [], []
+            for c in np.unique(assign):
+                sel = xq[assign == c]
+                clusters.append(int(c))
+                counts.append(int(sel.shape[0]))
+                vsums.append(sel.sum(axis=0).tolist())
+            return pa.table(
+                {
+                    "cluster": pa.array(clusters, pa.int64()),
+                    "count": pa.array(counts, pa.int64()),
+                    "vsum": pa.array(vsums, pa.list_(pa.int64())),
+                }
+            )
+
+        return assign_pass
+
+    for _ in range(iters):
+        partials = ds.map_batches(
+            make_pass(ray.put(centers), final=False), batch_format="pyarrow", batch_size=8192
+        ).to_pandas()
+        new_centers = centers.copy()
+        for c in range(centers.shape[0]):
+            rows = partials[partials["cluster"] == c]
+            if len(rows) == 0:
+                continue
+            total = int(rows["count"].sum())
+            vsum = np.sum(np.asarray(rows["vsum"].tolist(), dtype=np.int64), axis=0)
+            new_centers[c] = _kmeans_requantize(vsum, total)
+        centers = new_centers
+
+    out = ds.map_batches(
+        make_pass(ray.put(centers), final=True), batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)

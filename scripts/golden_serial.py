@@ -693,3 +693,35 @@ def kcenter_serial(emb: pd.DataFrame, k: int = 16) -> pd.DataFrame:
     return pd.DataFrame(
         {"order": np.arange(len(sel), dtype=np.int64), "vec_id": np.asarray(sel, dtype=np.int64)}
     )
+
+
+def kmeans_serial(emb: pd.DataFrame, k: int = 8, iters: int = 5) -> pd.DataFrame:
+    """Integer-exact Lloyd k-means replay (same arithmetic spec as
+    stages/similarity.kmeans_assign, independently coded): float32 unit
+    vectors fixed-point quantized to int64 at 2^20, int64 dot-product
+    assignment (ties -> lowest cluster), init = k smallest vec_ids,
+    center update = exact double mean of int sums -> unit-norm ->
+    re-quantize, empty clusters keep their center. (vec_id, cluster)."""
+    FP = 1 << 20
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))[order]
+    xq = np.rint(unit.astype(np.float64) * FP).astype(np.int64)
+    cent = xq[:k].copy()
+    for _ in range(iters):
+        assign = (xq @ cent.T).argmax(axis=1)
+        new_cent = cent.copy()
+        for c in range(cent.shape[0]):
+            sel = xq[assign == c]
+            if sel.shape[0] == 0:
+                continue
+            mean = sel.sum(axis=0).astype(np.float64) / sel.shape[0]
+            norm = float(np.sqrt((mean * mean).sum()))
+            if norm == 0.0:
+                new_cent[c] = 0
+            else:
+                new_cent[c] = np.rint((mean / norm) * FP).astype(np.int64)
+        cent = new_cent
+    assign = (xq @ cent.T).argmax(axis=1)
+    return pd.DataFrame({"vec_id": ids, "cluster": assign.astype(np.int64)})

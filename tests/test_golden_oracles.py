@@ -173,6 +173,7 @@ def test_checked_in_goldens_are_fresh_sf001():
             docs, split_id=250, threshold=0.7
         ),
         "q_embed_kcenter": lambda: gs.kcenter_serial(emb, k=16),
+        "q_embed_kmeans": lambda: gs.kmeans_serial(emb, k=8, iters=5),
     }
     from auto_archiver_ray.sources.images import generate_images
 
@@ -529,6 +530,29 @@ def test_kcenter_matches_serial_and_spreads():
     sel = got["vec_id"].tolist()
     baseline = sorted(by_id)[: len(sel)]
     assert min_pair_dist(sel) > min_pair_dist(baseline)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmeans_matches_serial_and_batch_invariant():
+    """Integer-exact distributed Lloyd k-means: (1) assignments match the
+    independent serial replay bit-for-bit (the fixed-point design claim);
+    (2) a different batch size yields the identical result — the int64
+    partial-sum reduce is order/composition independent by construction."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_embed_kmeans
+    from auto_archiver_ray.stages.similarity import kmeans_assign
+
+    got = q_embed_kmeans(SF_SMALL)
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = gs.kmeans_serial(emb, k=8, iters=5)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    # non-degenerate: more than one cluster actually used
+    assert got["cluster"].nunique() > 1
+
+    ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    tiny = kmeans_assign(ds.repartition(7), k=8, iters=5)
+    pd.testing.assert_frame_equal(tiny.reset_index(drop=True), want)
 
 
 @pytest.mark.usefixtures("ray_session")
