@@ -3901,6 +3901,25 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_assign(ds, k=8, iters=5)
 
 
+def q_embed_pq(sf_dir: str):
+    """Product-quantization ADC top-10 for query vectors = embeddings 0..2
+    — the memory-scale ANN path (d×4 B vectors compress to m=8 code bytes).
+    Codebooks from a fixed-seed bounded-sample per-subspace k-means; encode
+    and ADC scoring are INTEGER-exact (int64 fixed point at 2^20), so the
+    score column itself is golden-comparable — unlike the float cosine the
+    kNN family must drop. Oracle: independent serial replay
+    (scripts/golden_serial.knn_pq_serial)."""
+    from ..stages.similarity import knn_pq, train_pq_codebooks
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, ncodes=16)
+    out = knn_pq(ds, _load_queries(sf_dir), books, k=10)
+    return out.astype(
+        {"query_id": "int64", "vec_id": "int64", "adc_score": "int64", "rank": "int64"}
+    )
+
+
 def q_image_semdedup(sf_dir: str):
     """SemDeDup over REAL image features (the semantic sibling of
     q_image_dedup's perceptual-hash plane): corpus → per-actor DCT feature
@@ -4040,6 +4059,7 @@ QUERIES = {
     "q_image_semdedup": q_image_semdedup,
     "q_embed_kcenter": q_embed_kcenter,
     "q_embed_kmeans": q_embed_kmeans,
+    "q_embed_pq": q_embed_pq,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
     "q_crawl_incremental": q_crawl_incremental,
@@ -4311,6 +4331,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_embed_kmeans": (
             f"SELECT vec_id, cluster FROM read_parquet('{g}/q_embed_kmeans.parquet') "
             "ORDER BY vec_id"
+        ),
+        "q_embed_pq": (
+            f"SELECT query_id, vec_id, adc_score, rank FROM read_parquet('{g}/q_embed_pq.parquet') "
+            "ORDER BY query_id, rank"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

@@ -483,3 +483,134 @@ def kmeans_assign(
         make_pass(ray.put(centers), final=True), batch_format="pyarrow", batch_size=8192
     ).to_pandas()
     return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+
+
+def train_pq_codebooks(
+    ds,
+    m: int = 8,
+    ncodes: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+) -> np.ndarray:
+    """Product-quantization codebooks: split d dims into ``m`` contiguous
+    subspaces and run the same fixed-seed bounded-sample k-means as
+    :func:`train_ivf_centroids` independently per subspace (driver-side;
+    never scales with corpus size). Returns float32 (m, ncodes, d//m);
+    codewords are NOT re-normalized (they quantize unit-vector slices,
+    whose norms are < 1)."""
+    sample = ds.limit(sample_rows).to_pandas()
+    x = _normalize(np.asarray(sample[vec_col].tolist(), dtype=np.float32))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"d={d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, ncodes, dsub), dtype=np.float32)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(ncodes, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            assign = (xs @ cent.T).argmax(axis=1)
+            for c in range(cent.shape[0]):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, : cent.shape[0]] = cent
+    return books
+
+
+def knn_pq(
+    ds,
+    queries: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """PQ ADC top-k, INTEGER-exact end to end: unit vectors and codebooks
+    are fixed-point quantized to int64 at 2^20 (the kmeans_assign scale);
+    encoding (per-subspace argmax of int64 dots, ties -> lowest code) and
+    the ADC score (sum over subspaces of the int64 query.codeword lookup
+    table) are bit-deterministic under any batch composition, scheduling
+    order, or retry — so the score itself is golden-comparable, unlike the
+    float cosine the kNN family must drop.
+
+    Scale shape: codebooks (m x ncodes x dsub x 8 B) broadcast once via
+    ray.put; each batch emits only its top-k (query_id, id, score) rows;
+    the driver merges nq x k x num_batches tiny partials. At ingest scale
+    the encode pass compresses d x 4 B vectors to m bytes — the memory
+    story that makes billion-vector ANN fit a fixed cluster.
+
+    No overflow: |component| <= 2^20 -> per-subspace LUT entry < dsub x 2^40
+    < 2^46 at d<=512, ADC sum < m x 2^46 — int64 safe.
+
+    Returns (query_id, vec_id, adc_score:int64, rank) sorted by
+    (query_id, rank); ties on score break by ascending id."""
+    import ray
+
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    m, ncodes, dsub = codebooks.shape
+    cbq = np.rint(codebooks.astype(np.float64) * KMEANS_FP).astype(np.int64)
+    qq = np.rint(q.astype(np.float64) * KMEANS_FP).astype(np.int64)
+    # LUT[qi, s, c] = int64 dot of query subvector s with codeword c
+    lut = np.einsum("qsd,scd->qsc", qq.reshape(len(qq), m, dsub), cbq, dtype=np.int64)
+    bc = ray.put((cbq, lut))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        cb, tab = ray.get(bc)
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "adc_score": pa.array([], pa.int64()),
+            }
+        )
+        if ids.size == 0:
+            return empty
+        xq = np.rint(
+            _normalize(_as_matrix(batch.column(vec_col).to_pylist())).astype(np.float64) * KMEANS_FP
+        ).astype(np.int64)
+        sub = xq.reshape(len(xq), m, dsub)
+        # encode: per-subspace nearest codeword by int64 dot (ties -> lowest)
+        codes = np.einsum("nsd,scd->nsc", sub, cb, dtype=np.int64).argmax(axis=2)  # (n, m)
+        # ADC: score[qi, n] = sum_s LUT[qi, s, codes[n, s]]
+        out_q, out_i, out_s = [], [], []
+        kk = min(k, ids.size)
+        srange = np.arange(m)
+        for qi in range(tab.shape[0]):
+            scores = tab[qi][srange, codes].sum(axis=1)  # (n,) int64-exact
+            idx = np.lexsort((ids, -scores))[:kk]
+            out_q.extend([qi] * kk)
+            out_i.extend(ids[idx].tolist())
+            out_s.extend(scores[idx].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_i, pa.int64()),
+                "adc_score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=8192)
+    heaps: dict[int, list] = {}
+    for b in partials.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for qi, vid, s in zip(
+            b.column("query_id").to_pylist(),
+            b.column(id_col).to_pylist(),
+            b.column("adc_score").to_pylist(),
+        ):
+            h = heaps.setdefault(qi, [])
+            item = (s, -vid)
+            if len(h) < k:
+                heapq.heappush(h, item)
+            elif item > h[0]:
+                heapq.heapreplace(h, item)
+    rows = []
+    for qi in sorted(heaps):
+        ranked = sorted(heaps[qi], key=lambda t: (-t[0], -t[1]))
+        for rank, (s, negid) in enumerate(ranked, 1):
+            rows.append((qi, -negid, int(s), rank))
+    return pd.DataFrame(rows, columns=["query_id", id_col, "adc_score", "rank"])

@@ -725,3 +725,59 @@ def kmeans_serial(emb: pd.DataFrame, k: int = 8, iters: int = 5) -> pd.DataFrame
         cent = new_cent
     assign = (xq @ cent.T).argmax(axis=1)
     return pd.DataFrame({"vec_id": ids, "cluster": assign.astype(np.int64)})
+
+
+def knn_pq_serial(
+    emb: pd.DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    m: int = 8,
+    ncodes: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """Product-quantization ADC top-k replay (same arithmetic spec as
+    stages/similarity.train_pq_codebooks + knn_pq, independently coded):
+    per-subspace fixed-seed bounded-sample k-means codebooks trained in
+    float32, then EVERYTHING integer — unit vectors and codebooks
+    fixed-point quantized to int64 at 2^20, encode = per-subspace argmax
+    of int64 dots (ties -> lowest code), ADC score = int64 LUT sum, ties
+    on score -> ascending vec_id. (query_id, vec_id, adc_score, rank)."""
+    FP = 1 << 20
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))
+    d = unit.shape[1]
+    dsub = d // m
+    x = unit[:sample_rows]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, ncodes, dsub), dtype=np.float32)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cent = xs[rng.choice(len(xs), size=min(ncodes, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            assign = (xs @ cent.T).argmax(axis=1)
+            for c in range(cent.shape[0]):
+                members = xs[assign == c]
+                if len(members):
+                    cent[c] = members.mean(axis=0)
+        books[s, : cent.shape[0]] = cent
+
+    cbq = np.rint(books.astype(np.float64) * FP).astype(np.int64)
+    xq = np.rint(unit.astype(np.float64) * FP).astype(np.int64).reshape(len(unit), m, dsub)
+    codes = np.stack(
+        [(xq[:, s, :] @ cbq[s].T).argmax(axis=1) for s in range(m)], axis=1
+    )  # (n, m), ties -> lowest code via argmax
+
+    sel = np.isin(ids, np.arange(n_queries))
+    q_ids = ids[sel]
+    order = np.argsort(q_ids)
+    qq = np.rint(unit[sel][order].astype(np.float64) * FP).astype(np.int64).reshape(-1, m, dsub)
+    rows = []
+    for qi in range(qq.shape[0]):
+        lut = np.stack([cbq[s] @ qq[qi, s] for s in range(m)])  # (m, ncodes) int64
+        scores = lut[np.arange(m), codes].sum(axis=1)  # (n,)
+        idx = np.lexsort((ids, -scores))[:k]
+        for rank, j in enumerate(idx, 1):
+            rows.append((qi, int(ids[j]), int(scores[j]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc_score", "rank"])

@@ -91,6 +91,7 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.image_semdedup_serial(images).to_parquet(f"{out_dir}/q_image_semdedup.parquet", index=False)
     gs.kcenter_serial(emb).to_parquet(f"{out_dir}/q_embed_kcenter.parquet", index=False)
     gs.kmeans_serial(emb).to_parquet(f"{out_dir}/q_embed_kmeans.parquet", index=False)
+    gs.knn_pq_serial(emb).to_parquet(f"{out_dir}/q_embed_pq.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
 
 

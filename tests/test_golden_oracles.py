@@ -174,6 +174,7 @@ def test_checked_in_goldens_are_fresh_sf001():
         ),
         "q_embed_kcenter": lambda: gs.kcenter_serial(emb, k=16),
         "q_embed_kmeans": lambda: gs.kmeans_serial(emb, k=8, iters=5),
+        "q_embed_pq": lambda: gs.knn_pq_serial(emb),
     }
     from auto_archiver_ray.sources.images import generate_images
 
@@ -553,6 +554,39 @@ def test_kmeans_matches_serial_and_batch_invariant():
     ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
     tiny = kmeans_assign(ds.repartition(7), k=8, iters=5)
     pd.testing.assert_frame_equal(tiny.reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pq_matches_serial_and_batch_invariant():
+    """PQ ADC kNN: (1) output — INCLUDING the int64 ADC score, the
+    integer-exact design claim — matches the independent serial replay
+    bit-for-bit; (2) a different block layout yields the identical frame
+    (encode + LUT sums are int64, batch-composition independent);
+    (3) each query vector, present in the corpus, is its own top-1 —
+    PQ distortion stays below the self-match margin."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_embed_pq
+    from auto_archiver_ray.stages.similarity import knn_pq, train_pq_codebooks
+
+    got = q_embed_pq(SF_SMALL)
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = gs.knn_pq_serial(emb)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    top1 = got[got["rank"] == 1]
+    assert list(top1["query_id"]) == list(top1["vec_id"])
+
+    ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    books = train_pq_codebooks(ds, m=8, ncodes=16)
+    import numpy as np
+
+    from auto_archiver_ray.pipelines.queries import _load_queries
+
+    alt = knn_pq(ds.repartition(7), _load_queries(SF_SMALL), books, k=10).astype(
+        {"query_id": "int64", "vec_id": "int64", "adc_score": "int64", "rank": "int64"}
+    )
+    pd.testing.assert_frame_equal(alt.reset_index(drop=True), want)
 
 
 @pytest.mark.usefixtures("ray_session")
