@@ -3901,6 +3901,22 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_assign(ds, k=8, iters=5)
 
 
+def q_embed_cluster_sample(sf_dir: str):
+    """Cluster-balanced coreset sample: k-means the embedding space
+    (integer-exact kmeans_assign, labels golden-checked by q_embed_kmeans)
+    then keep 10 members per cluster ranked by md5(vec_id) — equal
+    representation from every cluster regardless of skew, the
+    diversity-mixing primitive for curriculum/eval-set construction.
+    Assignments never leave the workers: a partial top-n combiner emits
+    at most k×10 rows per batch. Oracle: the full ranking chain in SQL
+    over the golden label table (window row_number per cluster)."""
+    from ..stages.similarity import kmeans_balanced_sample
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_balanced_sample(ds, k=8, iters=5, per_cluster=10)
+
+
 def q_embed_pq(sf_dir: str):
     """Product-quantization ADC top-10 for query vectors = embeddings 0..2
     — the memory-scale ANN path (d×4 B vectors compress to m=8 code bytes).
@@ -4060,6 +4076,7 @@ QUERIES = {
     "q_embed_kcenter": q_embed_kcenter,
     "q_embed_kmeans": q_embed_kmeans,
     "q_embed_pq": q_embed_pq,
+    "q_embed_cluster_sample": q_embed_cluster_sample,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
     "q_crawl_incremental": q_crawl_incremental,
@@ -4335,6 +4352,13 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_embed_pq": (
             f"SELECT query_id, vec_id, adc_score, rank FROM read_parquet('{g}/q_embed_pq.parquet') "
             "ORDER BY query_id, rank"
+        ),
+        "q_embed_cluster_sample": (
+            "SELECT cluster, vec_id, CAST(rnk AS BIGINT) AS sample_rank FROM ("
+            "  SELECT cluster, vec_id, row_number() OVER ("
+            "    PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk"
+            f"  FROM read_parquet('{g}/q_embed_kmeans.parquet')"
+            ") WHERE rnk <= 10 ORDER BY cluster, rnk"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

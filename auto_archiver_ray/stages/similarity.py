@@ -396,7 +396,8 @@ def kmeans_assign(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> pd.DataFrame:
+    return_dataset: bool = False,
+):
     """Distributed Lloyd k-means over an embedding column, INTEGER-exact:
     cosine similarity as int64 fixed-point dot products (|x|<=2^20 per
     component -> sums < 2^47 at d<=128, no overflow), ties argmax -> lowest
@@ -479,9 +480,14 @@ def kmeans_assign(
             new_centers[c] = _kmeans_requantize(vsum, total)
         centers = new_centers
 
-    out = ds.map_batches(
+    assigned = ds.map_batches(
         make_pass(ray.put(centers), final=True), batch_format="pyarrow", batch_size=8192
-    ).to_pandas()
+    )
+    if return_dataset:
+        # composition path: assignments stay distributed ((id, cluster) int64
+        # rows, 16 B each) — downstream stages consume without a driver hop
+        return assigned
+    out = assigned.to_pandas()
     return out.sort_values(id_col, kind="mergesort").reset_index(drop=True)
 
 
@@ -614,3 +620,63 @@ def knn_pq(
         for rank, (s, negid) in enumerate(ranked, 1):
             rows.append((qi, -negid, int(s), rank))
     return pd.DataFrame(rows, columns=["query_id", id_col, "adc_score", "rank"])
+
+
+def kmeans_balanced_sample(
+    ds,
+    k: int = 8,
+    iters: int = 5,
+    per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """Cluster-balanced coreset sample (the diversity-mixing primitive:
+    equal representation from every k-means cluster regardless of cluster
+    skew): rank members within each cluster by md5(id) — a reproducible
+    pseudo-random order any engine can recompute — and keep the first
+    ``per_cluster``.
+
+    Scale shape: assignments stay a Dataset (kmeans_assign
+    return_dataset=True); a partial top-n combiner inside map_batches
+    emits at most k x per_cluster rows PER BATCH, so the driver's final
+    merge sees k x per_cluster x num_batches tiny rows — never a
+    cluster-sized group (the groupby(cluster).map_groups alternative
+    would materialize corpus/k rows in one task at 100 TB skew).
+
+    Returns (cluster, id_col, sample_rank) sorted by (cluster, rank)."""
+    import hashlib
+
+    assigned = kmeans_assign(ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col, return_dataset=True)
+
+    def partial_topn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        cl = np.asarray(batch.column("cluster").to_pylist(), dtype=np.int64)
+        if ids.size == 0:
+            return pa.table(
+                {
+                    "cluster": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "rk": pa.array([], pa.string()),
+                }
+            )
+        rk = np.asarray([hashlib.md5(str(i).encode()).hexdigest() for i in ids], dtype=object)
+        keep_c, keep_i, keep_r = [], [], []
+        for c in np.unique(cl):
+            sel = cl == c
+            order = np.lexsort((ids[sel], rk[sel]))[:per_cluster]
+            keep_c.extend([int(c)] * len(order))
+            keep_i.extend(ids[sel][order].tolist())
+            keep_r.extend(rk[sel][order].tolist())
+        return pa.table(
+            {
+                "cluster": pa.array(keep_c, pa.int64()),
+                id_col: pa.array(keep_i, pa.int64()),
+                "rk": pa.array(keep_r, pa.string()),
+            }
+        )
+
+    partials = assigned.map_batches(partial_topn, batch_format="pyarrow", batch_size=8192).to_pandas()
+    partials = partials.sort_values(["cluster", "rk", id_col], kind="mergesort")
+    partials["sample_rank"] = (partials.groupby("cluster", sort=False).cumcount() + 1).astype("int64")
+    out = partials[partials["sample_rank"] <= per_cluster][["cluster", id_col, "sample_rank"]]
+    return out.reset_index(drop=True)

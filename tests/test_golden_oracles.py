@@ -557,6 +557,43 @@ def test_kmeans_matches_serial_and_batch_invariant():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_cluster_sample_balanced_and_batch_invariant():
+    """Cluster-balanced sampling: exactly per_cluster rows from every
+    non-degenerate cluster, members carry their golden k-means label, the
+    md5 ranking matches a serial replay, and a different block layout
+    yields the identical frame (the partial top-n combiner is exact)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_embed_cluster_sample
+    from auto_archiver_ray.stages.similarity import kmeans_balanced_sample
+
+    got = q_embed_cluster_sample(SF_SMALL)
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    labels = gs.kmeans_serial(emb, k=8, iters=5)
+
+    # serial replay of the quota rule over the serial labels
+    lab = labels.copy()
+    lab["rk"] = lab["vec_id"].map(lambda i: hashlib.md5(str(i).encode()).hexdigest())
+    lab = lab.sort_values(["cluster", "rk", "vec_id"], kind="mergesort")
+    lab["sample_rank"] = (lab.groupby("cluster", sort=False).cumcount() + 1).astype("int64")
+    want = (
+        lab[lab["sample_rank"] <= 10][["cluster", "vec_id", "sample_rank"]]
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    sizes = got.groupby("cluster").size()
+    full = labels.groupby("cluster").size()
+    for c, n in sizes.items():
+        assert n == min(10, int(full.get(c, 0)))
+
+    ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    alt = kmeans_balanced_sample(ds.repartition(7), k=8, iters=5, per_cluster=10)
+    pd.testing.assert_frame_equal(alt.reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pq_matches_serial_and_batch_invariant():
     """PQ ADC kNN: (1) output — INCLUDING the int64 ADC score, the
     integer-exact design claim — matches the independent serial replay
