@@ -3901,6 +3901,60 @@ def q_embed_kmeans(sf_dir: str):
     return kmeans_assign(ds, k=8, iters=5)
 
 
+def q_crawl_recrawl(sf_dir: str):
+    """Re-crawl admission via the CUCKOO seen-filter (the deletable half of
+    the north rule's "bloom/cuckoo URL-seen"): every valid page is admitted
+    and marked seen; pages whose archived copy is deletion-detected are
+    FORGOTTEN (frontier.forget_stage — the capability a Bloom bit array
+    cannot provide); a second sweep over the same source then re-admits
+    exactly the forgotten URLs. Output: the re-admitted RAW urls, distinct
+    + sorted (url-canonical classes are singletons on this corpus, so the
+    set is deterministic; with colliding raws, which one wins re-admission
+    would be scheduling-dependent and the contract would move to url_hash).
+    All three passes stream over a skinny 4-column projection pinned once;
+    forget routes by host shard inside map_batches — no driver-side URL
+    list.
+
+    Oracle: valid + deletion-indicator predicate in SQL (the
+    q_pages_deletion tables), DISTINCT url."""
+    import uuid
+
+    from ..pipelines.archive import archive_pages
+    from ..state.frontier import Frontier
+
+    ds = archive_pages(sf_dir, extract_concurrency=8)
+    slim = ds.select_columns(["url", "url_hash", "host", "deletion_detected"]).materialize()
+
+    f = Frontier(
+        num_shards=4,
+        capacity_per_shard=1_000_000,
+        name_prefix=f"rc_{uuid.uuid4().hex[:8]}",
+        seen_filter="cuckoo",
+    )
+    try:
+        # pass 1: mark every valid canonical URL seen
+        slim.map_batches(f.filter_new_stage(), batch_format="pyarrow").count()
+        # pass 2: forget the deletion-detected ones (streamed, shard-routed)
+        slim.map_batches(
+            lambda t: t.filter(pc.field("deletion_detected")), batch_format="pyarrow"
+        ).map_batches(f.forget_stage(), batch_format="pyarrow").sum("n_forgotten")
+        # pass 3: re-offer everything — only the forgotten re-admit
+        re_adm = slim.map_batches(f.filter_new_stage(), batch_format="pyarrow").to_pandas()
+    finally:
+        f.shutdown()
+    urls = sorted(set(re_adm["url"])) if "url" in re_adm.columns else []
+    return pd.DataFrame({"url": pd.Series(urls, dtype=str)})
+
+
+def _sql_crawl_recrawl() -> str:
+    return f"""
+SELECT DISTINCT url FROM (
+  SELECT url, {_platform_case_sql()} AS platform, text FROM __PAGES__ WHERE {_VALID_SQL}
+) WHERE {_deleted_case_sql()}
+ORDER BY url
+"""
+
+
 def q_embed_cluster_sample(sf_dir: str):
     """Cluster-balanced coreset sample: k-means the embedding space
     (integer-exact kmeans_assign, labels golden-checked by q_embed_kmeans)
@@ -4077,6 +4131,7 @@ QUERIES = {
     "q_embed_kmeans": q_embed_kmeans,
     "q_embed_pq": q_embed_pq,
     "q_embed_cluster_sample": q_embed_cluster_sample,
+    "q_crawl_recrawl": q_crawl_recrawl,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
     "q_crawl_incremental": q_crawl_incremental,
@@ -4312,6 +4367,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_host_quality": _sql_pages(sf_dir, _sql_pages_host_quality()),
         "q_pages_urlfilter": _sql_pages(sf_dir, _sql_pages_urlfilter()),
         "q_crawl_incremental": _sql_pages(sf_dir, SQL_CRAWL_INCREMENTAL),
+        "q_crawl_recrawl": _sql_pages(sf_dir, _sql_crawl_recrawl()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

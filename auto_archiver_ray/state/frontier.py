@@ -9,7 +9,10 @@ sharded actors:
 - shard routing: ``shard = hash64(host) % num_shards`` — hash-partitioned
   by host so one shard owns both the seen-filter entries *and* the
   politeness/robots state for a host (no cross-shard coordination);
-- URL-seen: a Bloom filter per shard over sha256(url_canon) digests;
+- URL-seen: a Bloom filter per shard over sha256(url_canon) digests, or a
+  cuckoo filter (``seen_filter="cuckoo"``) when deletion is needed — the
+  re-crawl admission path: ``forget()`` removes a URL whose archived copy
+  was detected deleted, and the frontier admits it again;
 - politeness: deterministic token-bucket plan — per host, at most
   ``per_host_budget`` URLs per epoch, ordering (priority, warc_ts,
   url_canon);
@@ -37,6 +40,7 @@ import pyarrow as pa
 import ray
 
 from .bloom import BloomFilter
+from .cuckoo import CuckooFilter
 
 
 def shard_ids_for_hosts(hosts, num_shards: int) -> np.ndarray:
@@ -70,9 +74,21 @@ class FrontierShard:
     """One frontier partition: Bloom seen-filter + per-host politeness
     (priority heaps) and robots state + counters, checkpointable."""
 
-    def __init__(self, shard_id: int, capacity: int = 1_000_000, error_rate: float = 1e-4):
+    def __init__(
+        self,
+        shard_id: int,
+        capacity: int = 1_000_000,
+        error_rate: float = 1e-4,
+        seen_filter: str = "bloom",
+    ):
         self.shard_id = shard_id
-        self.bloom = BloomFilter(capacity, error_rate)
+        self.seen_kind = seen_filter
+        if seen_filter == "cuckoo":
+            self.bloom = CuckooFilter(capacity)
+        elif seen_filter == "bloom":
+            self.bloom = BloomFilter(capacity, error_rate)
+        else:
+            raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
         self.robots: dict[str, list[str]] = {}
         self.host_counts: dict[str, int] = {}
         self.counters = {"offered": 0, "admitted": 0, "duplicate": 0}
@@ -181,6 +197,24 @@ class FrontierShard:
     def peek(self, digests: list[bytes]) -> list[bool]:
         return [d in self.bloom for d in digests]
 
+    def forget(self, digests, hosts: list[str]) -> list[bool]:
+        """Remove URLs from the seen-filter so a later offer re-admits them
+        (re-crawl admission after deletion detection). Requires the cuckoo
+        seen-filter — a Bloom bit array cannot delete; calling this on a
+        bloom shard is a hard error, not a silent no-op."""
+        if self.seen_kind != "cuckoo":
+            raise TypeError(
+                "forget() needs seen_filter='cuckoo' (bloom filters cannot delete)"
+            )
+        removed = self.bloom.delete_batch(digests)
+        n_rm = sum(removed)
+        self.counters["admitted"] -= n_rm
+        self.counters["forgotten"] = self.counters.get("forgotten", 0) + n_rm
+        for h, rm in zip(hosts, removed):
+            if rm and h in self.host_counts:
+                self.host_counts[h] -= 1
+        return removed
+
     # ---------------------------------------------------------------- robots
     def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
         self.robots[host] = disallow_prefixes
@@ -221,6 +255,7 @@ class FrontierShard:
             # next emit re-sorts — identical order by construction.
             "pending": {h: s[0][s[1]:] + s[2] for h, s in self.pending.items()},
             "host_budgets": getattr(self, "host_budgets", {}),
+            "seen_kind": self.seen_kind,
         }
         blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
         tmp = path + ".tmp"
@@ -250,22 +285,77 @@ class FrontierShard:
             if entries
         }
         self.host_budgets = meta.get("host_budgets", {})
-        self.bloom = BloomFilter.from_bytes(bloom_b)
+        self.seen_kind = meta.get("seen_kind", "bloom")
+        cls = CuckooFilter if self.seen_kind == "cuckoo" else BloomFilter
+        self.bloom = cls.from_bytes(bloom_b)
         return True
 
 
 class Frontier:
     """Driver-side handle over the shard pool."""
 
-    def __init__(self, num_shards: int = 8, capacity_per_shard: int = 1_000_000, error_rate: float = 1e-4, name_prefix: str = "frontier"):
+    def __init__(
+        self,
+        num_shards: int = 8,
+        capacity_per_shard: int = 1_000_000,
+        error_rate: float = 1e-4,
+        name_prefix: str = "frontier",
+        seen_filter: str = "bloom",
+    ):
         self.num_shards = num_shards
         self.name_prefix = name_prefix
         self.shards = [
             FrontierShard.options(name=f"{name_prefix}_{i}", get_if_exists=True).remote(
-                i, capacity_per_shard, error_rate
+                i, capacity_per_shard, error_rate, seen_filter
             )
             for i in range(num_shards)
         ]
+
+    def forget(self, url_hashes: list[str], hosts: list[str]) -> int:
+        """Remove URLs from the seen set (cuckoo frontiers only) so the next
+        offer re-admits them — the re-crawl path after deletion detection.
+        Routes by host shard like every other frontier op; returns the
+        number actually removed."""
+        if not url_hashes:
+            return 0
+        shard_ids = shard_ids_for_hosts(hosts, self.num_shards)
+        digmat = _digest_matrix(url_hashes)
+        host_arr = np.asarray(hosts, dtype=object)
+        futures = []
+        for s in np.unique(shard_ids):
+            idx = np.nonzero(shard_ids == s)[0]
+            futures.append(
+                self.shards[int(s)].forget.remote(digmat[idx], host_arr[idx].tolist())
+            )
+        return sum(sum(r) for r in ray.get(futures))
+
+    def forget_stage(self):
+        """map_batches callable: forget every row's url_hash (cuckoo
+        frontiers only) — the streaming re-crawl admission path. Requires
+        ``host`` and ``url_hash`` columns; emits a one-row count table per
+        batch (consume with ``.sum("n_forgotten")``)."""
+        shards = self.shards
+        num_shards = self.num_shards
+
+        def fn(batch: pa.Table) -> pa.Table:
+            hosts = batch.column("host").to_pylist()
+            n = len(hosts)
+            if n == 0:
+                return pa.table({"n_forgotten": pa.array([0], pa.int64())})
+            hashes = batch.column("url_hash").to_pylist()
+            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            digmat = _digest_matrix(hashes)
+            host_arr = np.asarray(hosts, dtype=object)
+            futures = []
+            for s in np.unique(shard_ids):
+                idx = np.nonzero(shard_ids == s)[0]
+                futures.append(
+                    shards[int(s)].forget.remote(digmat[idx], host_arr[idx].tolist())
+                )
+            total = sum(sum(r) for r in ray.get(futures))
+            return pa.table({"n_forgotten": pa.array([total], pa.int64())})
+
+        return fn
 
     # ------------------------------------------------------------- dataset op
     def filter_new_stage(self):

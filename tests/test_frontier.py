@@ -413,3 +413,113 @@ def test_crawl_delay_budget_overrides(tmp_path):
     f2.shutdown()
     sizes1 = e1.groupby("host").size()
     assert sizes1["slow.org"] == 2 and sizes1["fast.org"] == 1  # residue drained
+
+
+def test_cuckoo_basics_and_delete():
+    import hashlib
+
+    from auto_archiver_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(10_000)
+    keys = [hashlib.sha256(f"k{i}".encode()).digest() for i in range(1000)]
+    flags = cf.add_batch(keys)
+    assert sum(flags) >= 998  # ~1.2e-4 inherent admission FP rate
+    assert cf.contains_batch(keys).all()  # NO false negatives, ever
+    assert cf.add_batch(keys) == [False] * 1000  # all dups
+    # the cuckoo's distinguishing capability: delete → re-admissible
+    ins = [k for k, f in zip(keys, flags) if f][:100]
+    assert sum(cf.delete_batch(ins)) == 100
+    assert sum(cf.add_batch(ins)) >= 99
+    others = [hashlib.sha256(f"x{i}".encode()).digest() for i in range(2000)]
+    assert cf.contains_batch(others).mean() < 0.005
+    # within-batch repeat semantics match BloomFilter.add_batch
+    import hashlib as h
+
+    nk = h.sha256(b"zz-new").digest()
+    assert cf.add_batch([keys[0], nk, nk]) == [False, True, False]
+
+
+def test_cuckoo_roundtrip_and_high_load():
+    import hashlib
+
+    from auto_archiver_ray.state.cuckoo import CuckooFilter
+
+    cf = CuckooFilter(2000)
+    total = cf.nbuckets * 4
+    keys = [hashlib.sha256(f"hl{i}".encode()).digest() for i in range(int(total * 0.88))]
+    n = sum(cf.add_batch(keys))
+    assert n >= len(keys) - 5 and cf.contains_batch(keys).all()
+    cf2 = CuckooFilter.from_bytes(cf.to_bytes())
+    assert (cf2.table == cf.table).all() and cf2.count == cf.count
+    assert cf2.contains_batch(keys).all()
+
+
+def test_cuckoo_add_batch_matches_sequential():
+    """Vectorized placement reports the same is_new flags as one-key-at-a-
+    time adds into a twin filter (placement POSITIONS may differ — the flags
+    and the no-false-negative guarantee are the contract)."""
+    import hashlib
+
+    from auto_archiver_ray.state.cuckoo import CuckooFilter
+
+    keys = [hashlib.sha256(f"s{i}".encode()).digest() for i in range(3000)]
+    batched, seq = CuckooFilter(5000), CuckooFilter(5000)
+    got = batched.add_batch(keys)
+    want = [not seq.add(k) for k in keys]
+    assert got == want
+    assert batched.count == seq.count
+    assert batched.contains_batch(keys).all() and seq.contains_batch(keys).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_cuckoo_forget_readmits(tmp_path):
+    """seen_filter='cuckoo': forget() removes URLs from the seen set and the
+    frontier re-admits exactly those; bloom frontiers hard-error on forget;
+    checkpoint/restore preserves the cuckoo table and the forgotten state."""
+    import ray
+    import ray.data as rd
+
+    from auto_archiver_ray.stages import validate
+    from auto_archiver_ray.state.frontier import Frontier
+
+    def run(frontier, items):
+        ds = rd.from_items(items).map_batches(validate.validate_batch, batch_format="pyarrow")
+        ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow")
+        df = ds.to_pandas()
+        if "url" not in df.columns:
+            return df.iloc[0:0]
+        return df[["url", "url_hash", "host"]].sort_values("url").reset_index(drop=True)
+
+    urls = [{"url": f"https://h{i % 5}.example.org/p/{i}"} for i in range(200)]
+    fr = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_ck1", seen_filter="cuckoo")
+    first = run(fr, urls)
+    assert len(first) == 200
+    assert len(run(fr, urls)) == 0  # all seen now
+
+    # forget 40 detected-deleted URLs → exactly those re-admit
+    gone = first.iloc[::5]
+    removed = fr.forget(gone["url_hash"].tolist(), gone["host"].tolist())
+    assert removed == len(gone)
+    again = run(fr, urls)
+    assert sorted(again["url"]) == sorted(gone["url"])
+    assert len(run(fr, urls)) == 0
+    stats = fr.stats()
+    assert sum(s.get("forgotten", 0) for s in stats) == len(gone)
+
+    # checkpoint → restore into a fresh pool → seen set identical
+    ckpt = str(tmp_path / "ck")
+    fr.checkpoint(ckpt)
+    fr.shutdown()
+    f2 = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_ck2", seen_filter="cuckoo")
+    assert f2.restore(ckpt) == 4
+    assert len(run(f2, urls)) == 0
+    # forget works across restore (the table round-tripped as cuckoo)
+    assert f2.forget(gone["url_hash"].tolist()[:3], gone["host"].tolist()[:3]) == 3
+    f2.shutdown()
+
+    # bloom frontier: forget is a HARD error, not a silent no-op
+    fb = Frontier(num_shards=2, capacity_per_shard=1000, name_prefix="t_ck3")
+    run(fb, urls[:10])
+    with pytest.raises(ray.exceptions.RayTaskError):
+        fb.forget([first["url_hash"][0]], [first["host"][0]])
+    fb.shutdown()
