@@ -548,3 +548,49 @@ def test_epoch_reads_bounded_by_members(tmp_path):
         assert r["files_read"] <= max(1, r["n_members"])
         assert r["bytes_read"] <= r["bytes_total"]
     assert sum(r["files_read"] for r in breads) < len(breads) * breads[0]["files_total"] / 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_streaming_cuckoo_recrawl(tmp_path):
+    """The cuckoo seen-filter drives the FULL streaming crawl: (1) a cuckoo
+    frontier produces the identical crawl output to the default bloom one
+    (same admission semantics); (2) forgetting a fetched subset and
+    re-running the crawl over the same source fetches EXACTLY that subset
+    again — the re-crawl loop the deletable filter exists for."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_streaming
+
+    path = ensure_pages("/root/testdata/sf0.001")
+
+    fb = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="ckb")
+    w1, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "bloom"), frontier=fb,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    fb.shutdown()
+
+    fc = Frontier(
+        num_shards=4, capacity_per_shard=100_000, name_prefix="ckc", seen_filter="cuckoo"
+    )
+    w2, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "cuckoo"), frontier=fc,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    cols = ["url", "fetch_epoch", "text_extracted"]
+    a = w1.read_all().to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    b = w2.read_all().to_pandas()[cols].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+    # re-crawl: forget 10 fetched urls, run again over the same source into
+    # a fresh out_root — exactly those 10 come back
+    full = w2.read_all().to_pandas()
+    gone = full.sort_values("url").iloc[::17][["url_hash", "host", "url"]].head(10)
+    assert fc.forget(gone["url_hash"].tolist(), gone["host"].tolist()) == 10
+    w3, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "recrawl"), frontier=fc,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    refetched = w3.read_all().to_pandas()
+    assert sorted(refetched["url"]) == sorted(gone["url"])
+    fc.shutdown()
