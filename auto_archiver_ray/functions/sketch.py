@@ -82,3 +82,164 @@ def approx_distinct(ds, col: str, p: int = 14) -> float:
         for raw in b.column("sketch").to_pylist():
             merged.merge(HyperLogLog.from_bytes(raw))
     return merged.estimate()
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over string keys:
+    ``depth`` rows of ``width`` int64 counters; point estimate = min over
+    rows (one-sided: estimate >= true count, always).
+
+    All hashing is derived from pd.util.hash_array's keyed siphash (one C
+    call per batch, deterministic across processes) + a splitmix64 mix for
+    the second hash — positions row r = (h1 + r*h2) mod width, h2 forced
+    odd. Counter merges are integer ADDS, so the merged sketch — and every
+    estimate read from it — is bit-identical under any batch composition,
+    merge order, or retry."""
+
+    def __init__(self, depth: int = 4, width: int = 8192):
+        self.depth = depth
+        self.width = width
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    @staticmethod
+    def _h1h2(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        import pandas as pd
+
+        h1 = pd.util.hash_array(np.asarray(values, dtype=object), categorize=False)
+        z = h1 + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+        return h1, h2
+
+    def _positions(self, values: np.ndarray) -> np.ndarray:
+        """(n, depth) counter columns per value."""
+        h1, h2 = self._h1h2(values)
+        rows = np.arange(self.depth, dtype=np.uint64)[None, :]
+        return ((h1[:, None] + rows * h2[:, None]) % np.uint64(self.width)).astype(np.int64)
+
+    def add_many(self, values, counts) -> None:
+        v = np.asarray(values, dtype=object)
+        if v.size == 0:
+            return
+        c = np.asarray(counts, dtype=np.int64)
+        pos = self._positions(v)
+        for r in range(self.depth):
+            np.add.at(self.counts[r], pos[:, r], c)
+
+    def estimate(self, values) -> np.ndarray:
+        v = np.asarray(values, dtype=object)
+        if v.size == 0:
+            return np.zeros(0, dtype=np.int64)
+        pos = self._positions(v)
+        ests = np.stack([self.counts[r][pos[:, r]] for r in range(self.depth)])
+        return ests.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert (self.depth, self.width) == (other.depth, other.width)
+        self.counts += other.counts
+        return self
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.depth]) + self.width.to_bytes(4, "little") + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        s = cls(data[0], int.from_bytes(data[1:5], "little"))
+        s.counts = np.frombuffer(data[5:], dtype=np.int64).reshape(s.depth, s.width).copy()
+        return s
+
+
+def heavy_hitters(
+    ds,
+    text_col: str = "text",
+    phi: float = 0.002,
+    depth: int = 4,
+    width: int = 8192,
+    batch_size: int = 4096,
+):
+    """phi-heavy-hitters over the whitespace token stream, CMS-based and
+    batch-invariant — the bounded-memory sibling of the exact term reduce
+    (q_doc_top_terms) for vocabularies that do NOT fit anywhere:
+
+    1. one CMS per batch (depth x width int64, 256 KB) — a tree merge
+       (map_batches over sketch rows, then a tiny driver fold) produces
+       THE corpus sketch; integer adds make it composition-independent;
+    2. a second streamed pass estimates each batch's distinct terms
+       against the broadcast merged sketch and emits those with
+       estimate >= ceil(phi * total_tokens). Because estimate >= true
+       count (one-sided error), every TRUE phi-heavy term is emitted —
+       candidate recall is exact; over-counted extras rank by the same
+       deterministic estimate.
+
+    Returns (term, est_count) for the candidate union, sorted by
+    (est_count DESC, term ASC). Driver holds only sketches and the
+    candidate set (<= corpus_tokens/T terms by construction)."""
+    import pyarrow as pa
+    import ray
+
+    from collections import Counter
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        total = 0
+        for t in batch.column(text_col).to_pylist():
+            toks = (t or "").split()
+            total += len(toks)
+            c.update(toks)
+        s = CountMinSketch(depth, width)
+        s.add_many(np.asarray(list(c.keys()), dtype=object), np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+        return pa.table(
+            {
+                "sketch": pa.array([s.to_bytes()], pa.binary()),
+                "n_tokens": pa.array([total], pa.int64()),
+            }
+        )
+
+    def merge_rows(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch(depth, width)
+        for raw in batch.column("sketch").to_pylist():
+            s.merge(CountMinSketch.from_bytes(raw))
+        n = sum(batch.column("n_tokens").to_pylist())
+        return pa.table(
+            {
+                "sketch": pa.array([s.to_bytes()], pa.binary()),
+                "n_tokens": pa.array([n], pa.int64()),
+            }
+        )
+
+    sketches = ds.map_batches(sketch_batch, batch_format="pyarrow", batch_size=batch_size)
+    # distributed tree level: 64 batch-sketches -> 1 (driver then folds the
+    # handful of level-1 rows; at 100 TB add levels, each a map_batches)
+    level1 = sketches.map_batches(merge_rows, batch_format="pyarrow", batch_size=64)
+    merged = CountMinSketch(depth, width)
+    total_tokens = 0
+    for b in level1.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged.merge(CountMinSketch.from_bytes(raw))
+        total_tokens += sum(b.column("n_tokens").to_pylist())
+    threshold = max(1, int(np.ceil(phi * total_tokens)))
+    cms_ref = ray.put(merged.to_bytes())
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        s = CountMinSketch.from_bytes(ray.get(cms_ref))
+        terms: set = set()
+        for t in batch.column(text_col).to_pylist():
+            terms.update((t or "").split())
+        tv = np.asarray(sorted(terms), dtype=object)
+        est = s.estimate(tv)
+        keep = est >= threshold
+        return pa.table(
+            {
+                "term": pa.array(tv[keep].tolist(), pa.string()),
+                "est_count": pa.array(est[keep], pa.int64()),
+            }
+        )
+
+    import pandas as pd
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow", batch_size=batch_size).to_pandas()
+    out = cand.drop_duplicates("term").sort_values(
+        ["est_count", "term"], ascending=[False, True], kind="mergesort"
+    )
+    return out.reset_index(drop=True), threshold, total_tokens

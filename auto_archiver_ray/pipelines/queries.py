@@ -3955,6 +3955,24 @@ ORDER BY url
 """
 
 
+def q_doc_heavy_terms(sf_dir: str):
+    """phi-heavy-hitters over the corpus token stream via a Count-Min
+    sketch — the bounded-memory sibling of the exact term reduce for
+    vocabularies that fit nowhere: one 256 KB sketch per batch, tree-merged
+    (integer adds — the merged sketch is bit-identical under any batch
+    composition), then a second streamed pass emits every term whose
+    estimate clears ceil(phi·total). One-sided error means candidate
+    recall is EXACT: every true phi-heavy term is present. Golden:
+    independent serial replay (the commuting-adds law makes the global
+    single-build sketch equal the distributed merge bit-for-bit)."""
+    from ..functions.sketch import heavy_hitters
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    out, _thr, _total = heavy_hitters(ds, phi=0.002)
+    return out
+
+
 def q_embed_cluster_sample(sf_dir: str):
     """Cluster-balanced coreset sample: k-means the embedding space
     (integer-exact kmeans_assign, labels golden-checked by q_embed_kmeans)
@@ -4131,6 +4149,7 @@ QUERIES = {
     "q_embed_kmeans": q_embed_kmeans,
     "q_embed_pq": q_embed_pq,
     "q_embed_cluster_sample": q_embed_cluster_sample,
+    "q_doc_heavy_terms": q_doc_heavy_terms,
     "q_crawl_recrawl": q_crawl_recrawl,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
@@ -4415,6 +4434,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "    PARTITION BY cluster ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk"
             f"  FROM read_parquet('{g}/q_embed_kmeans.parquet')"
             ") WHERE rnk <= 10 ORDER BY cluster, rnk"
+        ),
+        "q_doc_heavy_terms": (
+            f"SELECT term, est_count FROM read_parquet('{g}/q_doc_heavy_terms.parquet') "
+            "ORDER BY est_count DESC, term"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

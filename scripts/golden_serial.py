@@ -781,3 +781,48 @@ def knn_pq_serial(
         for rank, j in enumerate(idx, 1):
             rows.append((qi, int(ids[j]), int(scores[j]), rank))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc_score", "rank"])
+
+
+def heavy_terms_serial(
+    docs: pd.DataFrame, phi: float = 0.002, depth: int = 4, width: int = 8192
+) -> pd.DataFrame:
+    """phi-heavy-hitters replay (same arithmetic spec as
+    functions/sketch.CountMinSketch + heavy_hitters, independently coded):
+    exact global token counts feed one Count-Min sketch — integer adds
+    commute, so the distributed per-batch-sketch merge equals this single
+    global build bit-for-bit; candidates = every corpus term whose sketch
+    estimate >= ceil(phi * total_tokens). (term, est_count) sorted by
+    (est_count DESC, term ASC)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    total = 0
+    for t in docs["text"]:
+        toks = (t or "").split()
+        total += len(toks)
+        c.update(toks)
+
+    terms = np.asarray(list(c.keys()), dtype=object)
+    cnts = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+
+    h1 = pd.util.hash_array(terms, categorize=False)
+    z = h1 + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    h2 = (z ^ (z >> np.uint64(31))) | np.uint64(1)
+    rows = np.arange(depth, dtype=np.uint64)[None, :]
+    pos = ((h1[:, None] + rows * h2[:, None]) % np.uint64(width)).astype(np.int64)
+
+    counts = np.zeros((depth, width), dtype=np.int64)
+    for r in range(depth):
+        np.add.at(counts[r], pos[:, r], cnts)
+    est = np.stack([counts[r][pos[:, r]] for r in range(depth)]).min(axis=0)
+
+    threshold = max(1, int(np.ceil(phi * total)))
+    keep = est >= threshold
+    out = pd.DataFrame({"term": terms[keep], "est_count": est[keep]})
+    out["term"] = out["term"].astype(str)
+    return (
+        out.sort_values(["est_count", "term"], ascending=[False, True], kind="mergesort")
+        .reset_index(drop=True)
+    )

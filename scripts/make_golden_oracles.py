@@ -92,6 +92,7 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.kcenter_serial(emb).to_parquet(f"{out_dir}/q_embed_kcenter.parquet", index=False)
     gs.kmeans_serial(emb).to_parquet(f"{out_dir}/q_embed_kmeans.parquet", index=False)
     gs.knn_pq_serial(emb).to_parquet(f"{out_dir}/q_embed_pq.parquet", index=False)
+    gs.heavy_terms_serial(docs).to_parquet(f"{out_dir}/q_doc_heavy_terms.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
 
 

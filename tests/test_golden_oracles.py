@@ -175,6 +175,7 @@ def test_checked_in_goldens_are_fresh_sf001():
         "q_embed_kcenter": lambda: gs.kcenter_serial(emb, k=16),
         "q_embed_kmeans": lambda: gs.kmeans_serial(emb, k=8, iters=5),
         "q_embed_pq": lambda: gs.knn_pq_serial(emb),
+        "q_doc_heavy_terms": lambda: gs.heavy_terms_serial(docs),
     }
     from auto_archiver_ray.sources.images import generate_images
 
@@ -554,6 +555,42 @@ def test_kmeans_matches_serial_and_batch_invariant():
     ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
     tiny = kmeans_assign(ds.repartition(7), k=8, iters=5)
     pd.testing.assert_frame_equal(tiny.reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_heavy_terms_matches_serial_and_cms_laws():
+    """CMS phi-heavy-hitters: (1) distributed output matches the serial
+    replay bit-for-bit (commuting integer adds — the merged sketch equals
+    the global single-build); (2) a different block layout yields the
+    identical frame; (3) the CMS one-sided law holds (estimate >= exact
+    count for every emitted term); (4) candidate recall is EXACT: every
+    term whose TRUE count clears the threshold is present."""
+    from collections import Counter
+
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.functions.sketch import heavy_hitters
+    from auto_archiver_ray.pipelines.queries import q_doc_heavy_terms
+
+    got = q_doc_heavy_terms(SF_SMALL)
+    docs = _docs(SF_SMALL)
+    want = gs.heavy_terms_serial(docs)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+
+    ds = rd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["text"])
+    alt, threshold, total = heavy_hitters(ds.repartition(7), phi=0.002)
+    pd.testing.assert_frame_equal(alt.reset_index(drop=True), want)
+
+    exact: Counter = Counter()
+    for t in docs["text"]:
+        exact.update((t or "").split())
+    assert total == sum(exact.values())
+    est_by_term = dict(zip(got["term"], got["est_count"]))
+    for term, est in est_by_term.items():
+        assert est >= exact[term]  # one-sided error, no exceptions
+    heavy_true = {t for t, n in exact.items() if n >= threshold}
+    assert heavy_true <= set(est_by_term)  # exact recall at the threshold
 
 
 @pytest.mark.usefixtures("ray_session")
