@@ -466,10 +466,37 @@ def kmeans_assign(
 
         return assign_pass
 
+    def combine_partials(batch: pa.Table) -> pa.Table:
+        """Tree-combine level: merge ~256 per-batch partial rows into <=k.
+        Integer adds commute, so any combine topology yields the same
+        sums — the driver reduce sees O(levels x k) rows, not O(blocks x k)."""
+        cl = np.asarray(batch.column("cluster").to_pylist(), dtype=np.int64)
+        if cl.size == 0:
+            return batch
+        cnt = np.asarray(batch.column("count").to_pylist(), dtype=np.int64)
+        vs = np.asarray(batch.column("vsum").to_pylist(), dtype=np.int64)
+        clusters, counts, vsums = [], [], []
+        for c in np.unique(cl):
+            sel = cl == c
+            clusters.append(int(c))
+            counts.append(int(cnt[sel].sum()))
+            vsums.append(vs[sel].sum(axis=0).tolist())
+        return pa.table(
+            {
+                "cluster": pa.array(clusters, pa.int64()),
+                "count": pa.array(counts, pa.int64()),
+                "vsum": pa.array(vsums, pa.list_(pa.int64())),
+            }
+        )
+
     for _ in range(iters):
-        partials = ds.map_batches(
-            make_pass(ray.put(centers), final=False), batch_format="pyarrow", batch_size=8192
-        ).to_pandas()
+        partials = (
+            ds.map_batches(
+                make_pass(ray.put(centers), final=False), batch_format="pyarrow", batch_size=8192
+            )
+            .map_batches(combine_partials, batch_format="pyarrow", batch_size=256 * k)
+            .to_pandas()
+        )
         new_centers = centers.copy()
         for c in range(centers.shape[0]):
             rows = partials[partials["cluster"] == c]
