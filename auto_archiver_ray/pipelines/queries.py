@@ -3955,6 +3955,24 @@ ORDER BY url
 """
 
 
+def q_embed_ivfpq(sf_dir: str):
+    """IVF-PQ ANN — the composed billion-vector recipe: probe the nprobe
+    nearest coarse cells (knn_ivf's filter), then score the survivors from
+    m-byte PQ codes with integer-exact ADC (knn_pq). Scores stay
+    golden-comparable through the composition. Oracle: independent serial
+    replay (scripts/golden_serial.knn_ivfpq_serial)."""
+    from ..stages.similarity import knn_ivfpq, train_ivf_centroids, train_pq_codebooks
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds, nlist=16)
+    books = train_pq_codebooks(ds, m=8, ncodes=16)
+    out = knn_ivfpq(ds, _load_queries(sf_dir), cent, books, k=10, nprobe=4)
+    return out.astype(
+        {"query_id": "int64", "vec_id": "int64", "adc_score": "int64", "rank": "int64"}
+    )
+
+
 def q_doc_heavy_terms(sf_dir: str):
     """phi-heavy-hitters over the corpus token stream via a Count-Min
     sketch — the bounded-memory sibling of the exact term reduce for
@@ -4150,6 +4168,7 @@ QUERIES = {
     "q_embed_pq": q_embed_pq,
     "q_embed_cluster_sample": q_embed_cluster_sample,
     "q_doc_heavy_terms": q_doc_heavy_terms,
+    "q_embed_ivfpq": q_embed_ivfpq,
     "q_crawl_recrawl": q_crawl_recrawl,
     "q_crawl_bfs": q_crawl_bfs,
     "q_crawl_epochs": q_crawl_epochs,
@@ -4442,6 +4461,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_heavy_terms": (
             f"SELECT term, est_count FROM read_parquet('{g}/q_doc_heavy_terms.parquet') "
             "ORDER BY est_count DESC, term"
+        ),
+        "q_embed_ivfpq": (
+            f"SELECT query_id, vec_id, adc_score, rank FROM read_parquet('{g}/q_embed_ivfpq.parquet') "
+            "ORDER BY query_id, rank"
         ),
         "q_doc_clusters": _sql_cluster_labels(g) + " ORDER BY node",
         "q_doc_neardup_dedup": (

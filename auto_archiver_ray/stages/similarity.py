@@ -124,9 +124,21 @@ def knn_ivf(
     import ray
 
     q = _normalize(np.asarray(queries, dtype=np.float32))
-    cq = q @ centroids.T
+    filtered = ds.map_batches(
+        _ivf_cell_filter(q, centroids, nprobe, vec_col), batch_format="pyarrow", batch_size=8192
+    )
+    return knn_brute_force(filtered, q, k, id_col, vec_col)
+
+
+def _ivf_cell_filter(q_unit: np.ndarray, centroids: np.ndarray, nprobe: int, vec_col: str):
+    """map_batches callable keeping rows whose nearest coarse centroid is
+    among the union of every query's ``nprobe`` closest cells (shared by
+    knn_ivf and knn_ivfpq)."""
+    import ray
+
+    cq = q_unit @ centroids.T
     probe_cells = set()
-    for qi in range(q.shape[0]):
+    for qi in range(q_unit.shape[0]):
         probe_cells.update(np.argsort(-cq[qi])[:nprobe].tolist())
     cells_ref = ray.put((centroids, frozenset(probe_cells)))
 
@@ -139,7 +151,30 @@ def knn_ivf(
         mask = np.isin(assign, list(cells))
         return batch.filter(pa.array(mask))
 
-    return knn_brute_force(ds.map_batches(cell_filter, batch_format="pyarrow", batch_size=8192), q, k, id_col, vec_col)
+    return cell_filter
+
+
+def knn_ivfpq(
+    ds,
+    queries: np.ndarray,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pd.DataFrame:
+    """IVF-PQ: the coarse cell filter of :func:`knn_ivf` composed with the
+    integer-exact ADC scoring of :func:`knn_pq` — the full billion-vector
+    recipe (probe a few cells, score survivors from m-byte codes). The
+    filter drops whole rows before any PQ work; everything downstream keeps
+    knn_pq's bit-determinism, so the composed output (scores included) is
+    golden-comparable."""
+    q = _normalize(np.asarray(queries, dtype=np.float32))
+    filtered = ds.map_batches(
+        _ivf_cell_filter(q, centroids, nprobe, vec_col), batch_format="pyarrow", batch_size=8192
+    )
+    return knn_pq(filtered, queries, codebooks, k, id_col, vec_col)
 
 
 def semantic_dedup(

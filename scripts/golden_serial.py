@@ -826,3 +826,73 @@ def heavy_terms_serial(
         out.sort_values(["est_count", "term"], ascending=[False, True], kind="mergesort")
         .reset_index(drop=True)
     )
+
+
+def knn_ivfpq_serial(
+    emb: pd.DataFrame,
+    n_queries: int = 3,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    ncodes: int = 16,
+    sample_rows: int = 4096,
+    seed: int = 7,
+    iters: int = 10,
+) -> pd.DataFrame:
+    """IVF-PQ replay: knn_ivf_serial's coarse member selection composed
+    with knn_pq_serial's integer ADC scoring over the members only —
+    codebooks trained on the FULL-corpus bounded sample (the composition
+    trains before filtering, like the distributed path).
+    (query_id, vec_id, adc_score, rank)."""
+    FP = 1 << 20
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    unit = _unit(np.asarray(emb["embedding"].tolist(), dtype=np.float32))
+    x = unit[:sample_rows]
+    rng = np.random.Generator(np.random.PCG64(seed))
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)].copy()
+    for _ in range(iters):
+        assign = (x @ cent.T).argmax(axis=1)
+        for c in range(cent.shape[0]):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _unit(cent)
+
+    sel = np.isin(ids, np.arange(n_queries))
+    q_ids = ids[sel]
+    q = unit[sel][np.argsort(q_ids)]
+    cq = q @ cent.T
+    probe = set()
+    for qi in range(q.shape[0]):
+        probe.update(np.argsort(-cq[qi])[:nprobe].tolist())
+    member = np.isin((unit @ cent.T).argmax(axis=1), list(probe))
+    mids, munit = ids[member], unit[member]
+
+    d = unit.shape[1]
+    dsub = d // m
+    rng2 = np.random.Generator(np.random.PCG64(seed))
+    books = np.zeros((m, ncodes, dsub), dtype=np.float32)
+    for s in range(m):
+        xs = x[:, s * dsub : (s + 1) * dsub]
+        cb = xs[rng2.choice(len(xs), size=min(ncodes, len(xs)), replace=False)].copy()
+        for _ in range(iters):
+            assign = (xs @ cb.T).argmax(axis=1)
+            for c in range(cb.shape[0]):
+                mem = xs[assign == c]
+                if len(mem):
+                    cb[c] = mem.mean(axis=0)
+        books[s, : cb.shape[0]] = cb
+
+    cbq = np.rint(books.astype(np.float64) * FP).astype(np.int64)
+    xq = np.rint(munit.astype(np.float64) * FP).astype(np.int64).reshape(len(munit), m, dsub)
+    codes = np.stack([(xq[:, s, :] @ cbq[s].T).argmax(axis=1) for s in range(m)], axis=1)
+    qq = np.rint(q.astype(np.float64) * FP).astype(np.int64).reshape(-1, m, dsub)
+    rows = []
+    for qi in range(qq.shape[0]):
+        lut = np.stack([cbq[s] @ qq[qi, s] for s in range(m)])
+        scores = lut[np.arange(m), codes].sum(axis=1)
+        idx = np.lexsort((mids, -scores))[: min(k, len(mids))]
+        for rank, j in enumerate(idx, 1):
+            rows.append((qi, int(mids[j]), int(scores[j]), rank))
+    return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc_score", "rank"])

@@ -176,6 +176,7 @@ def test_checked_in_goldens_are_fresh_sf001():
         "q_embed_kmeans": lambda: gs.kmeans_serial(emb, k=8, iters=5),
         "q_embed_pq": lambda: gs.knn_pq_serial(emb),
         "q_doc_heavy_terms": lambda: gs.heavy_terms_serial(docs),
+        "q_embed_ivfpq": lambda: gs.knn_ivfpq_serial(emb),
     }
     from auto_archiver_ray.sources.images import generate_images
 
@@ -555,6 +556,22 @@ def test_kmeans_matches_serial_and_batch_invariant():
     ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
     tiny = kmeans_assign(ds.repartition(7), k=8, iters=5)
     pd.testing.assert_frame_equal(tiny.reset_index(drop=True), want)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ivfpq_matches_serial_and_subsets_pq():
+    """IVF-PQ composition: (1) bit-identical (scores included) to the
+    serial replay; (2) every result is a corpus member of a probed cell,
+    and each query's own vector survives the coarse filter (it defines a
+    probed cell) and stays its own top-1 through PQ scoring."""
+    from auto_archiver_ray.pipelines.queries import q_embed_ivfpq
+
+    got = q_embed_ivfpq(SF_SMALL)
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    want = gs.knn_ivfpq_serial(emb)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True), want)
+    top1 = got[got["rank"] == 1]
+    assert list(top1["query_id"]) == list(top1["vec_id"])
 
 
 @pytest.mark.usefixtures("ray_session")
