@@ -523,3 +523,47 @@ def test_frontier_cuckoo_forget_readmits(tmp_path):
     with pytest.raises(ray.exceptions.RayTaskError):
         fb.forget([first["url_hash"][0]], [first["host"][0]])
     fb.shutdown()
+
+
+def test_cuckoo_model_based_random_ops():
+    """Model-based check: random interleaved add/delete sequences against
+    an exact multiset reference — every key the model holds is ALWAYS
+    present (no false negatives under churn), count tracks the model
+    exactly when no admission false-positives occurred, and deletes only
+    ever remove keys the model held (we only delete what we added — the
+    documented ledger precondition)."""
+    import hashlib
+    import random
+
+    from auto_archiver_ray.state.cuckoo import CuckooFilter
+
+    rng = random.Random(42)
+    cf = CuckooFilter(50_000)
+    model: set = set()
+    pool = [hashlib.sha256(f"mb{i}".encode()).digest() for i in range(5000)]
+    fp_admissions = 0
+    for step in range(200):
+        op = rng.random()
+        ks = rng.sample(pool, rng.randint(1, 64))
+        if op < 0.7:
+            flags = cf.add_batch(ks)
+            for k, f in zip(ks, flags):
+                if k in model:
+                    assert not f  # a held key can never report new
+                elif not f:
+                    fp_admissions += 1  # inherent fp rate, counted not hidden
+                if f:
+                    model.add(k)
+        else:
+            held = [k for k in ks if k in model]
+            if not held:
+                continue
+            removed = cf.delete_batch(held)
+            assert all(removed)  # keys we inserted always delete
+            model.difference_update(held)
+        # the invariant that matters: NO false negatives, ever
+        if model:
+            probe = rng.sample(sorted(model), min(len(model), 128))
+            assert cf.contains_batch(probe).all()
+    assert cf.count == len(model)  # count tracks the admitted set exactly
+    assert fp_admissions <= 2  # 5000 keys at ~1.2e-4 admission fp rate
