@@ -146,6 +146,10 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_pages_hostrank",
             "q_doc_substring_dedup",
             "q_image_semdedup",
+            "q_embed_kmeans",
+            "q_embed_pq",
+            "q_embed_ivfpq",
+            "q_doc_heavy_terms",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
