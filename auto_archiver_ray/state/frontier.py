@@ -232,6 +232,7 @@ class FrontierShard:
             "shard_id": self.shard_id,
             "epoch": self.epoch,
             "seen": self.bloom.count,
+            "seen_kind": self.seen_kind,
             "hosts": len(self.host_counts),
             **self.counters,
         }
