@@ -3230,10 +3230,19 @@ def _host_authority(sf_dir: str):
     normalization validate_batch applies — so downstream joins against
     validate's ``host`` column (q_crawl_authority's budget lookup) can never
     miss on case/userinfo/default-port variants (ADVICE r3 #4)."""
+    from ..stages.graph import host_pagerank
+
+    return host_pagerank(_host_edges(sf_dir), iters=5)
+
+
+def _host_edges(sf_dir: str):
+    """The stored-media host link graph as a (src, dst) edge Dataset —
+    the shared input of PageRank (:func:`_host_authority`) and HITS
+    (:func:`q_pages_hits`). Edges come from the deduplicated media plan;
+    endpoints are keyed by :func:`..functions.urlkit.canonical_host`."""
     from ..functions.urlkit import canonical_host
     from ..pipelines.archive import archive_pages
     from ..stages.dedup import exact_dedup
-    from ..stages.graph import host_pagerank
     from ..stages.media import explode_media
 
     ds = archive_pages(sf_dir, extract_concurrency=8)
@@ -3254,8 +3263,23 @@ def _host_authority(sf_dir: str):
             }
         )
 
-    edges = m.map_batches(hostify, batch_format="pyarrow", batch_size=4096)
-    return host_pagerank(edges, iters=5)
+    return m.map_batches(hostify, batch_format="pyarrow", batch_size=4096)
+
+
+def q_pages_hits(sf_dir: str):
+    """HITS hubs & authorities over the stored-media host link graph — the
+    complement of q_pages_hostrank's PageRank (hub = a page host that links
+    to many good media hosts; authority = a media host linked from many
+    good hubs; the reference has no link analytics at all, its frontier is
+    a flat seed list, ref:core/orchestrator.py:543-553). Integer
+    fixed-point per :func:`..stages.graph.host_hits` so the distributed
+    result hash-matches the oracle's independent SQL iteration over the
+    golden edge set; driver and bucketed strategies are bit-identical."""
+    out = _host_edges(sf_dir)
+    from ..stages.graph import host_hits
+
+    out = host_hits(out, iters=4).to_pandas().rename(columns={"node": "host"})
+    return out.sort_values("host").reset_index(drop=True)
 
 
 def q_pages_hostrank(sf_dir: str):
@@ -3375,6 +3399,56 @@ def _sql_hostrank(golden_dir: str, iters: int = 5) -> str:
         "WITH "
         + _hostrank_ctes(golden_dir, iters)
         + f"\nSELECT node AS host, rank FROM r{iters} ORDER BY host"
+    )
+
+
+def _sql_hits(golden_dir: str, iters: int = 4, scale: int = 10**9) -> str:
+    """Independent SQL HITS iteration over the GOLDEN media-plan edge set —
+    the spec shared verbatim with stages/graph.host_hits: h_0 = scale on
+    every src; per iteration a_raw(v) = Σ h(u) over in-edges, renormalized
+    by integer division with (max // scale + 1) — never a multiplication by
+    scale, so every value stays < n_nodes * scale (BIGINT-safe); then the
+    symmetric hub half-step. Sparse score tables + final LEFT JOINs give
+    absent nodes exactly 0, matching the distributed sparse-score
+    invariant."""
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    parts = [
+        f"""e AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+h0 AS (SELECT DISTINCT src AS node, CAST({scale} AS BIGINT) AS v FROM e)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""ar{i} AS (
+  SELECT e.dst AS node, CAST(SUM(h.v) AS BIGINT) AS v
+  FROM e JOIN h{i-1} h ON h.node = e.src GROUP BY e.dst
+),
+a{i} AS (
+  SELECT node, CAST(v // ((SELECT COALESCE(MAX(v), 0) FROM ar{i}) // {scale} + 1) AS BIGINT) AS v
+  FROM ar{i}
+),
+hr{i} AS (
+  SELECT e.src AS node, CAST(SUM(a.v) AS BIGINT) AS v
+  FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+),
+h{i} AS (
+  SELECT node, CAST(v // ((SELECT COALESCE(MAX(v), 0) FROM hr{i}) // {scale} + 1) AS BIGINT) AS v
+  FROM hr{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT n.node AS host, CAST(COALESCE(h.v, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a.v, 0) AS BIGINT) AS auth
+FROM nodes n LEFT JOIN h{iters} h ON h.node = n.node
+LEFT JOIN a{iters} a ON a.node = n.node
+ORDER BY host"""
     )
 
 
@@ -4261,6 +4335,7 @@ QUERIES = {
     "q_wacz_media": q_wacz_media,
     "q_pages_wayback": q_pages_wayback,
     "q_doc_bm25": q_doc_bm25,
+    "q_pages_hits": q_pages_hits,
 }
 
 
@@ -4393,6 +4468,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY vec_id"
         ),
         "q_pages_hostrank": _sql_hostrank(g),
+        "q_pages_hits": _sql_hits(g),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

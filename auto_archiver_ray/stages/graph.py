@@ -242,3 +242,274 @@ def _driver_pagerank(edges, iters: int, scale: int):
     return rd.from_arrow(
         pa.table({"node": pa.array(list(all_nodes), pa.string()), "rank": pa.array(rank)})
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities — the other classic crawl-priority signal
+# ---------------------------------------------------------------------------
+#
+# Same contract discipline as host_pagerank: INTEGER fixed-point so the
+# distributed result hash-matches an independent SQL re-derivation, coarse
+# buckets for every exchange, and a size-aware driver fast path. The
+# normalization is the part that needs care in int64: the classic
+# L2/L1-normalized HITS is float. We instead renormalize each half-step by
+# q = max(raw) // scale + 1 (integer division ONLY — no value is ever
+# multiplied by scale), which keeps every score < scale and every raw sum
+# < n_nodes * scale, int64-safe to ~9e9 nodes with scale 1e9.
+#
+# Spec (shared verbatim with the SQL oracle, `queries._sql_hits`):
+#   E         = DISTINCT edge set (src, dst)
+#   h_0(u)    = scale for every u that has out-edges (others contribute 0)
+#   for i in 1..iters:
+#     araw_i(v) = Σ_{(u,v) ∈ E} h_{i-1}(u)          (0 when no in-edges)
+#     a_i(v)    = araw_i(v) // (max_v araw_i(v) // scale + 1)
+#     hraw_i(u) = Σ_{(u,v) ∈ E} a_i(v)              (0 when no out-edges)
+#     h_i(u)    = hraw_i(u) // (max_u hraw_i(u) // scale + 1)
+#   output (node, hub = h_iters, auth = a_iters) over ALL nodes.
+
+
+def host_hits(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    scale: int = 10**9,
+    num_buckets: int = 256,
+    strategy: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+):
+    """Integer fixed-point HITS over an edge Dataset. Returns a Dataset of
+    ``(node, hub, auth)`` (both int64, < ``scale``).
+
+    Strategies mirror :func:`host_pagerank` (both bit-identical — the spec
+    is pure integer arithmetic):
+
+    - ``"driver"``: vectorized numpy scatter-add over the distinct edge
+      list; right while distinct host edges fit one machine.
+    - ``"bucketed"``: two bucketed exchanges per half-step (emit messages
+      along edges, reduce by target node) plus one scalar ``max`` per
+      half-step for the renormalizer — HITS is inherently two-phase, so an
+      iteration costs 4 exchanges where PageRank's fused loop costs 1.
+      No driver state beyond the two renormalizer ints per iteration.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(src_col).cast(pa.string()),
+                "peer": batch.column(dst_col).cast(pa.string()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node", "peer", "__cb"]].drop_duplicates(["node", "peer"])
+
+    edges = edges.groupby("__cb").map_groups(distinct_edges, batch_format="pandas").materialize()
+
+    if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_edge_limit):
+        return _driver_hits(edges, iters, scale)
+    return _bucketed_hits(edges, iters, scale, num_buckets)
+
+
+def _driver_hits(edges, iters: int, scale: int):
+    """Vectorized driver iteration: factorize nodes once, integer
+    scatter-add per half-step (np.add.at on int64 — exact, order-free)."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.string()),
+            "hub": pa.array([], pa.int64()),
+            "auth": pa.array([], pa.int64()),
+        }
+    )
+    df = edges.to_pandas()
+    if not len(df):
+        return rd.from_arrow(empty)
+    all_nodes, codes = np.unique(
+        np.concatenate([df["node"].to_numpy(dtype=object), df["peer"].to_numpy(dtype=object)]),
+        return_inverse=True,
+    )
+    m = len(df)
+    src_idx, dst_idx = codes[:m], codes[m:]
+    n = len(all_nodes)
+    has_out = np.zeros(n, dtype=bool)
+    has_out[src_idx] = True
+    h = np.where(has_out, np.int64(scale), np.int64(0)).astype(np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        araw = np.zeros(n, dtype=np.int64)
+        np.add.at(araw, dst_idx, h[src_idx])
+        a = araw // (int(araw.max()) // scale + 1)
+        hraw = np.zeros(n, dtype=np.int64)
+        np.add.at(hraw, src_idx, a[dst_idx])
+        h = hraw // (int(hraw.max()) // scale + 1)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(all_nodes), pa.string()),
+                "hub": pa.array(h),
+                "auth": pa.array(a),
+            }
+        )
+    )
+
+
+def _bucketed_hits(edges, iters: int, scale: int, num_buckets: int):
+    """Message-passing HITS: scores live as (node, v) rows bucketed by
+    bucket(node); each half-step is (1) a tagged-union groupby that joins
+    the current scores onto the edges stored in the same bucket and emits
+    one (target, contribution) message per edge, then (2) a groupby that
+    sums messages per target — both keyed on the coarse bucket, never one
+    Ray group per node. The renormalizer is a single ``max`` scalar.
+
+    Sparse-score invariant (shared with the SQL oracle's LEFT JOINs):
+    a node absent from a score table has score 0 — it contributes nothing
+    to the next half-step's sums and resurfaces as 0 in the final output."""
+    # edges stored twice, once per message direction, tagged is_msg=0.
+    # "node" is always the JOIN side (where scores are looked up), "peer"
+    # the message target. Rank rows vs edge rows use an explicit is_msg
+    # tag, not a sentinel value (hosts can legitimately be "").
+
+    def tag_edge_rows(batch: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": batch.column("peer"),
+                "__cb": batch.column("__cb"),
+                "v": neg,
+                "is_msg": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def flip(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch.column("peer"), "peer": batch.column("node")})
+
+    edges_by_src = edges.map_batches(tag_edge_rows, batch_format="pyarrow").materialize()
+    edges_by_dst = (
+        edges.map_batches(flip, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .map_batches(tag_edge_rows, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def tag_score_rows(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([""] * batch.num_rows, pa.string()),
+                "__cb": batch.column("__cb"),
+                "v": batch.column("v"),
+                "is_msg": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["is_msg"].to_numpy() == 1
+        sc = g.loc[tag].groupby("node", as_index=False)["v"].sum()
+        e = g.loc[~tag, ["node", "peer"]].merge(sc, on="node", how="inner")
+        return e[["peer", "v"]].rename(columns={"peer": "node"})
+
+    def reduce_sum(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["v"].sum()
+        r["__cb"] = g["__cb"].iloc[0]
+        return r
+
+    def half_step(score_msgs, edge_side):
+        """scores (bucketed by node) × one edge direction → next raw scores."""
+        tagged = edge_side.union(score_msgs.map_batches(tag_score_rows, batch_format="pyarrow"))
+        msgs = (
+            tagged.groupby("__cb")
+            .map_groups(emit, batch_format="pandas")
+            .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        )
+        raw = msgs.groupby("__cb").map_groups(reduce_sum, batch_format="pandas").materialize()
+        mx = raw.max("v") if raw.count() else None
+        q = (int(mx) // scale + 1) if mx is not None else 1
+
+        def normalize(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column("v").to_pylist(), dtype=np.int64) // q
+            return pa.table(
+                {"node": batch.column("node"), "v": pa.array(v), "__cb": batch.column("__cb")}
+            )
+
+        return raw.map_batches(normalize, batch_format="pyarrow").materialize()
+
+    # h_0 = scale on every distinct src (nodes without out-edges would
+    # contribute 0 anyway — keeping scores sparse is exact).
+    def seed_h(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[["node", "__cb"]].drop_duplicates("node").copy()
+        r["v"] = np.int64(0)
+        return r[["node", "v", "__cb"]]
+
+    h = edges.groupby("__cb").map_groups(seed_h, batch_format="pandas")
+
+    def set_scale(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "v": pa.array(np.full(batch.num_rows, scale, dtype=np.int64)),
+                "__cb": batch.column("__cb"),
+            }
+        )
+
+    h = h.map_batches(set_scale, batch_format="pyarrow").materialize()
+    a = None
+    for _ in range(iters):
+        a = half_step(h, edges_by_src)   # authority: messages flow src → dst
+        h = half_step(a, edges_by_dst)   # hub:       messages flow dst → src
+
+    # Final assembly: every node (src ∪ dst), hub/auth 0 where absent.
+    def node_seed(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat(
+            [g[["node"]], pd.DataFrame({"node": g["peer"].unique()})], ignore_index=True
+        )
+
+    nodes = (
+        edges.groupby("__cb")
+        .map_groups(node_seed, batch_format="pandas")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+    )
+
+    def tag3(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = (
+                batch.column("v")
+                if "v" in batch.column_names
+                else pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "__cb": batch.column("__cb"),
+                    "v": v,
+                    "kind": pa.array(np.full(batch.num_rows, which, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    merged = (
+        nodes.map_batches(tag3(0), batch_format="pyarrow")
+        .union(h.map_batches(tag3(1), batch_format="pyarrow"))
+        .union(a.map_batches(tag3(2), batch_format="pyarrow"))
+    )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        kinds = g["kind"].to_numpy()
+        base = g.loc[kinds == 0, ["node"]].drop_duplicates("node")
+        hu = g.loc[kinds == 1, ["node", "v"]].rename(columns={"v": "hub"})
+        au = g.loc[kinds == 2, ["node", "v"]].rename(columns={"v": "auth"})
+        out = base.merge(hu, on="node", how="left").merge(au, on="node", how="left")
+        out["hub"] = out["hub"].fillna(0).astype(np.int64)
+        out["auth"] = out["auth"].fillna(0).astype(np.int64)
+        return out
+
+    return merged.groupby("__cb").map_groups(assemble, batch_format="pandas")

@@ -150,6 +150,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_embed_pq",
             "q_embed_ivfpq",
             "q_doc_heavy_terms",
+            "q_pages_hits",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -113,3 +113,102 @@ def test_host_pagerank_empty_edges():
         pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
     )
     assert host_pagerank(empty).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+# ---------------------------------------------------------------------------
+
+
+def serial_hits(edges: list[tuple[str, str]], iters: int = 4, scale: int = 10**9):
+    """Plain-dict replay of the spec in stages/graph.py (host_hits)."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    srcs = {s for s, _ in e}
+    h = {v: (scale if v in srcs else 0) for v in nodes}
+    a = {v: 0 for v in nodes}
+    for _ in range(iters):
+        ar = {v: 0 for v in nodes}
+        for s, d in e:
+            ar[d] += h[s]
+        q = max(ar.values()) // scale + 1
+        a = {v: ar[v] // q for v in nodes}
+        hr = {v: 0 for v in nodes}
+        for s, d in e:
+            hr[s] += a[d]
+        q = max(hr.values()) // scale + 1
+        h = {v: hr[v] // q for v in nodes}
+    return h, a
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_hits_matches_serial_spec():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_hits
+
+    rng = np.random.RandomState(11)
+    edges = [
+        (f"h{i % 19}.com", f"m{j % 13}.org")
+        for i, j in zip(rng.randint(0, 200, 800), rng.randint(0, 150, 800))
+    ]
+    # hosts overlapping both sides, empty-string host, duplicate edges
+    edges += [("m3.org", "h1.com"), ("", "h2.com"), ("h1.com", ""), ("h1.com", "")]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    got = host_hits(ds, iters=4).to_pandas().sort_values("node").reset_index(drop=True)
+    h, a = serial_hits(edges)
+    assert dict(zip(got["node"], got["hub"].astype(int))) == h
+    assert dict(zip(got["node"], got["auth"].astype(int))) == a
+    # renormalization keeps every score strictly under scale
+    assert got["hub"].max() < 10**9 and got["auth"].max() < 10**9
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_hits_strategies_bit_identical():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_hits
+
+    rng = np.random.RandomState(23)
+    edges = pd.DataFrame(
+        {
+            "src": [f"s{i % 41}.com" for i in rng.randint(0, 400, 2000)],
+            "dst": [f"d{i % 29}.org" for i in rng.randint(0, 300, 2000)],
+        }
+    )
+    ds = rd.from_pandas(edges)
+    a = host_hits(ds, iters=3, strategy="driver").to_pandas().sort_values("node").reset_index(drop=True)
+    b = host_hits(ds, iters=3, strategy="bucketed").to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_hits_star_graph():
+    """One page host linking to every media host: the page is the sole hub
+    (score = scale after normalization), every media host an equal
+    authority."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_hits
+
+    edges = pd.DataFrame({"src": ["hub.com"] * 5, "dst": [f"m{i}.org" for i in range(5)]})
+    got = host_hits(rd.from_pandas(edges), iters=2).to_pandas()
+    byn = dict(zip(got["node"], zip(got["hub"].astype(int), got["auth"].astype(int))))
+    assert byn["hub.com"][0] == max(h for h, _ in byn.values())
+    assert byn["hub.com"][1] == 0  # nothing links TO the hub
+    auths = {byn[f"m{i}.org"][1] for i in range(5)}
+    assert len(auths) == 1  # symmetric authorities
+    assert all(byn[f"m{i}.org"][0] == 0 for i in range(5))  # leaves aren't hubs
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_hits_empty_edges():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_hits
+
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
+    )
+    assert host_hits(empty).count() == 0
