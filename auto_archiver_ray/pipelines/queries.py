@@ -3959,6 +3959,45 @@ def q_embed_kcenter(sf_dir: str):
     return out.sort_values("order").reset_index(drop=True)
 
 
+def q_embed_rproj(sf_dir: str):
+    """Sparse sign random projection (Johnson–Lindenstrauss) of the
+    embeddings table 64 → 8 dims, INTEGER-exact: quantization is
+    floor(x·2^20 + 0.5) — the identical IEEE double chain DuckDB runs —
+    and the {+1,−1,0} projection matrix is derived from md5 in BOTH
+    engines, so the oracle is a true independent SQL computation (no
+    golden file) compared value-exact. Embarrassingly parallel, one
+    map_batches, no shuffle (stages/similarity.random_project) — the
+    dimensionality-reduction pre-step for billion-vector clustering."""
+    from ..stages.similarity import random_project
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    out = random_project(ds, out_dim=8).to_pandas()
+    return out.sort_values(["vec_id", "dim"]).reset_index(drop=True)
+
+
+SQL_EMBED_RPROJ = """
+WITH q AS (
+  SELECT vec_id, j, CAST(FLOOR(CAST(x AS DOUBLE) * 1048576 + 0.5) AS BIGINT) AS qv
+  FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS j
+        FROM embeddings)
+),
+r AS (
+  SELECT j, t, CASE WHEN v < 5 THEN 1 WHEN v < 10 THEN -1 ELSE 0 END AS s
+  FROM (
+    SELECT d.j, tt.t,
+           strpos('0123456789abcdef', substr(md5('rproj:' || d.j || ':' || tt.t), 1, 1)) - 1 AS v
+    FROM (SELECT DISTINCT j FROM q) d CROSS JOIN (SELECT t FROM range(8) rr(t)) tt
+  )
+),
+p AS (
+  SELECT q.vec_id, r.t AS dim, CAST(SUM(q.qv * r.s) AS BIGINT) AS value
+  FROM q JOIN r USING (j) GROUP BY q.vec_id, r.t
+)
+SELECT vec_id, CAST(dim AS BIGINT) AS dim, value FROM p ORDER BY vec_id, dim
+"""
+
+
 def q_embed_kmeans(sf_dir: str):
     """Distributed Lloyd k-means cluster assignment over the embeddings
     table, INTEGER-exact (fixed-point int64 dot products — assignments and
@@ -4336,6 +4375,7 @@ QUERIES = {
     "q_pages_wayback": q_pages_wayback,
     "q_doc_bm25": q_doc_bm25,
     "q_pages_hits": q_pages_hits,
+    "q_embed_rproj": q_embed_rproj,
 }
 
 
@@ -4469,6 +4509,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_pages_hostrank": _sql_hostrank(g),
         "q_pages_hits": _sql_hits(g),
+        "q_embed_rproj": SQL_EMBED_RPROJ,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

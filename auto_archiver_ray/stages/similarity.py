@@ -742,3 +742,77 @@ def kmeans_balanced_sample(
     partials["sample_rank"] = (partials.groupby("cluster", sort=False).cumcount() + 1).astype("int64")
     out = partials[partials["sample_rank"] <= per_cluster][["cluster", id_col, "sample_rank"]]
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Sparse sign random projection (Achlioptas 2003) — integer-exact
+# ---------------------------------------------------------------------------
+
+RPROJ_FP = 1 << 20  # shared fixed-point scale (same as KMEANS_FP)
+
+
+def rproj_sign_matrix(in_dim: int, out_dim: int, seed: str = "rproj") -> np.ndarray:
+    """Deterministic sparse {+1, -1, 0} projection matrix derived from
+    md5 — identical by construction in numpy and SQL (DuckDB's md5 of the
+    same '{seed}:{j}:{t}' string, j 1-based input dim, t 0-based output
+    dim). First hex nibble v: +1 when v < 5, -1 when v < 10, else 0
+    (density 10/16 — denser than Achlioptas' 1/3 for better small-d
+    accuracy; any fixed rule works, this one is one SQL CASE)."""
+    import hashlib
+
+    s = np.zeros((in_dim, out_dim), dtype=np.int64)
+    for j in range(1, in_dim + 1):
+        for t in range(out_dim):
+            v = int(hashlib.md5(f"{seed}:{j}:{t}".encode()).hexdigest()[0], 16)
+            s[j - 1, t] = 1 if v < 5 else (-1 if v < 10 else 0)
+    return s
+
+
+def random_project(
+    ds,
+    out_dim: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "rproj",
+):
+    """Johnson–Lindenstrauss dimensionality reduction over an embedding
+    column, INTEGER-exact: inputs quantized q = floor(x * 2^20 + 0.5)
+    (double multiply + add + floor — the same IEEE operation chain DuckDB
+    runs, so quantization is bit-identical to the SQL oracle, no
+    banker's-rounding mismatch), then y = q @ S with the md5-derived sign
+    matrix — pure int64 sums, order-free, |y| <= in_dim * max|x| * 2^20.
+
+    Returns long-format (id, dim, value) — one row per output component,
+    the join-friendly shape for downstream bucketed ops. Embarrassingly
+    parallel: one map_batches, no shuffle; the d x out_dim sign matrix is
+    rebuilt per batch from 8*d md5 calls (cheaper than shipping it).
+
+    The 100-TB role: project once, cluster/near-dup in out_dim << d —
+    the standard pre-step that turns billion-vector all-pairs work into
+    byte-bounded sketches (composes with kmeans_assign / sign-LSH)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col).to_pylist(), dtype=np.int64)
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "dim": pa.array([], pa.int64()),
+                "value": pa.array([], pa.int64()),
+            }
+        )
+        if ids.size == 0:
+            return empty
+        m = _as_matrix(batch.column(vec_col).to_pylist()).astype(np.float64)
+        q = np.floor(m * RPROJ_FP + 0.5).astype(np.int64)
+        s = rproj_sign_matrix(q.shape[1], out_dim, seed)
+        y = q @ s
+        n = ids.size
+        return pa.table(
+            {
+                id_col: pa.array(np.repeat(ids, out_dim)),
+                "dim": pa.array(np.tile(np.arange(out_dim, dtype=np.int64), n)),
+                "value": pa.array(y.reshape(-1)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

@@ -738,3 +738,70 @@ def test_bm25_bit_identical_to_sql_and_batch_invariant():
         frames.append(g)
     redo = pd.concat(frames, ignore_index=True)
     pd.testing.assert_frame_equal(redo, got, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rproj_matches_serial_and_batch_invariant():
+    """Sparse sign random projection: (1) matches an independent numpy
+    replay of the shared spec (floor(x*2^20 + 0.5) quantize, md5-derived
+    sign matrix) bit-for-bit; (2) repartitioning changes nothing — the op
+    is per-row, no shuffle; (3) JL sanity: projected distances correlate
+    with original distances over sampled pairs."""
+    import hashlib
+
+    import numpy as np
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_embed_rproj
+    from auto_archiver_ray.stages.similarity import random_project, rproj_sign_matrix
+
+    got = q_embed_rproj(SF_SMALL)
+
+    emb = pd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = emb["vec_id"].to_numpy(dtype=np.int64)
+    m = np.asarray(emb["embedding"].to_list(), dtype=np.float32).astype(np.float64)
+    q = np.floor(m * (1 << 20) + 0.5).astype(np.int64)
+    s = np.zeros((m.shape[1], 8), dtype=np.int64)
+    for j in range(1, m.shape[1] + 1):
+        for t in range(8):
+            v = int(hashlib.md5(f"rproj:{j}:{t}".encode()).hexdigest()[0], 16)
+            s[j - 1, t] = 1 if v < 5 else (-1 if v < 10 else 0)
+    assert (s == rproj_sign_matrix(m.shape[1], 8)).all()
+    y = q @ s
+    want = (
+        pd.DataFrame(
+            {
+                "vec_id": np.repeat(ids, 8),
+                "dim": np.tile(np.arange(8, dtype=np.int64), len(ids)),
+                "value": y.reshape(-1),
+            }
+        )
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    ds = rd.read_parquet(f"{SF_SMALL}/embeddings.parquet", columns=["vec_id", "embedding"])
+    redo = (
+        random_project(ds.repartition(7), out_dim=8)
+        .to_pandas()
+        .sort_values(["vec_id", "dim"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(redo, want, check_dtype=False, check_exact=True)
+
+    # JL norm preservation: for the {+1,-1,0} matrix with density 10/16,
+    # E[d_proj^2] = k * (10/16) * d_orig^2, so d_proj / (d_orig * 2^20)
+    # concentrates around sqrt(8 * 10/16) = sqrt(5). Assert the whole
+    # pairwise distribution sits in a sane band around that expectation
+    # (these embeddings have concentrated pairwise distances, so a
+    # correlation test would be vacuous — the RATIO band is the JL claim).
+    sub = m[:60]
+    ysub = y[:60].astype(np.float64)
+    d_orig = np.linalg.norm(sub[:, None, :] - sub[None, :, :], axis=2).reshape(-1)
+    d_proj = np.linalg.norm(ysub[:, None, :] - ysub[None, :, :], axis=2).reshape(-1)
+    mask = d_orig > 0
+    ratio = d_proj[mask] / (d_orig[mask] * (1 << 20))
+    expect = np.sqrt(8 * 10 / 16)
+    assert abs(np.median(ratio) - expect) < 0.25 * expect, np.median(ratio)
+    assert ratio.min() > 0.15 * expect and ratio.max() < 2.5 * expect, (ratio.min(), ratio.max())
