@@ -4068,6 +4068,120 @@ ORDER BY url
 """
 
 
+def q_crawl_sitemap(sf_dir: str):
+    """Sitemap-seeded crawl admission, round-tripped end-to-end: the pages
+    corpus is sharded into 8 urlset XML files (one per url-hash bucket,
+    written by a distributed map_groups — entries XML-escaped, lastmod =
+    epoch-micros) plus a sitemapindex; the index is parsed one level
+    (sources/seeds.sitemap_seeds), its children staged as the next
+    distributed read, entries gated (non-URL locs dropped at parse, then
+    the standard validate gate), and the admitted seeds aggregated per
+    host. Oracle: the same per-host counts + max lastmod derived from the
+    pages table directly — so generation, escaping, parsing, gating and
+    aggregation must all invert exactly."""
+    import os
+    import tempfile
+    from xml.sax.saxutils import escape
+
+    from ..sources.seeds import sitemap_seeds
+    from ..stages.agg import driver_reduce
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts"])
+    sm_dir = tempfile.mkdtemp(prefix="aar_sitemaps_")
+    K = 8
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        b = np.asarray(
+            [
+                int.from_bytes(hashlib.md5(u.encode()).digest()[:4], "big") % K
+                for u in batch.column("url").to_pylist()
+            ],
+            dtype=np.int64,
+        )
+        ts = pc.cast(pc.cast(batch.column("warc_ts"), pa.timestamp("us")), pa.int64())
+        return pa.table({"url": batch.column("url"), "ts_us": ts, "__sb": pa.array(b)})
+
+    def write_urlset(g: pd.DataFrame) -> pd.DataFrame:
+        b = int(g["__sb"].iloc[0])
+        g = g.sort_values(["url", "ts_us"], kind="mergesort")
+        body = "".join(
+            f"<url><loc>{escape(u)}</loc><lastmod>{t}</lastmod></url>"
+            for u, t in zip(g["url"], g["ts_us"])
+        )
+        path = os.path.join(sm_dir, f"urlset_{b:02d}.xml")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(
+                '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+                + body
+                + "</urlset>"
+            )
+        os.replace(tmp, path)
+        return pd.DataFrame({"path": [path]})
+
+    paths = sorted(
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=4096)
+        .groupby("__sb")
+        .map_groups(write_urlset, batch_format="pandas")
+        .to_pandas()["path"]
+    )
+    index_path = os.path.join(sm_dir, "sitemapindex.xml")
+    with open(index_path, "w") as fh:
+        fh.write(
+            '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            + "".join(f"<sitemap><loc>{escape(p)}</loc></sitemap>" for p in paths)
+            + "</sitemapindex>"
+        )
+
+    # level 1: the index (tiny); level 2: its children, distributed
+    idx = sitemap_seeds([index_path]).to_pandas()
+    children = sorted(idx.loc[idx["kind"] == "sitemap", "url"])
+    seeds = sitemap_seeds(children)
+
+    def to_pages(batch: pd.DataFrame) -> pd.DataFrame:
+        b = batch[batch["kind"] == "url"]
+        return pd.DataFrame(
+            {"url": b["url"].astype(str), "ts_us": b["lastmod"].astype(np.int64)}
+        )
+
+    ds2 = seeds.map_batches(to_pages, batch_format="pandas")
+    ds2 = ds2.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds2 = ds2.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                "mx": batch["ts_us"],
+            }
+        )
+        return t.group_by("host").aggregate([("n", "sum"), ("mx", "max")]).rename_columns(
+            ["host", "n", "mx"]
+        )
+
+    agg = driver_reduce(
+        ds2.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"n": "sum", "mx": "max"},
+    )
+    agg["n_urls"] = agg["n"].astype("int64")
+    agg["max_lastmod_us"] = agg["mx"].astype("int64")
+    return agg[["host", "n_urls", "max_lastmod_us"]].sort_values("host").reset_index(drop=True)
+
+
+SQL_CRAWL_SITEMAP = f"""
+SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(MAX(epoch_us(warc_ts)) AS BIGINT) AS max_lastmod_us
+FROM __PAGES__ WHERE {_VALID_SQL}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q_embed_ivfpq(sf_dir: str):
     """IVF-PQ ANN — the composed billion-vector recipe: probe the nprobe
     nearest coarse cells (knn_ivf's filter), then score the survivors from
@@ -4376,6 +4490,7 @@ QUERIES = {
     "q_doc_bm25": q_doc_bm25,
     "q_pages_hits": q_pages_hits,
     "q_embed_rproj": q_embed_rproj,
+    "q_crawl_sitemap": q_crawl_sitemap,
 }
 
 
@@ -4510,6 +4625,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_hostrank": _sql_hostrank(g),
         "q_pages_hits": _sql_hits(g),
         "q_embed_rproj": SQL_EMBED_RPROJ,
+        "q_crawl_sitemap": _sql_pages(sf_dir, SQL_CRAWL_SITEMAP),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -140,3 +140,109 @@ def join_back_results(ledger: pd.DataFrame, results_ds, url_col: str = "link") -
         out.loc[mask, "archive location"] = str(r.get("storage_key", r.get("url_hash", "")))
         out.loc[mask, "archive date"] = str(r.get("archive_date", ""))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sitemap feeder — XML urlset / sitemapindex seeds for the crawl plane
+# ---------------------------------------------------------------------------
+#
+# The reference feeds flat URL lists (CLI / CSV / sheet); a web-scale crawl
+# additionally bootstraps from sitemaps (robots.txt `Sitemap:` lines point
+# at them). Parsing is pure stdlib ElementTree over bytes already on disk /
+# in the object store — fetching the XML is the same network edge every
+# other source stubs. Shapes:
+#
+# - <urlset><url><loc>…</loc><lastmod>…</lastmod><priority>…</priority>
+#   → one seed row per <url> with loc/lastmod/priority columns.
+# - <sitemapindex><sitemap><loc>…</loc> → child sitemap references
+#   (returned as rows with kind='sitemap', for the caller to stage as the
+#   next read — one level per pass keeps the op a flat map, no recursion
+#   inside a task).
+# - malformed XML / entries without <loc> are skipped and COUNTED
+#   (n_skipped on the parse-error row), never silent.
+
+
+def parse_sitemap(xml_bytes: bytes, source: str = "") -> pd.DataFrame:
+    """Parse one sitemap document into a DataFrame with columns
+    (kind, url, lastmod, priority, source, n_skipped). kind is 'url' for
+    urlset entries, 'sitemap' for sitemapindex children, 'error' for an
+    unparseable document (one row, n_skipped=1)."""
+    import xml.etree.ElementTree as ET
+
+    def rows(kind, url, lastmod="", priority="", skipped=0):
+        return {
+            "kind": kind,
+            "url": url,
+            "lastmod": lastmod,
+            "priority": priority,
+            "source": source,
+            "n_skipped": skipped,
+        }
+
+    try:
+        root = ET.fromstring(xml_bytes)
+    except ET.ParseError:
+        return pd.DataFrame([rows("error", "", skipped=1)])
+
+    def local(tag: str) -> str:
+        return tag.rsplit("}", 1)[-1]
+
+    out, skipped = [], 0
+    tag = local(root.tag)
+    child_kind = "sitemap" if tag == "sitemapindex" else "url"
+    for el in root:
+        loc, lastmod, priority = None, "", ""
+        for f in el:
+            name = local(f.tag)
+            if name == "loc":
+                loc = (f.text or "").strip()
+            elif name == "lastmod":
+                lastmod = (f.text or "").strip()
+            elif name == "priority":
+                priority = (f.text or "").strip()
+        if not loc or (child_kind == "url" and _url_or_none(loc) is None):
+            skipped += 1
+            continue
+        out.append(rows(child_kind, loc, lastmod, priority))
+    if skipped:
+        out.append(rows("error", "", skipped=skipped))
+    return pd.DataFrame(
+        out, columns=["kind", "url", "lastmod", "priority", "source", "n_skipped"]
+    )
+
+
+def sitemap_seeds(paths: list[str]):
+    """Dataset of seed rows from sitemap XML files: read_binary_files →
+    per-file parse (flat map, vector-friendly; one ElementTree pass per
+    document). Returns ALL rows — filter kind='url' for seeds, kind=
+    'sitemap' for child sitemaps to stage into the next call (the caller
+    drives one level per pass; sitemap indexes are one level deep by
+    spec), kind='error' rows carry the skip counts."""
+    import ray.data as rd
+
+    ds = rd.read_binary_files(paths, include_paths=True)
+
+    def parse_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        frames = [
+            parse_sitemap(b, source=p) for p, b in zip(batch["path"], batch["bytes"])
+        ]
+        return pd.concat(frames, ignore_index=True) if frames else parse_sitemap(b"")
+
+    return ds.map_batches(parse_batch, batch_format="pandas")
+
+
+def sitemaps_from_robots(text: str) -> list[str]:
+    """`Sitemap:` directives from a robots.txt body (they sit outside
+    user-agent groups per the spec; case-insensitive key, order kept,
+    duplicates dropped)."""
+    out: list[str] = []
+    for line in text.splitlines():
+        line = line.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap":
+            u = val.strip()
+            if u and u not in out:
+                out.append(u)
+    return out
