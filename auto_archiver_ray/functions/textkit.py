@@ -139,6 +139,34 @@ def extract_text_str(decoded: str) -> str:
 
 _A_HREF_RE = re.compile(r"<a\b[^>]*?href=[\"']([^\"']+)[\"']", re.IGNORECASE)
 
+_A_TAG_RE = re.compile(
+    r"<a\b[^>]*?href=[\"']([^\"']+)[\"'][^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL
+)
+_INNER_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_anchor_texts(html_bytes: bytes | str) -> list[tuple[str, str]]:
+    """(href, visible anchor text) pairs for absolute http(s) anchors, in
+    document order — the anchor-text half of link discovery (anchor text is
+    the classic off-page relevance/spam signal an inlink index aggregates
+    per target). Inner tags stripped, whitespace collapsed; unlike
+    :func:`discover_page_links` duplicates are KEPT (each inlink edge
+    carries its own text) and media-extension targets are kept too (an
+    anchor to a video is still an editorial label for it)."""
+    text = (
+        html_bytes.decode("utf-8", errors="replace")
+        if isinstance(html_bytes, bytes)
+        else html_bytes
+    )
+    out: list[tuple[str, str]] = []
+    for href, inner in _A_TAG_RE.findall(text):
+        u = href.strip("'\" ")
+        if not u.startswith(("http://", "https://")):
+            continue
+        label = " ".join(_INNER_TAG_RE.sub(" ", inner).split())
+        out.append((u, label))
+    return out
+
 
 def discover_page_links(html_bytes: bytes | str) -> list[str]:
     """Absolute http(s) anchor hrefs that are NOT media files — the

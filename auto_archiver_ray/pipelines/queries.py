@@ -4182,6 +4182,58 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q_crawl_anchors(sf_dir: str):
+    """Anchor-text edge extraction over the linked corpus — the inlink
+    index a web-scale ranker aggregates per target (anchor text is the
+    classic off-page relevance signal; the reference never parses anchors,
+    it only collects hrefs for new fetches). One embarrassingly-parallel
+    map_batches over (url, html) — no shuffle; each emitted row is one
+    inlink edge (src_url, dst_url, anchor_text).
+
+    Oracle: the linked corpus is a deterministic binary tree over the
+    DISTINCT valid urls (sources/pages.ensure_linked_pages — rank r anchors
+    to ranks 2r+1/2r+2 with text 'child 0'/'child 1'), so the expected edge
+    set is pure rank math in SQL over the base pages table — the html
+    anchor PARSE must reproduce it exactly."""
+    from ..functions.textkit import extract_anchor_texts
+    from ..sources.pages import ensure_linked_pages
+
+    rd = _rd()
+    linked_dir, _seeds = ensure_linked_pages(sf_dir)
+    ds = rd.read_parquet(linked_dir, columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        labels: list[str] = []
+        for u, h in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
+            for href, label in extract_anchor_texts(h):
+                srcs.append(u)
+                dsts.append(href)
+                labels.append(label)
+        return pa.table(
+            {
+                "src_url": pa.array(srcs, pa.string()),
+                "dst_url": pa.array(dsts, pa.string()),
+                "anchor_text": pa.array(labels, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(edges, batch_format="pyarrow", batch_size=1024).to_pandas()
+    return out.sort_values(["dst_url", "src_url"]).reset_index(drop=True)
+
+
+SQL_CRAWL_ANCHORS = f"""
+WITH v AS (SELECT DISTINCT url FROM __PAGES__ WHERE {_VALID_SQL}),
+r AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rk FROM v)
+SELECT p.url AS src_url, c.url AS dst_url,
+       'child ' || CAST((c.rk - 1) % 2 AS VARCHAR) AS anchor_text
+FROM r c JOIN r p ON p.rk = (c.rk - 1) // 2
+WHERE c.rk >= 1
+ORDER BY dst_url, src_url
+"""
+
+
 def q_embed_ivfpq(sf_dir: str):
     """IVF-PQ ANN — the composed billion-vector recipe: probe the nprobe
     nearest coarse cells (knn_ivf's filter), then score the survivors from
@@ -4491,6 +4543,7 @@ QUERIES = {
     "q_pages_hits": q_pages_hits,
     "q_embed_rproj": q_embed_rproj,
     "q_crawl_sitemap": q_crawl_sitemap,
+    "q_crawl_anchors": q_crawl_anchors,
 }
 
 
@@ -4626,6 +4679,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_hits": _sql_hits(g),
         "q_embed_rproj": SQL_EMBED_RPROJ,
         "q_crawl_sitemap": _sql_pages(sf_dir, SQL_CRAWL_SITEMAP),
+        "q_crawl_anchors": _sql_pages(sf_dir, SQL_CRAWL_ANCHORS),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -143,3 +143,30 @@ def test_discover_page_links_vs_media_links():
     assert discover_page_links(html) == ["https://a.com/page1", "https://b.org/page2?x=1"]
     assert discover_media_links(html) == ["https://a.com/img/p.jpg", "https://a.com/img/q.png"]
     assert discover_page_links(html.encode()) == discover_page_links(html)
+
+
+def test_extract_anchor_texts():
+    from auto_archiver_ray.functions.textkit import extract_anchor_texts
+
+    html = (
+        b'<html><body><a href="https://a.com/x">first <b>bold</b>\n link</a>'
+        b"<a href='/relative'>rel</a>"
+        b'<a class="c" href="https://b.org/v.mp4">watch the video</a>'
+        b'<a href="https://a.com/x">first again</a>'
+        b'<img src="https://a.com/pic.jpg"></body></html>'
+    )
+    got = extract_anchor_texts(html)
+    # relative hrefs dropped; duplicates and media targets KEPT;
+    # inner tags stripped and whitespace collapsed; img not an anchor
+    assert got == [
+        ("https://a.com/x", "first bold link"),
+        ("https://b.org/v.mp4", "watch the video"),
+        ("https://a.com/x", "first again"),
+    ]
+
+
+def test_extract_anchor_texts_empty_and_str_input():
+    from auto_archiver_ray.functions.textkit import extract_anchor_texts
+
+    assert extract_anchor_texts(b"<p>no links</p>") == []
+    assert extract_anchor_texts('<a href="https://x.io/">t</a>') == [("https://x.io/", "t")]
