@@ -513,3 +513,93 @@ def _bucketed_hits(edges, iters: int, scale: int, num_buckets: int):
         return out
 
     return merged.groupby("__cb").map_groups(assemble, batch_format="pandas")
+
+
+def host_components(edges_ds, src_col: str = "src", dst_col: str = "dst"):
+    """Weakly-connected components over a string-keyed edge Dataset —
+    site-family grouping for frontier-shard affinity (the third link-graph
+    analytic beside :func:`host_pagerank` and :func:`host_hits`).
+
+    Shape: hosts get 63-bit blake2b node ids (positive int64 —
+    ``label_propagate`` reserves -1 as its edge sentinel; collision odds
+    n²/2⁶⁴ stay negligible below ~1e9 hosts), the partition forms by
+    distributed min-label propagation (coarse-bucketed, no driver state,
+    :func:`..stages.dedup.label_propagate`), and each component is then
+    NAMED by its lexicographically smallest member host via a bucketed
+    min-groupby plus two bucketed hash-joins — so hash ids never appear in
+    the result and the caller's oracle needs no hash twin.  Returns a
+    Dataset of ``(host, component)``, one row per distinct endpoint host.
+    """
+    import hashlib
+
+    from .agg import bucketed_group_agg
+    from .dedup import label_propagate
+    from .join import bucketed_hash_join
+
+    def _h63(vals: list) -> pa.Array:
+        return pa.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(str(v).encode("utf-8"), digest_size=8).digest(),
+                    "little",
+                )
+                >> 1
+                for v in vals
+            ],
+            pa.int64(),
+        )
+
+    def ids(batch: pa.Table) -> pa.Table:
+        src = batch.column(src_col).to_pylist()
+        dst = batch.column(dst_col).to_pylist()
+        return pa.table(
+            {
+                "id_a": _h63(src),
+                "id_b": _h63(dst),
+                "src": pa.array([str(v) for v in src], pa.string()),
+                "dst": pa.array([str(v) for v in dst], pa.string()),
+            }
+        )
+
+    edges = edges_ds.map_batches(ids, batch_format="pyarrow", batch_size=4096)
+    edges = edges.materialize()  # consumed twice: pair graph + id→host map
+
+    labels = label_propagate(edges.select_columns(["id_a", "id_b"]))
+
+    def explode_idmap(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("id_a").combine_chunks(),
+                        batch.column("id_b").combine_chunks(),
+                    ]
+                ),
+                "host": pa.concat_arrays(
+                    [
+                        batch.column("src").combine_chunks(),
+                        batch.column("dst").combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        return t.group_by("node").aggregate([("host", "min")]).rename_columns(["node", "host"])
+
+    # node → host (a node has exactly ONE host; min is just the dedup)
+    idmap = bucketed_group_agg(
+        edges.map_batches(explode_idmap, batch_format="pyarrow", batch_size=4096),
+        ["node"],
+        {"host": "min"},
+    )
+
+    member_hosts = bucketed_hash_join(labels, idmap, on="node")
+    reps = bucketed_group_agg(
+        member_hosts.map_batches(
+            lambda t: t.select(["label", "host"]).rename_columns(["label", "component"]),
+            batch_format="pyarrow",
+        ),
+        ["label"],
+        {"component": "min"},
+    )
+    out = bucketed_hash_join(member_hosts.select_columns(["host", "label"]), reps, on="label")
+    return out.select_columns(["host", "component"])

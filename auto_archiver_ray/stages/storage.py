@@ -63,3 +63,89 @@ def store_media(ds, root: str, key_col: str = "storage_key", id_col: str = "medi
 
     deduped = exact_dedup(ds, key_col, id_col)
     return deduped.map_batches(write_blobs_stage(root), batch_format="pyarrow")
+
+
+def store_warc(
+    ds,
+    root: str,
+    url_col: str = "url",
+    payload_col: str = "html",
+    ts_col: str = "warc_ts",
+    content_type: str = "text/html",
+    batch_size: int = 256,
+    gz: bool = True,
+):
+    """Distributed WARC sink — the archive-output surface the reference
+    reaches through browsertrix WACZ (one archive per URL,
+    ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:75-110);
+    at corpus scale the standard layout is many multi-record ``.warc.gz``
+    shard files (the Common Crawl convention), which is what this writes.
+
+    Each batch serializes its rows as WARC/1.0 response records
+    (:func:`..functions.warckit.build_record` — deterministic record ids,
+    ``WARC-Date`` from ``ts_col``), each record its own gzip MEMBER
+    (``mtime=0`` — byte-deterministic; per-record members keep any record
+    independently seekable, the standard convention), and the batch lands
+    as ONE content-addressed shard: name = blake2b of the member bytes, so
+    a Ray task retry re-writes the identical file instead of duplicating
+    records (the resumable-output contract; write is tmp+rename atomic).
+    Returns the manifest Dataset ``(url, warc_file, payload_sha256,
+    payload_len)`` — the join-back key for downstream stages.  Roundtrip
+    contract (oracle-checked by q_archive_warc): reading the shards back
+    with :func:`..sources.warc.read_warc_records` yields byte-identical
+    payloads per url."""
+    import gzip
+    import hashlib
+    import io
+
+    from ..functions import warckit
+
+    def fn(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        payloads = batch.column(payload_col).to_pylist()
+        dates = None
+        if ts_col and ts_col in batch.column_names:
+            dates = [
+                t.strftime("%Y-%m-%dT%H:%M:%SZ") if t is not None else "2024-01-01T00:00:00Z"
+                for t in batch.column(ts_col).to_pylist()
+            ]
+        members, shas, lens = [], [], []
+        for i, (u, p) in enumerate(zip(urls, payloads)):
+            p = p or b""
+            body = warckit.build_http_response(p, content_type)
+            rec = warckit.build_record(
+                "response",
+                u,
+                body,
+                warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
+            )
+            if gz:
+                buf = io.BytesIO()
+                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                    g.write(rec)
+                rec = buf.getvalue()
+            members.append(rec)
+            shas.append(hashlib.sha256(p).hexdigest())
+            lens.append(len(p))
+        blob = b"".join(members)
+        name = (
+            hashlib.blake2b(blob, digest_size=16).hexdigest()
+            + (".warc.gz" if gz else ".warc")
+        )
+        os.makedirs(root, exist_ok=True)
+        dest = os.path.join(root, name)
+        if not os.path.exists(dest):  # content-addressed: retry writes same file
+            tmp = dest + f".tmp.{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, dest)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_file": pa.array([name] * len(urls), pa.string()),
+                "payload_sha256": pa.array(shas, pa.string()),
+                "payload_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)

@@ -151,6 +151,9 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_embed_ivfpq",
             "q_doc_heavy_terms",
             "q_pages_hits",
+            "q_embed_rproj",
+            "q_crawl_sitemap",
+            "q_crawl_anchors",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -212,3 +212,60 @@ def test_host_hits_empty_edges():
         pa.table({"src": pa.array([], pa.string()), "dst": pa.array([], pa.string())})
     )
     assert host_hits(empty).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_toy_graph():
+    """Two components + an isolated self-loop: component = min host string,
+    every endpoint host appears exactly once."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_components
+
+    edges = rd.from_items(
+        [
+            # component {a,b,c}: chain a-b, b-c (directions mixed on purpose)
+            {"src": "b.org", "dst": "a.org"},
+            {"src": "b.org", "dst": "c.org"},
+            # component {x,y}
+            {"src": "x.org", "dst": "y.org"},
+            {"src": "x.org", "dst": "y.org"},  # duplicate edge
+            # self-loop: z alone
+            {"src": "z.org", "dst": "z.org"},
+        ]
+    )
+    out = host_components(edges).to_pandas().sort_values("host").reset_index(drop=True)
+    got = dict(zip(out["host"], out["component"]))
+    assert got == {
+        "a.org": "a.org",
+        "b.org": "a.org",
+        "c.org": "a.org",
+        "x.org": "x.org",
+        "y.org": "x.org",
+        "z.org": "z.org",
+    }
+    assert len(out) == 6  # one row per endpoint host
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_components_repartition_invariant():
+    """The partition (and its min-host naming) must not depend on block
+    layout — same frame under a different repartition."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_components
+
+    items = [
+        {"src": f"h{i:02d}.org", "dst": f"h{(i + 1) % 10:02d}.org"} for i in range(10)
+    ] + [{"src": "solo-a.org", "dst": "solo-b.org"}]
+    a = host_components(rd.from_items(items)).to_pandas().sort_values("host").reset_index(drop=True)
+    b = (
+        host_components(rd.from_items(items).repartition(7))
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+    # the 10-cycle is one component named by its min member
+    assert (a.loc[a["host"].str.startswith("h"), "component"] == "h00.org").all()
+    assert (a.loc[a["host"].str.startswith("solo"), "component"] == "solo-a.org").all()

@@ -153,3 +153,82 @@ def test_merge_wacz_pages_overwrites_nonempty():
     )
     assert list(out["title"]) == ["keep", "Site zero"]
     assert list(out["text_extracted"]) == ["keep text", "hello world zero"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_warc_roundtrip_and_idempotence(tmp_path):
+    """The WARC sink contract: shards read back byte-identical through the
+    independent parser, and re-running writes the SAME content-addressed
+    files (retry/resume safety) instead of duplicating records."""
+    import hashlib
+    import os
+    from datetime import datetime, timezone
+
+    import ray.data as rd
+
+    from auto_archiver_ray.sources.warc import read_warc_records
+    from auto_archiver_ray.stages.storage import store_warc
+
+    rows = [
+        {
+            "url": f"https://h{i % 3}.example.org/p/{i}",
+            "warc_ts": datetime(2024, 1, 1 + i, tzinfo=timezone.utc),
+            "html": f"<html><body>payload {i} é</body></html>".encode("utf-8"),
+        }
+        for i in range(7)
+    ]
+    root = str(tmp_path / "warc")
+    manifest = store_warc(rd.from_items(rows), root, batch_size=3).to_pandas()
+    assert len(manifest) == 7
+    files1 = sorted(set(manifest["warc_file"]))
+    on_disk1 = sorted(os.listdir(root))
+    assert files1 == on_disk1  # every manifest shard exists, nothing extra
+
+    back = (
+        read_warc_records([os.path.join(root, f) for f in files1])
+        .to_pandas()
+        .sort_values("target_uri")
+        .reset_index(drop=True)
+    )
+    assert len(back) == 7
+    assert (back["rec_type"] == "response").all()
+    assert (back["http_status"] == 200).all()
+    by_url = {r["url"]: r for r in rows}
+    for _, rec in back.iterrows():
+        src = by_url[rec["target_uri"]]
+        assert bytes(rec["payload"]) == src["html"]  # byte-identical roundtrip
+        assert rec["payload_len"] == len(src["html"])
+    # manifest hashes match source payloads
+    for _, m in manifest.iterrows():
+        assert m["payload_sha256"] == hashlib.sha256(by_url[m["url"]]["html"]).hexdigest()
+
+    # idempotence: same input again -> same shard names, same file count
+    manifest2 = store_warc(rd.from_items(rows), root, batch_size=3).to_pandas()
+    assert sorted(set(manifest2["warc_file"])) == files1
+    assert sorted(os.listdir(root)) == on_disk1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_warc_dates_from_ts_column():
+    import gzip
+
+    import ray.data as rd
+    from datetime import datetime, timezone
+
+    from auto_archiver_ray.functions import warckit
+    from auto_archiver_ray.stages.storage import store_warc
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as root:
+        rows = [
+            {
+                "url": "https://a.example.org/",
+                "warc_ts": datetime(2023, 5, 6, 7, 8, 9, tzinfo=timezone.utc),
+                "html": b"<html>x</html>",
+            }
+        ]
+        m = store_warc(rd.from_items(rows), root).to_pandas()
+        raw = open(os.path.join(root, m["warc_file"].iloc[0]), "rb").read()
+        recs = list(warckit.parse_warc_bytes(raw))
+        assert len(recs) == 1
+        assert recs[0].headers["WARC-Date"] == "2023-05-06T07:08:09Z"
