@@ -4173,6 +4173,121 @@ ORDER BY url
 """
 
 
+def _robots_text(host: str) -> str:
+    """Deterministic per-host robots.txt for q_crawl_robots: a specific
+    agent group that must LOSE selection (Disallow: / — picking it would
+    zero every count), then the '*' group with a prefix Disallow, a LONGER
+    Allow carve-out (longest-octet precedence), a wildcard+anchor rule, and
+    Crawl-delay/Sitemap lines the rule parser must skip over."""
+    d = str(len(host) % 10)
+    return (
+        f"# synthetic robots for {host}\n"
+        "User-agent: aar-archiver\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        f"Disallow: /p/{d}\n"
+        f"Allow: /p/{d}{d}\n"
+        "Disallow: /*9$\n"
+        f"Sitemap: https://{host}/sitemap.xml\n"
+    )
+
+
+def q_crawl_robots(sf_dir: str):
+    """RFC 9309 robots enforcement through the sharded frontier cache —
+    the crawl gate the reference applies implicitly via yt-dlp/browsers,
+    made explicit (the north rule's "robots.txt caching enforced per actor
+    shard"). Every valid host publishes a deterministic robots.txt derived
+    from its own name (:func:`_robots_text`): an agent-specific group that
+    group-selection must REJECT, then a '*' group whose rules exercise all
+    three RFC 9309 §2.2.2 precedence mechanics — prefix Disallow, a
+    longer Allow carve-out that must win by octet count, and a wildcard
+    ``/*9$`` end-anchored rule. Bodies are parsed by
+    :func:`..state.frontier.parse_robots_rules`, routed to the owning
+    shard (:meth:`Frontier.set_robots`), and enforced over the validated
+    corpus by ``robots_filter_stage`` (one actor call per shard per
+    batch). Output per host: (host, n_urls, n_allowed). The per-host
+    robots FETCH bootstrap is inherently per-host work — the driver-side
+    text build over the distinct-host list stands in for the fetcher
+    (hosts are bounded here; at 1e8 hosts the build itself becomes a
+    map_batches over a hosts table feeding set_robots per shard).
+
+    Oracle: the whole decision re-derived in SQL — host canonicalization,
+    path extraction, and the longest-match CASE (Allow ``/p/dd`` > either
+    len-4 Disallow > no match)."""
+    import uuid
+
+    from ..state.frontier import Frontier, parse_robots_rules
+    from ..stages.agg import driver_reduce
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+    slim = ds.select_columns(["host", "url_canon"]).materialize()
+
+    hosts = (
+        slim.map_batches(
+            lambda t: pa.table(
+                {"host": pa.array(sorted(set(t.column("host").to_pylist())), pa.string())}
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["host"]
+        .unique()
+    )
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch.column("host"),
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("host").aggregate([("n", "sum")]).rename_columns(["host", "n"])
+
+    f = Frontier(num_shards=4, name_prefix=f"rb_{uuid.uuid4().hex[:8]}")
+    try:
+        f.set_robots({h: parse_robots_rules(_robots_text(h), user_agent="*") for h in hosts})
+        allowed = slim.map_batches(f.robots_filter_stage(), batch_format="pyarrow")
+        alw = driver_reduce(
+            allowed.map_batches(partial_counts, batch_format="pyarrow"), ["host"], {"n": "sum"}
+        )
+    finally:
+        f.shutdown()
+    tot = driver_reduce(
+        slim.map_batches(partial_counts, batch_format="pyarrow"), ["host"], {"n": "sum"}
+    )
+    out = tot.rename(columns={"n": "n_urls"}).merge(
+        alw.rename(columns={"n": "n_allowed"}), on="host", how="left"
+    )
+    out["n_urls"] = out["n_urls"].astype("int64")
+    out["n_allowed"] = out["n_allowed"].fillna(0).astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_CRAWL_ROBOTS = f"""
+WITH v AS (
+  SELECT {_sql_canon_host('url')} AS host,
+         regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+r AS (SELECT host, path, CAST(length(host) % 10 AS VARCHAR) AS d FROM v),
+f AS (
+  SELECT host,
+         CASE WHEN path LIKE '/p/' || d || d || '%' THEN TRUE
+              WHEN path LIKE '/p/' || d || '%' THEN FALSE
+              WHEN path LIKE '%9' THEN FALSE
+              ELSE TRUE END AS allowed
+  FROM r
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(*) FILTER (allowed) AS BIGINT) AS n_allowed
+FROM f GROUP BY host ORDER BY host
+"""
+
+
 def q_crawl_sitemap(sf_dir: str):
     """Sitemap-seeded crawl admission, round-tripped end-to-end: the pages
     corpus is sharded into 8 urlset XML files (one per url-hash bucket,
@@ -4564,8 +4679,8 @@ QUERIES = {
     "q_crawl_anchors": q_crawl_anchors,
     "q_pages_components": q_pages_components,
     "q_archive_warc": q_archive_warc,
+    "q_crawl_robots": q_crawl_robots,
     "q_crawl_bfs": q_crawl_bfs,
-    "q_webtext_corpus_v2": q_webtext_corpus_v2,
     # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
     "q_media_store": q_media_store,
     "q_media_store_tree": q_media_store_tree,
@@ -4609,6 +4724,7 @@ QUERIES = {
     # through the driver's own gate locally this round; they ceded their
     # window slots so every never-driver-checked round-5 query gets an
     # official row in the final record)
+    "q_webtext_corpus_v2": q_webtext_corpus_v2,
     "q_webtext_gate_drops": q_webtext_gate_drops,
     "q_pages_ssl": q_pages_ssl,
     "q_crawl_epochs": q_crawl_epochs,
@@ -4792,6 +4908,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_hits": _sql_hits(g),
         "q_pages_components": _sql_components(g),
         "q_archive_warc": _sql_pages(sf_dir, SQL_ARCHIVE_WARC),
+        "q_crawl_robots": _sql_pages(sf_dir, SQL_CRAWL_ROBOTS),
         "q_embed_rproj": SQL_EMBED_RPROJ,
         "q_crawl_sitemap": _sql_pages(sf_dir, SQL_CRAWL_SITEMAP),
         "q_crawl_anchors": _sql_pages(sf_dir, SQL_CRAWL_ANCHORS),

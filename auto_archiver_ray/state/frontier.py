@@ -89,7 +89,8 @@ class FrontierShard:
             self.bloom = BloomFilter(capacity, error_rate)
         else:
             raise ValueError(f"seen_filter must be 'bloom' or 'cuckoo', got {seen_filter!r}")
-        self.robots: dict[str, list[str]] = {}
+        self.robots: dict[str, list] = {}  # host → normalized [path, allow] rules
+        self._robots_compiled: dict[str, list] = {}  # lazy matcher cache (not persisted)
         self.host_counts: dict[str, int] = {}
         self.counters = {"offered": 0, "admitted": 0, "duplicate": 0}
         self.epoch = 0
@@ -216,14 +217,25 @@ class FrontierShard:
         return removed
 
     # ---------------------------------------------------------------- robots
-    def set_robots(self, host: str, disallow_prefixes: list[str]) -> None:
-        self.robots[host] = disallow_prefixes
+    def set_robots(self, host: str, rules: list) -> None:
+        """Accepts the legacy disallow-prefix form (``list[str]``) or the
+        full RFC 9309 rule list from :func:`parse_robots_rules`
+        (``[path, is_allow]`` pairs). Stored normalized (JSON-safe for
+        snapshots); the compiled matcher cache is rebuilt lazily."""
+        self.robots[host] = _normalize_robots_rules(rules)
+        self._robots_compiled.pop(host, None)
 
     def robots_allowed(self, hosts: list[str], paths: list[str]) -> list[bool]:
         out = []
         for h, p in zip(hosts, paths):
             rules = self.robots.get(h)
-            out.append(True if not rules else not any(p.startswith(r) for r in rules))
+            if not rules:
+                out.append(True)
+                continue
+            comp = self._robots_compiled.get(h)
+            if comp is None:
+                comp = self._robots_compiled[h] = _compile_robots_rules(rules)
+            out.append(robots_decide(comp, p))
         return out
 
     # ------------------------------------------------------------- lifecycle
@@ -276,7 +288,9 @@ class FrontierShard:
         self.epoch = meta["epoch"]
         self.counters = meta["counters"]
         self.host_counts = meta["host_counts"]
-        self.robots = meta["robots"]
+        # legacy checkpoints hold plain disallow-prefix lists — normalize
+        self.robots = {h: _normalize_robots_rules(r) for h, r in meta["robots"].items()}
+        self._robots_compiled = {}
         # JSON round-trips entries as lists; restore them as the unsorted
         # tail (tuples, parity with freshly-offered entries) — the next
         # emit's merge-sort re-establishes the order
@@ -460,9 +474,11 @@ class Frontier:
             [self.shards[sid].set_host_budgets.remote(m) for sid, m in per_shard.items()]
         )
 
-    def set_robots(self, rules: dict[str, list[str]]) -> None:
-        """Route each host's disallow-prefix list to the shard that owns the
-        host (same partitioning as the seen-filter — one owner per host)."""
+    def set_robots(self, rules: dict[str, list]) -> None:
+        """Route each host's robots rules — legacy disallow-prefix lists or
+        full RFC 9309 ``[path, allow]`` lists from
+        :func:`parse_robots_rules` — to the shard that owns the host (same
+        partitioning as the seen-filter — one owner per host)."""
         per_shard: dict[int, dict[str, list[str]]] = {}
         for host, prefixes in rules.items():
             per_shard.setdefault(shard_for_host(host, self.num_shards), {})[host] = prefixes
@@ -621,6 +637,99 @@ def parse_robots_txt(text: str, user_agent: str = "*") -> list[str]:
         if "*" in agents:
             return rules
     return []
+
+
+def parse_robots_rules(text: str, user_agent: str = "*") -> list[list]:
+    """Full RFC 9309 rule list for the agent: ``[path, is_allow]`` pairs in
+    file order, keeping BOTH Allow and Disallow lines (the disallow-only
+    :func:`parse_robots_txt` predates this; :meth:`Frontier.set_robots`
+    accepts either form). Group selection is identical to
+    parse_robots_txt — exact-agent group wins over ``'*'`` — and empty rule
+    values are dropped (an empty Disallow means allow-all). Precedence is
+    applied at match time by :func:`robots_decide`: longest-octet rule
+    wins, Allow wins ties (RFC 9309 §2.2.2); ``*`` wildcards and the
+    ``$`` end anchor are honored by :func:`_compile_robots_rules`."""
+    agent = user_agent.lower()
+    groups: list[tuple[list[str], list[list]]] = []  # (agents, [path, allow] rules)
+    cur_agents: list[str] = []
+    cur_rules: list[list] = []
+    in_group_body = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_group_body:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+                in_group_body = False
+            cur_agents.append(val.lower())
+        elif key in ("disallow", "allow", "crawl-delay", "sitemap"):
+            in_group_body = True
+            if key in ("disallow", "allow") and val:
+                cur_rules.append([val, key == "allow"])
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    for agents, rules in groups:
+        if agent in agents:
+            return rules
+    for agents, rules in groups:
+        if "*" in agents:
+            return rules
+    return []
+
+
+def _normalize_robots_rules(rules) -> list[list]:
+    """Rule-list normalizer: legacy plain strings become disallow rules;
+    tuples/lists pass through as ``[path, bool(allow)]`` (JSON-safe — the
+    form shard snapshots persist)."""
+    out: list[list] = []
+    for r in rules or []:
+        if isinstance(r, str):
+            out.append([r, False])
+        else:
+            out.append([str(r[0]), bool(r[1])])
+    return out
+
+
+def _compile_robots_rules(rules: list) -> list:
+    """Compile normalized rules to matchers: plain path prefixes stay
+    string-startswith (the common case, no regex cost); rules containing
+    ``*`` or ending in ``$`` compile to an anchored regex. Rule length (the
+    RFC's octet count, measured on the raw pattern) rides along for
+    longest-match precedence."""
+    import re as _re
+
+    comp = []
+    for p, allow in rules:
+        if "*" in p or p.endswith("$"):
+            pat = p[:-1] if p.endswith("$") else p
+            rx = ".*".join(_re.escape(seg) for seg in pat.split("*"))
+            matcher = _re.compile("^" + rx + ("$" if p.endswith("$") else ""))
+            comp.append((matcher, len(p), allow, True))
+        else:
+            comp.append((p, len(p), allow, False))
+    return comp
+
+
+def robots_decide(compiled: list, path: str) -> bool:
+    """RFC 9309 §2.2.2 precedence over compiled rules: the matching rule
+    with the most octets wins; on an exact length tie Allow wins; no
+    matching rule → allowed."""
+    best_len = -1
+    best_allow = True
+    for m, ln, allow, is_rx in compiled:
+        ok = (m.match(path) is not None) if is_rx else path.startswith(m)
+        if not ok:
+            continue
+        if ln > best_len:
+            best_len, best_allow = ln, allow
+        elif ln == best_len and allow:
+            best_allow = True
+    return best_allow
 
 
 def parse_crawl_delay(text: str, user_agent: str = "*") -> float | None:

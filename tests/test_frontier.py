@@ -567,3 +567,71 @@ def test_cuckoo_model_based_random_ops():
             assert cf.contains_batch(probe).all()
     assert cf.count == len(model)  # count tracks the admitted set exactly
     assert fp_admissions <= 2  # 5000 keys at ~1.2e-4 admission fp rate
+
+
+def test_parse_robots_rules_groups_and_capture():
+    from auto_archiver_ray.state.frontier import parse_robots_rules
+
+    text = (
+        "# comment\n"
+        "User-agent: special-bot\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 3\n"
+        "Disallow: /a\n"
+        "Allow: /a/b\n"
+        "Disallow:\n"          # empty Disallow = allow-all, dropped
+        "Disallow: /*x$\n"
+        "Sitemap: https://h/sitemap.xml\n"
+    )
+    # '*' group for a generic agent; allow flag captured, empty rule dropped
+    assert parse_robots_rules(text, "*") == [["/a", False], ["/a/b", True], ["/*x$", False]]
+    # exact-agent group wins over '*'
+    assert parse_robots_rules(text, "special-bot") == [["/", False]]
+    # unknown file → no rules
+    assert parse_robots_rules("", "*") == []
+
+
+def test_robots_decide_rfc9309_precedence():
+    from auto_archiver_ray.state.frontier import _compile_robots_rules, robots_decide
+
+    rules = _compile_robots_rules(
+        [
+            ["/p", False],        # len 2 disallow
+            ["/p/ok", True],      # len 5 allow — longer, wins under /p/ok*
+            ["/*9$", False],      # wildcard + end anchor, len 4
+            ["/tie", False],      # exact-length tie pair: allow must win
+            ["/tie", True],
+        ]
+    )
+    dec = lambda p: robots_decide(rules, p)
+    assert dec("/q") is True            # no match → allowed
+    assert dec("/p/blocked") is False   # only /p matches
+    assert dec("/p/ok/deeper") is True  # longer allow beats shorter disallow
+    assert dec("/p/29") is False        # anchored wildcard: ends in 9
+    assert dec("/p/91") is False        # ...but 9 not at end → only /p matches
+    assert dec("/p/ok9") is True        # /*9$ (len 4) loses to allow /p/ok (len 5)
+    assert dec("/tie") is True          # equal length: Allow wins the tie
+
+
+def test_robots_shard_rfc_rules_and_checkpoint(tmp_path):
+    import ray
+
+    from auto_archiver_ray.state.frontier import FrontierShard, parse_robots_rules
+
+    text = "User-agent: *\nDisallow: /p/1\nAllow: /p/11\n"
+    s = FrontierShard.remote(0, 1000)
+    ray.get(s.set_robots.remote("h.org", parse_robots_rules(text)))
+    hosts = ["h.org"] * 4
+    paths = ["/p/1", "/p/10", "/p/11", "/q"]
+    assert ray.get(s.robots_allowed.remote(hosts, paths)) == [False, False, True, True]
+
+    # rules survive the shard checkpoint (JSON-safe normalized form)
+    ck = str(tmp_path / "ck")
+    ray.get(s.snapshot.remote(ck))
+    ray.kill(s)
+    s2 = FrontierShard.remote(0, 1000)
+    assert ray.get(s2.restore.remote(ck))
+    assert ray.get(s2.robots_allowed.remote(hosts, paths)) == [False, False, True, True]
+    ray.kill(s2)
