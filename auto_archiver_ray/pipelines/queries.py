@@ -4490,6 +4490,23 @@ def q_doc_heavy_terms(sf_dir: str):
     return out
 
 
+def q_doc_bpe(sf_dir: str):
+    """Distributed BPE vocabulary learning (Sennrich et al. 2016) — the
+    tokenizer-TRAINING op beside the fixed-regex token counter
+    (q_doc_token_stats): one streaming pass reduces the corpus to a
+    vocabulary-bounded (word, count) table, then 8 merge rounds iterate
+    over that table only (exact bucketed pair sums, deterministic
+    max-count/lexicographic argmax, leftmost-first merge application in
+    fresh per-round closures). Integer counts + total-order tie-breaks make
+    the merge SEQUENCE bit-deterministic under any batch layout. Golden:
+    independent serial Counter replay (scripts/golden_serial.bpe_serial)."""
+    from ..stages.textstats import bpe_learn
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_learn(ds, num_merges=8)
+
+
 def q_embed_cluster_sample(sf_dir: str):
     """Cluster-balanced coreset sample: k-means the embedding space
     (integer-exact kmeans_assign, labels golden-checked by q_embed_kmeans)
@@ -4680,7 +4697,7 @@ QUERIES = {
     "q_pages_components": q_pages_components,
     "q_archive_warc": q_archive_warc,
     "q_crawl_robots": q_crawl_robots,
-    "q_crawl_bfs": q_crawl_bfs,
+    "q_doc_bpe": q_doc_bpe,
     # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
     "q_media_store": q_media_store,
     "q_media_store_tree": q_media_store_tree,
@@ -4717,13 +4734,14 @@ QUERIES = {
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
-    # (first seven: touched in round 5 — staged-crawl members/epochs, crawl
-    # composition, ledger batching (whose exactness q_webtext_corpus_v2 and
-    # the chaos tests still pin in-window), per-actor cert memo, band-key
+    # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
+    # crawl composition, ledger batching, per-actor cert memo, band-key
     # encoding + decoder gating — but r4-driver-green AND re-verified
-    # through the driver's own gate locally this round; they ceded their
-    # window slots so every never-driver-checked round-5 query gets an
-    # official row in the final record)
+    # through the driver's own gate locally this round (the full previous
+    # window incl. crawl_bfs/corpus_v2/gate_drops/ssl ran 50 ok / 0 fail);
+    # they ceded their window slots so every never-driver-checked round-5
+    # query gets an official row in the final record)
+    "q_crawl_bfs": q_crawl_bfs,
     "q_webtext_corpus_v2": q_webtext_corpus_v2,
     "q_webtext_gate_drops": q_webtext_gate_drops,
     "q_pages_ssl": q_pages_ssl,
@@ -4980,6 +4998,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_heavy_terms": (
             f"SELECT term, est_count FROM read_parquet('{g}/q_doc_heavy_terms.parquet') "
             "ORDER BY est_count DESC, term"
+        ),
+        "q_doc_bpe": (
+            f'SELECT "rank", "left", "right", merged, pair_count '
+            f"FROM read_parquet('{g}/q_doc_bpe.parquet') ORDER BY \"rank\""
         ),
         "q_embed_ivfpq": (
             f"SELECT query_id, vec_id, adc_score, rank FROM read_parquet('{g}/q_embed_ivfpq.parquet') "

@@ -703,3 +703,149 @@ def rank_contrast_stage(vocab_sorted: np.ndarray, rank_raw: np.ndarray, rank_tar
         )
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE vocabulary learning (Sennrich et al. 2016)
+# ---------------------------------------------------------------------------
+
+_SYM_SEP = "\x1f"
+
+
+def _apply_merge_seq(syms: list[str], left: str, right: str) -> list[str]:
+    """Leftmost-first non-overlapping merge of adjacent (left, right) —
+    the spec shared verbatim with golden_serial.bpe_serial (e.g. a+a over
+    ['a','a','a'] → ['aa','a'])."""
+    out: list[str] = []
+    i, n = 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_learn(docs_ds, text_col: str = "text", num_merges: int = 8):
+    """Distributed BPE vocabulary learning — the tokenizer-training half of
+    the pipeline's token accounting (`textkit.bpe_token_count` applies a
+    fixed regex; this LEARNS merges from the corpus, Sennrich et al. 2016
+    §3.2). Returns a pandas DataFrame ``(rank, left, right, merged,
+    pair_count)``, rank 0 = first merge learned.
+
+    100 TB shape — the classic trainer trick, distributed: ONE streaming
+    pass reduces the corpus to a (word, n) table via bucketed_group_agg
+    (bounded by VOCABULARY, not corpus size; only (word, count) rows ever
+    shuffle), and all ``num_merges`` rounds then iterate over that table:
+    per-batch weighted pair counts → exact bucketed pair sums → per-batch
+    top-1 partials → a ≤num_blocks-row driver argmax (deterministic
+    tie-break: max count, then lexicographically smallest pair), then the
+    winning pair is bound into a FRESH closure (no mutable capture) and
+    applied leftmost-first to the word table, which re-materializes per
+    round. Integer counts + total-order tie-break make the merge sequence
+    bit-deterministic under any batch layout or retry."""
+    import pandas as pd
+
+    from .agg import bucketed_group_agg
+
+    def word_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column(text_col).to_pylist():
+            c.update((t or "").split())
+        words = list(c.keys())
+        return pa.table(
+            {
+                "word": pa.array(words, pa.string()),
+                "n": pa.array([c[w] for w in words], pa.int64()),
+            }
+        )
+
+    words = bucketed_group_agg(
+        docs_ds.map_batches(word_partials, batch_format="pyarrow"), ["word"], {"n": "sum"}
+    )
+
+    def to_syms(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sym": pa.array(
+                    [_SYM_SEP.join(list(w)) for w in batch.column("word").to_pylist()],
+                    pa.string(),
+                ),
+                "n": batch.column("n"),
+            }
+        )
+
+    table = words.map_batches(to_syms, batch_format="pyarrow").materialize()
+
+    merges: list[dict] = []
+    for rank in range(num_merges):
+
+        def pair_partials(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            c: Counter = Counter()
+            counts = batch.column("n").to_pylist()
+            for s, n in zip(batch.column("sym").to_pylist(), counts):
+                syms = s.split(_SYM_SEP)
+                for a, b in zip(syms, syms[1:]):
+                    c[(a, b)] += n
+            keys = list(c.keys())
+            return pa.table(
+                {
+                    "left": pa.array([k[0] for k in keys], pa.string()),
+                    "right": pa.array([k[1] for k in keys], pa.string()),
+                    "n": pa.array([c[k] for k in keys], pa.int64()),
+                }
+            )
+
+        pair_sums = bucketed_group_agg(
+            table.map_batches(pair_partials, batch_format="pyarrow"),
+            ["left", "right"],
+            {"n": "sum"},
+        )
+
+        def top1_partial(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            if not len(df):
+                return pa.table(
+                    {"left": pa.array([], pa.string()), "right": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            # max count, then lexicographically smallest (left, right)
+            df = df.sort_values(["n", "left", "right"], ascending=[False, True, True])
+            return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
+        cands = pair_sums.map_batches(top1_partial, batch_format="pyarrow").to_pandas()
+        if not len(cands):
+            break
+        cands = cands.sort_values(["n", "left", "right"], ascending=[False, True, True])
+        best = cands.iloc[0]
+        left, right, n_pair = str(best["left"]), str(best["right"]), int(best["n"])
+        merges.append(
+            {"rank": rank, "left": left, "right": right, "merged": left + right,
+             "pair_count": n_pair}
+        )
+
+        def apply_round(batch: pa.Table, left=left, right=right) -> pa.Table:
+            # left/right bound as DEFAULTS — a fresh closure per round, never
+            # a rewritten captured cell (the kcenter cached-closure lesson)
+            out = [
+                _SYM_SEP.join(_apply_merge_seq(s.split(_SYM_SEP), left, right))
+                for s in batch.column("sym").to_pylist()
+            ]
+            return pa.table({"sym": pa.array(out, pa.string()), "n": batch.column("n")})
+
+        table = table.map_batches(apply_round, batch_format="pyarrow").materialize()
+
+    return pd.DataFrame(
+        merges,
+        columns=["rank", "left", "right", "merged", "pair_count"],
+    ).astype({"rank": "int64", "pair_count": "int64"}) if merges else pd.DataFrame(
+        {"rank": pd.Series(dtype="int64"), "left": pd.Series(dtype=str),
+         "right": pd.Series(dtype=str), "merged": pd.Series(dtype=str),
+         "pair_count": pd.Series(dtype="int64")}
+    )

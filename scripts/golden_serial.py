@@ -896,3 +896,52 @@ def knn_ivfpq_serial(
         for rank, j in enumerate(idx, 1):
             rows.append((qi, int(mids[j]), int(scores[j]), rank))
     return pd.DataFrame(rows, columns=["query_id", "vec_id", "adc_score", "rank"])
+
+
+# -------------------------------------------------------------------- bpe
+
+
+def bpe_serial(docs: pd.DataFrame, num_merges: int = 8) -> pd.DataFrame:
+    """Serial BPE merge learning (Sennrich et al. 2016): whitespace words →
+    char symbols; per round pick the adjacent pair with the max corpus
+    count (tie: lexicographically smallest (left, right)) and merge it
+    leftmost-first non-overlapping. Plain Counter implementation — shares
+    only the spec with the distributed trainer."""
+    from collections import Counter
+
+    word_counts: Counter = Counter()
+    for t in docs["text"]:
+        word_counts.update((t or "").split())
+    table = {w: tuple(w) for w in word_counts}
+
+    rows = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in table.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), n_pair = best
+        rows.append(
+            {"rank": rank, "left": left, "right": right, "merged": left + right,
+             "pair_count": n_pair}
+        )
+        new_table = {}
+        for w, syms in table.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table[w] = tuple(out)
+        table = new_table
+    return pd.DataFrame(rows, columns=["rank", "left", "right", "merged", "pair_count"]).astype(
+        {"rank": "int64", "pair_count": "int64"}
+    )

@@ -436,3 +436,52 @@ def test_image_resize_stage_real_path():
     bout = st2(bad)
     assert bout.column("resize_ok").to_pylist() == [False, False]
     assert st2.failed == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learn_known_merges():
+    """Hand-checkable corpus: 'low' x4 + 'lower' x2 + 'newest' x3.
+    Pair counts round 1: (l,o)=6, (o,w)=6, ... tie (l,o) vs (o,w) at 6 →
+    lexicographically smaller ('l','o') wins; merge cascade is the classic
+    Sennrich walkthrough shape."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.textstats import bpe_learn
+
+    docs = rd.from_items(
+        [{"text": "low low low low"}, {"text": "lower lower"}, {"text": "newest newest newest"}]
+    )
+    out = bpe_learn(docs, num_merges=3)
+    assert list(out.columns) == ["rank", "left", "right", "merged", "pair_count"]
+    # round 0: (l,o) and (o,w) both 6; tie → ('l','o')
+    assert out.iloc[0][["left", "right", "pair_count"]].tolist() == ["l", "o", 6]
+    # round 1: ('lo','w') now 6 — beats every 'newest' pair (3)
+    assert out.iloc[1][["left", "right", "pair_count"]].tolist() == ["lo", "w", 6]
+    # round 2: 'low' survives as a full token in 'low' (4) and 'lower' (2)?
+    # 'low'+'e' appears only in 'lower' (2); 'newest' pairs are 3 each →
+    # smallest lexicographic among the count-3 pairs of 'newest'
+    assert out.iloc[2]["pair_count"] == 3
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_learn_batch_layout_invariant():
+    """The merge SEQUENCE must be bit-identical under a different block
+    layout (exact bucketed sums + total-order argmax)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.textstats import bpe_learn
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    a = bpe_learn(rd.from_pandas(docs), num_merges=5)
+    b = bpe_learn(rd.from_pandas(docs).repartition(7), num_merges=5)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_apply_merge_leftmost_nonoverlapping():
+    from auto_archiver_ray.stages.textstats import _apply_merge_seq
+
+    assert _apply_merge_seq(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _apply_merge_seq(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _apply_merge_seq(["x", "a", "b", "a", "b"], "a", "b") == ["x", "ab", "ab"]
+    assert _apply_merge_seq([], "a", "b") == []
