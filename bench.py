@@ -154,6 +154,9 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_embed_rproj",
             "q_crawl_sitemap",
             "q_crawl_anchors",
+            "q_archive_warc",
+            "q_crawl_robots",
+            "q_doc_bpe",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
