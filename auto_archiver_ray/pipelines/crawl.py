@@ -234,6 +234,22 @@ def _make_claim_filter(num_shards: int = 8):
     return claim_stage, shards
 
 
+def _warc_tee(warc_root: str):
+    """Pass-through stage that archives each fetched batch's raw payloads
+    as one content-addressed ``.warc.gz`` shard before extraction touches
+    the bytes (the crawl loops' ``warc_root`` sink). Idempotent under task
+    retries and epoch re-runs — the shard name is the hash of its bytes —
+    so it composes with the resume contract without extra bookkeeping."""
+    from ..stages.storage import write_warc_shard
+
+    def tee(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            write_warc_shard(batch, warc_root)
+        return batch
+
+    return tee
+
+
 def _stage_validated_source(
     source_factory,
     batch_size: int = 256,
@@ -559,6 +575,7 @@ def crawl_bfs(
     plan_batch_size: int = 4096,
     stage_max_rows_per_file: int = 65536,
     stage_root: str | None = None,
+    warc_root: str | None = None,
 ):
     """The FULL BFS crawl loop — discovery feedback closed over the
     shard-resident frontier (the reference's media/link discovery feeding
@@ -585,6 +602,16 @@ def crawl_bfs(
     links (restored bloom blocks re-admission), and continues — identical
     partitions to an uninterrupted run (tests/test_crawl.py::
     test_bfs_kill_mid_crawl_resumes_identically).
+
+    ``warc_root``: when set, every fetched epoch also streams its RAW
+    payloads through the distributed WARC sink
+    (:func:`..stages.storage.write_warc_shard`) as an in-chain tee —
+    fetch → archive raw bytes → extract, the reference's archive-the-
+    evidence-first order (ref:modules/wacz_extractor_enricher/
+    wacz_extractor_enricher.py:75-110) at Common-Crawl shard layout.
+    Shards are content-addressed so epoch re-runs after a resume re-write
+    identical files; the record SET (one response record per fetched url)
+    is run-invariant even though shard boundaries follow batch boundaries.
 
     Returns (writer, stats)."""
     import ray
@@ -698,6 +725,10 @@ def crawl_bfs(
                 epoch_ds = epoch_ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=batch_size)
                 epoch_ds = epoch_ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
+            if warc_root is not None:
+                epoch_ds = epoch_ds.map_batches(
+                    _warc_tee(warc_root), batch_format="pyarrow", batch_size=batch_size
+                )
             epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
             epoch_ds = epoch_ds.map_batches(
@@ -763,6 +794,7 @@ def crawl_streaming(
     dedup_fetch: bool = True,
     stage_max_rows_per_file: int = 65536,
     stage_root: str | None = None,
+    warc_root: str | None = None,
 ):
     """North-rule crawl driven by the SHARD-RESIDENT frontier (v3): seed
     keys are OFFERED into the shards — seen-filter admission + per-host
@@ -895,6 +927,10 @@ def crawl_streaming(
         epoch_ds = epoch_ds.map_batches(keep_epoch, batch_format="pyarrow", batch_size=batch_size)
         if claim_stage is not None:
             epoch_ds = epoch_ds.map_batches(claim_stage, batch_format="pyarrow", batch_size=batch_size)
+        if warc_root is not None:
+            epoch_ds = epoch_ds.map_batches(
+                _warc_tee(warc_root), batch_format="pyarrow", batch_size=batch_size
+            )
         epoch_ds = epoch_ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(enrich.meta_enrich, batch_format="pyarrow", batch_size=batch_size)
         epoch_ds = epoch_ds.map_batches(

@@ -3751,6 +3751,114 @@ FROM reach GROUP BY host ORDER BY host
 """
 
 
+def q_crawl_warc(sf_dir: str):
+    """CRAWL → WARC composition — the north rule's full archival loop in
+    one chain: seeds → BFS politeness epochs → fetch → the in-loop WARC
+    tee archives every fetched page's RAW bytes as content-addressed
+    ``.warc.gz`` shards (``crawl_bfs(warc_root=...)``) BEFORE extraction,
+    the reference's archive-the-evidence-first order
+    (ref:modules/wacz_extractor_enricher/wacz_extractor_enricher.py:75-110).
+    The result rows come from reading the shards BACK through the
+    independent WARC parser, and the oracle re-derives BOTH halves with no
+    shared code: the reachable closure as a recursive CTE over rank-math
+    edges (q_crawl_bfs' derivation) AND the page bytes themselves — the
+    linked corpus' html is a pure function of (rank, corpus size, child
+    urls), so the SQL rebuilds each reached page's exact html string and
+    hashes it. Writer framing, gzip members, HTTP envelope, parser, BFS
+    epoch membership and the html generator must ALL invert for the
+    value-hash to match."""
+    import hashlib
+    import shutil
+    import tempfile
+    import uuid
+
+    from ..pipelines.crawl import crawl_bfs
+    from ..sources.pages import ensure_linked_pages
+    from ..sources.warc import read_warc_records
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    linked_dir, seeds = ensure_linked_pages(sf_dir)
+    out_root = tempfile.mkdtemp(prefix="aar_bfswarc_out_")
+    warc_root = tempfile.mkdtemp(prefix="aar_bfswarc_warc_")
+    f = Frontier(
+        num_shards=4, capacity_per_shard=1_000_000, name_prefix=f"bfsw_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        seeds_ds = rd.from_arrow(pa.table({"url": pa.array(seeds, pa.string())}))
+        crawl_bfs(
+            seeds_ds,
+            lambda: rd.read_parquet(linked_dir),
+            out_root,
+            frontier=f,
+            per_host_budget=100,
+            extract_concurrency=4,
+            warc_root=warc_root,
+        )
+        import glob as _glob
+
+        files = sorted(_glob.glob(f"{warc_root}/*.warc.gz"))
+        back = read_warc_records(files)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            payloads = batch.column("payload").to_pylist()
+            return pa.table(
+                {
+                    "url": batch.column("target_uri"),
+                    "payload_sha256": pa.array(
+                        [hashlib.sha256(p or b"").hexdigest() for p in payloads], pa.string()
+                    ),
+                    "payload_len": pc.cast(batch.column("payload_len"), pa.int64()),
+                }
+            )
+
+        out = back.map_batches(digest, batch_format="pyarrow").to_pandas()
+    finally:
+        f.shutdown()
+        shutil.rmtree(out_root, ignore_errors=True)
+        shutil.rmtree(warc_root, ignore_errors=True)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+def _sql_crawl_warc() -> str:
+    """Closure (rank-math recursive CTE) × page-byte reconstruction: the
+    linked corpus' html is rebuilt in pure SQL from rank, corpus size and
+    the child urls (mirroring sources/pages.ensure_linked_pages' format
+    string), then hashed — a fully independent derivation of the WARC
+    readback."""
+    from ..sources.pages import LINKED_SEED_RANKS
+
+    seed_list = ", ".join(str(r) for r in LINKED_SEED_RANKS)
+    return f"""
+WITH RECURSIVE v AS (SELECT DISTINCT url FROM __PAGES__ WHERE {_VALID_SQL}),
+r AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rk FROM v),
+cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+e AS (
+  SELECT p.rk AS src_rk, c.rk AS dst_rk
+  FROM r p JOIN r c ON c.rk = 2 * p.rk + 1 OR c.rk = 2 * p.rk + 2
+),
+reach AS (
+  SELECT rk FROM r WHERE rk IN ({seed_list})
+  UNION
+  SELECT e.dst_rk AS rk FROM e JOIN reach ON e.src_rk = reach.rk
+),
+built AS (
+  SELECT r.url,
+         '<html><head><title>node ' || CAST(r.rk AS VARCHAR)
+         || '</title></head><body><p>bfs tree page rank ' || CAST(r.rk AS VARCHAR)
+         || ' holds body copy for corpus ' || CAST(cnt.n AS VARCHAR) || '</p>'
+         || COALESCE((SELECT '<a href="' || c0.url || '">child 0</a> ' FROM r c0 WHERE c0.rk = 2 * r.rk + 1), '')
+         || COALESCE((SELECT '<a href="' || c1.url || '">child 1</a> ' FROM r c1 WHERE c1.rk = 2 * r.rk + 2), '')
+         || '<img src="https://cdn.example.org/img/photo-' || CAST(r.rk AS VARCHAR)
+         || '.jpg"></body></html>' AS html
+  FROM r JOIN reach USING (rk), cnt
+)
+SELECT url, sha256(html) AS payload_sha256,
+       CAST(octet_length(encode(html)) AS BIGINT) AS payload_len
+FROM built ORDER BY url
+"""
+
+
 def q_doc_splits(sf_dir: str):
     """Deterministic train/valid/test assignment by content-free hash
     bucketing (md5(doc_id) permille: 980/10/10) — the split any engine can
@@ -4695,7 +4803,7 @@ QUERIES = {
     "q_crawl_sitemap": q_crawl_sitemap,
     "q_crawl_anchors": q_crawl_anchors,
     "q_pages_components": q_pages_components,
-    "q_archive_warc": q_archive_warc,
+    "q_crawl_warc": q_crawl_warc,
     "q_crawl_robots": q_crawl_robots,
     "q_doc_bpe": q_doc_bpe,
     # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
@@ -4733,6 +4841,9 @@ QUERIES = {
     "q_orders_lineitem_join": q_orders_lineitem_join,
     "q_events_asof": q_events_asof,
     "q_events_sessions": q_events_sessions,
+    # driver-checked in-window transitively via q_crawl_warc (same writer +
+    # parser inversion); unit-tested + locally gate-checked twice this round
+    "q_archive_warc": q_archive_warc,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -4926,6 +5037,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_hits": _sql_hits(g),
         "q_pages_components": _sql_components(g),
         "q_archive_warc": _sql_pages(sf_dir, SQL_ARCHIVE_WARC),
+        "q_crawl_warc": _sql_pages(sf_dir, _sql_crawl_warc()),
         "q_crawl_robots": _sql_pages(sf_dir, SQL_CRAWL_ROBOTS),
         "q_embed_rproj": SQL_EMBED_RPROJ,
         "q_crawl_sitemap": _sql_pages(sf_dir, SQL_CRAWL_SITEMAP),

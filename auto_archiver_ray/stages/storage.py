@@ -94,58 +94,84 @@ def store_warc(
     contract (oracle-checked by q_archive_warc): reading the shards back
     with :func:`..sources.warc.read_warc_records` yields byte-identical
     payloads per url."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return write_warc_shard(
+            batch,
+            root,
+            url_col=url_col,
+            payload_col=payload_col,
+            ts_col=ts_col,
+            content_type=content_type,
+            gz=gz,
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def write_warc_shard(
+    batch: pa.Table,
+    root: str,
+    url_col: str = "url",
+    payload_col: str = "html",
+    ts_col: str = "warc_ts",
+    content_type: str = "text/html",
+    gz: bool = True,
+) -> pa.Table:
+    """Serialize one Arrow batch as a content-addressed WARC shard file and
+    return its manifest table (the :func:`store_warc` kernel, also used as
+    an in-loop tee by the crawl pipelines' ``warc_root`` sink). The shard
+    name is the blake2b of its bytes, so a retry (or a resumed epoch
+    re-fetch) re-writes the identical file — idempotent by construction."""
     import gzip
     import hashlib
     import io
 
     from ..functions import warckit
 
-    def fn(batch: pa.Table) -> pa.Table:
-        urls = batch.column(url_col).to_pylist()
-        payloads = batch.column(payload_col).to_pylist()
-        dates = None
-        if ts_col and ts_col in batch.column_names:
-            dates = [
-                t.strftime("%Y-%m-%dT%H:%M:%SZ") if t is not None else "2024-01-01T00:00:00Z"
-                for t in batch.column(ts_col).to_pylist()
-            ]
-        members, shas, lens = [], [], []
-        for i, (u, p) in enumerate(zip(urls, payloads)):
-            p = p or b""
-            body = warckit.build_http_response(p, content_type)
-            rec = warckit.build_record(
-                "response",
-                u,
-                body,
-                warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
-            )
-            if gz:
-                buf = io.BytesIO()
-                with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
-                    g.write(rec)
-                rec = buf.getvalue()
-            members.append(rec)
-            shas.append(hashlib.sha256(p).hexdigest())
-            lens.append(len(p))
-        blob = b"".join(members)
-        name = (
-            hashlib.blake2b(blob, digest_size=16).hexdigest()
-            + (".warc.gz" if gz else ".warc")
+    urls = batch.column(url_col).to_pylist()
+    payloads = batch.column(payload_col).to_pylist()
+    dates = None
+    if ts_col and ts_col in batch.column_names:
+        dates = [
+            t.strftime("%Y-%m-%dT%H:%M:%SZ") if t is not None else "2024-01-01T00:00:00Z"
+            for t in batch.column(ts_col).to_pylist()
+        ]
+    members, shas, lens = [], [], []
+    for i, (u, p) in enumerate(zip(urls, payloads)):
+        p = p or b""
+        body = warckit.build_http_response(p, content_type)
+        rec = warckit.build_record(
+            "response",
+            u,
+            body,
+            warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
         )
-        os.makedirs(root, exist_ok=True)
-        dest = os.path.join(root, name)
-        if not os.path.exists(dest):  # content-addressed: retry writes same file
-            tmp = dest + f".tmp.{os.getpid()}"
-            with open(tmp, "wb") as f:
-                f.write(blob)
-            os.replace(tmp, dest)
-        return pa.table(
-            {
-                "url": pa.array(urls, pa.string()),
-                "warc_file": pa.array([name] * len(urls), pa.string()),
-                "payload_sha256": pa.array(shas, pa.string()),
-                "payload_len": pa.array(lens, pa.int64()),
-            }
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+        if gz:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(rec)
+            rec = buf.getvalue()
+        members.append(rec)
+        shas.append(hashlib.sha256(p).hexdigest())
+        lens.append(len(p))
+    blob = b"".join(members)
+    name = (
+        hashlib.blake2b(blob, digest_size=16).hexdigest()
+        + (".warc.gz" if gz else ".warc")
+    )
+    os.makedirs(root, exist_ok=True)
+    dest = os.path.join(root, name)
+    if not os.path.exists(dest):  # content-addressed: retry writes same file
+        tmp = dest + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, dest)
+    return pa.table(
+        {
+            "url": pa.array(urls, pa.string()),
+            "warc_file": pa.array([name] * len(urls), pa.string()),
+            "payload_sha256": pa.array(shas, pa.string()),
+            "payload_len": pa.array(lens, pa.int64()),
+        }
+    )

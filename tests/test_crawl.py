@@ -594,3 +594,55 @@ def test_crawl_streaming_cuckoo_recrawl(tmp_path):
     refetched = w3.read_all().to_pandas()
     assert sorted(refetched["url"]) == sorted(gone["url"])
     fc.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bfs_warc_tee_archives_fetched_raw_bytes(tmp_path):
+    """crawl_bfs(warc_root=...): every fetched page's RAW payload lands in
+    a content-addressed .warc.gz shard, readable back through the
+    independent parser — record set == fetched set, payloads byte-identical
+    to the source corpus, and a resumed re-run adds no duplicate records
+    (content-addressed shards make the tee idempotent)."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_bfs
+    from auto_archiver_ray.sources.pages import ensure_linked_pages
+    from auto_archiver_ray.sources.warc import read_warc_records
+
+    linked, seeds = ensure_linked_pages("/root/testdata/sf0.001")
+    seeds_tbl = pa.table({"url": pa.array(seeds, pa.string())})
+    warc_root = str(tmp_path / "warcs")
+    ck = str(tmp_path / "ck")
+
+    def run(out, name, max_epochs=None):
+        f = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix=name)
+        w, _ = crawl_bfs(
+            rd.from_arrow(seeds_tbl), lambda: rd.read_parquet(linked), out,
+            frontier=f, per_host_budget=5, extract_concurrency=2,
+            checkpoint_dir=ck, max_epochs=max_epochs, warc_root=warc_root,
+        )
+        f.shutdown()
+        return w
+
+    out = str(tmp_path / "run")
+    w_a = run(out, "bfsw_a", max_epochs=2)
+    n_shards_partial = len(glob.glob(f"{warc_root}/*.warc.gz"))
+    assert n_shards_partial > 0
+    w_b = run(out, "bfsw_b")  # resume: epochs 0-1 skip, their shards persist
+
+    fetched = w_b.read_all().to_pandas()
+    back = read_warc_records(sorted(glob.glob(f"{warc_root}/*.warc.gz"))).to_pandas()
+    # one response record per fetched url, no duplicates from the resume
+    assert sorted(back["target_uri"]) == sorted(fetched["url"])
+
+    # payloads are the source corpus' exact bytes
+    src = {}
+    for f in sorted(glob.glob(f"{linked}/*.parquet")):
+        t = pq.read_table(f, columns=["url", "html"])
+        src.update(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
+    for u, p in zip(back["target_uri"], back["payload"]):
+        assert hashlib.sha256(bytes(p)).hexdigest() == hashlib.sha256(src[u]).hexdigest()
