@@ -2750,6 +2750,74 @@ FROM r WHERE rnk <= {BM25_TOPK} ORDER BY term, rank
 """
 
 
+INDEX_TOP_TERMS = 20  # terms returned in the index head
+INDEX_POSTINGS = 5  # postings per term (the impact-ordered head depth)
+
+
+def q_doc_inverted_index(sf_dir: str):
+    """Distributed inverted-index build, returning the impact-ordered index
+    head: the corpus's top-``INDEX_TOP_TERMS`` terms by (df DESC, term ASC)
+    with exact df/cf and each term's top-``INDEX_POSTINGS`` postings by
+    (tf DESC, doc_id ASC) — Anh & Moffat impact ordering, the prefix a WAND
+    scorer reads first. Everything is integers with total-order tie-breaks,
+    so the result is bit-identical to the SQL oracle.
+
+    Scale shape: pass 1 streams one-tokenization (term, df, tf) partials
+    into :func:`grouped_topk` — the UNBOUNDED-vocabulary path: partial rows
+    shuffle to hash(term) coarse buckets, each bucket finishes its terms and
+    keeps its local head, the driver merges ≤ buckets×T rows (never the
+    vocabulary). Pass 2 broadcasts the T winning terms in the closure and
+    keeps only batch-local top-P postings per term (a doc lives wholly in
+    one batch, so the pruning is lossless); the driver merges
+    ≤ batches×T×P skinny rows. Full-postings variants write the bucketed
+    groupby output straight to partitioned parquet instead of merging — the
+    head here is the verifiable sample of that build."""
+    from ..stages.agg import grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    partials = ds.map_batches(
+        textstats.term_df_tf_partials, batch_format="pyarrow", batch_size=8192
+    )
+    stats = grouped_topk(
+        partials,
+        ["term"],
+        {"df": "sum", "tf": "sum"},
+        k=INDEX_TOP_TERMS,
+        sort_by=["df", "term"],
+        ascending=[False, True],
+    ).rename(columns={"tf": "cf"})
+    fn = textstats.postings_partials([str(t) for t in stats["term"]], k=INDEX_POSTINGS)
+    cand = ds.map_batches(fn, batch_format="pyarrow", batch_size=4096).to_pandas()
+    cand = cand.sort_values(
+        ["term", "tf", "doc_id"], ascending=[True, False, True], kind="mergesort"
+    )
+    cand["rank"] = cand.groupby("term").cumcount() + 1
+    head = cand[cand["rank"] <= INDEX_POSTINGS].merge(stats, on="term")
+    out = head[["term", "df", "cf", "rank", "doc_id", "tf"]].astype(
+        {"df": "int64", "cf": "int64", "rank": "int64"}
+    )
+    return out.sort_values(["term", "rank"]).reset_index(drop=True)
+
+
+SQL_DOC_INVERTED_INDEX = f"""
+WITH {_SQL_DOC_TOKS},
+tf AS (SELECT doc_id, tok AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, tok),
+stats AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term ORDER BY df DESC, term ASC LIMIT {INDEX_TOP_TERMS}
+),
+p AS (
+  SELECT t.term, t.doc_id, t.tf,
+         row_number() OVER (PARTITION BY t.term ORDER BY t.tf DESC, t.doc_id ASC) AS rnk
+  FROM tf t JOIN stats s ON t.term = s.term
+)
+SELECT term, df, cf, CAST(rnk AS BIGINT) AS rank, doc_id, tf
+FROM p JOIN stats USING (term) WHERE rnk <= {INDEX_POSTINGS}
+ORDER BY term, rank
+"""
+
+
 _DUPSPAN_W = 5  # repeated-span window width (tokens), shared with the oracle
 
 
@@ -4562,6 +4630,83 @@ ORDER BY dst_url, src_url
 """
 
 
+TRAP_MIN_URLS = 200  # (host, template) groups at/above this size are traps
+
+
+def q_crawl_url_templates(sf_dir: str):
+    """Crawler-trap detection by URL templating — the frontier-side defense
+    against calendar traps / infinite URL spaces (session ids, pagination,
+    date grids): collapse every digit run in the URL's path+query to ``N``
+    (fragment dropped, empty path → ``/``), group by (canonical host,
+    template), and flag any group holding ≥ ``TRAP_MIN_URLS`` urls as a
+    trap a frontier admission gate would cap. Mirrors the reference's
+    URL-hygiene intent (ref:utils/url.py is_relevant_url drops known-noise
+    shapes) lifted from per-url rules to corpus-level template statistics.
+
+    Scale shape: templating runs in Arrow RE2 kernels
+    (replace_substring_regex / extract_regex — zero-copy, no Python per-row
+    loop); per-batch group counts reduce each batch to one skinny row per
+    (host, template); bucketed_group_agg finishes the sum with the
+    unbounded-key shuffle (a template family lives wholly in one bucket).
+    Only (host, template, n) rows ever move; payloads stay put. RE2 on both
+    sides (DuckDB's regexp_replace is RE2 too), so the template strings are
+    byte-identical by construction."""
+    from ..stages.agg import bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=2048)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"^https?://[^/?#]*(?P<t>[^#]*)"), "t"
+        )
+        t = pc.if_else(pc.equal(t, ""), "/", t)
+        tmpl = pc.replace_substring_regex(t, "[0-9]+", "N")
+        g = pa.table(
+            {
+                "host": batch.column("host"),
+                "template": tmpl,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return g.group_by(["host", "template"]).aggregate([("n", "sum")]).rename_columns(
+            ["host", "template", "n"]
+        )
+
+    agg = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192),
+        ["host", "template"],
+        {"n": "sum"},
+        num_buckets=64,
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.rename(columns={"n": "n_urls"})
+        df["trap"] = df["n_urls"] >= TRAP_MIN_URLS
+        return df
+
+    out = agg.map_batches(finish, batch_format="pandas").to_pandas()
+    out["n_urls"] = out["n_urls"].astype("int64")
+    return out.sort_values(["host", "template"]).reset_index(drop=True)
+
+
+SQL_CRAWL_URL_TEMPLATES = f"""
+WITH t AS (
+  SELECT {_sql_canon_host('url')} AS host,
+         regexp_replace(
+           CASE WHEN regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
+                ELSE regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) END,
+           '[0-9]+', 'N', 'g') AS template
+  FROM __PAGES__ WHERE {_VALID_SQL}
+)
+SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       COUNT(*) >= {TRAP_MIN_URLS} AS trap
+FROM t GROUP BY host, template ORDER BY host, template
+"""
+
+
 def q_embed_ivfpq(sf_dir: str):
     """IVF-PQ ANN — the composed billion-vector recipe: probe the nprobe
     nearest coarse cells (knn_ivf's filter), then score the survivors from
@@ -4844,6 +4989,9 @@ QUERIES = {
     # driver-checked in-window transitively via q_crawl_warc (same writer +
     # parser inversion); unit-tested + locally gate-checked twice this round
     "q_archive_warc": q_archive_warc,
+    # post-freeze round-5 additions (tail: gate-checked locally this round)
+    "q_doc_inverted_index": q_doc_inverted_index,
+    "q_crawl_url_templates": q_crawl_url_templates,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5042,6 +5190,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_embed_rproj": SQL_EMBED_RPROJ,
         "q_crawl_sitemap": _sql_pages(sf_dir, SQL_CRAWL_SITEMAP),
         "q_crawl_anchors": _sql_pages(sf_dir, SQL_CRAWL_ANCHORS),
+        "q_doc_inverted_index": SQL_DOC_INVERTED_INDEX,
+        "q_crawl_url_templates": _sql_pages(sf_dir, SQL_CRAWL_URL_TEMPLATES),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -511,6 +511,57 @@ def bm25_stage(query_terms: list[str], idfs: np.ndarray, avgdl: float, k: int = 
     return fn
 
 
+def postings_partials(query_terms: list[str], k: int = 5):
+    """Build a map_batches fn emitting each batch's LOCAL top-``k`` postings
+    (term, doc_id, tf) per query term, ranked (tf DESC, doc_id ASC) — the
+    impact-ordered inverted-index head (Anh & Moffat's impact ordering; the
+    WAND upper-bound prefix). A doc lives wholly in one batch, so a posting
+    outside its batch's top-k cannot be in the global top-k: the driver's
+    merge over ≤ batches×terms×k skinny rows is lossless. Query terms ride
+    the closure as a frozenset (bytes, not a shuffle join); integer tf with
+    total-order tie-breaks keeps the distributed result bit-identical to
+    SQL under any batch composition or retry."""
+    qset = frozenset(str(t) for t in query_terms)
+    qterms = sorted(qset)
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        from collections import Counter
+
+        per_term: dict[str, tuple[list, list]] = {t: ([], []) for t in qterms}
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            c = Counter(toks)
+            for q in qset.intersection(c):
+                acc = per_term[q]
+                acc[0].append(i)
+                acc[1].append(c[q])
+        cols_term: list[str] = []
+        cols_id: list[int] = []
+        cols_tf: list[int] = []
+        for q in qterms:
+            d_ids, d_tf = per_term[q]
+            if not d_ids:
+                continue
+            id_arr = np.asarray(d_ids, dtype=np.int64)
+            tf_arr = np.asarray(d_tf, dtype=np.int64)
+            order = np.lexsort((id_arr, -tf_arr))[:k]
+            for j in order:
+                cols_term.append(q)
+                cols_id.append(int(id_arr[j]))
+                cols_tf.append(int(tf_arr[j]))
+        return pa.table(
+            {
+                "term": pa.array(cols_term, pa.string()),
+                "doc_id": pa.array(cols_id, pa.int64()),
+                "tf": pa.array(cols_tf, pa.int64()),
+            }
+        )
+
+    return fn
+
+
 def rank_score_stage(vocab_sorted: np.ndarray, ranks: np.ndarray):
     """Build a map_batches fn scoring each doc by the sum of its tokens'
     GLOBAL frequency ranks (rank 1 = most frequent term; ties broken by

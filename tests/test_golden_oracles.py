@@ -805,3 +805,81 @@ def test_rproj_matches_serial_and_batch_invariant():
     expect = np.sqrt(8 * 10 / 16)
     assert abs(np.median(ratio) - expect) < 0.25 * expect, np.median(ratio)
     assert ratio.min() > 0.15 * expect and ratio.max() < 2.5 * expect, (ratio.min(), ratio.max())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_inverted_index_matches_sql_and_batch_invariant():
+    """q_doc_inverted_index: (1) bit-identical to the DuckDB oracle on a
+    SECOND dataset (sf0.001 — the driver checks sf0.01); (2) the batch-local
+    top-P postings pruning is lossless under a different batch size (a doc
+    lives wholly in one batch; integer tf + total-order tie-breaks)."""
+    import duckdb
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import (
+        INDEX_POSTINGS,
+        SQL_DOC_INVERTED_INDEX,
+        q_doc_inverted_index,
+    )
+    from auto_archiver_ray.stages import textstats
+
+    got = q_doc_inverted_index(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_INVERTED_INDEX).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # postings-pruning invariance: rebuild the head for the same terms at a
+    # tiny batch size and assert the identical merged result
+    docs = _docs(SF_SMALL)
+    terms = sorted(set(got["term"]))
+    fn = textstats.postings_partials(terms, k=INDEX_POSTINGS)
+    cand = (
+        rd.from_pandas(docs)
+        .map_batches(fn, batch_format="pyarrow", batch_size=7)
+        .to_pandas()
+        .sort_values(["term", "tf", "doc_id"], ascending=[True, False, True], kind="mergesort")
+    )
+    cand["rank"] = cand.groupby("term").cumcount() + 1
+    head = cand[cand["rank"] <= INDEX_POSTINGS].reset_index(drop=True)
+    base = got[["term", "doc_id", "tf", "rank"]].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        head[["term", "doc_id", "tf", "rank"]].astype({"rank": "int64"}),
+        base,
+        check_dtype=False,
+        check_exact=True,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_url_templates_matches_sql_and_flags_traps():
+    """q_crawl_url_templates on sf0.001: value-exact vs the DuckDB oracle
+    (RE2 templating on both sides), and the template collapse actually
+    groups the generator's /p/{row} URL space into per-host 'trap' families
+    (each host's pages share one '/p/N' template)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_CRAWL_URL_TEMPLATES,
+        _sql_pages,
+        q_crawl_url_templates,
+    )
+
+    got = q_crawl_url_templates(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, SQL_CRAWL_URL_TEMPLATES)).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # the digit collapse is real: '/p/N' exists, no template retains digits
+    assert (got["template"] == "/p/N").any()
+    assert not got["template"].str.contains(r"[0-9]").any()
+    # tracker-param urls collapse into a distinct query template
+    assert got["template"].str.contains(r"\?utm_source=feed").any()
