@@ -157,6 +157,8 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_archive_warc",
             "q_crawl_robots",
             "q_doc_bpe",
+            "q_doc_inverted_index",
+            "q_crawl_url_templates",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
