@@ -2818,6 +2818,102 @@ ORDER BY term, rank
 """
 
 
+BIGRAM_TOP = 25  # bigrams returned with their Kneser-Ney ingredient counts
+
+
+def q_doc_bigram_lm(sf_dir: str):
+    """Kneser–Ney ingredient counts for a bigram language model (Kneser &
+    Ney 1995; Chen & Goodman 1998): for the corpus's top-``BIGRAM_TOP``
+    bigrams by (count DESC, w1 ASC, w2 ASC), the raw count plus the two
+    continuation statistics KN smoothing needs — ``n_continuations`` =
+    N1+(w1·), distinct words following w1, and ``n_left_contexts`` =
+    N1+(·w2), distinct words preceding w2. The n-gram LM behind
+    CCNet/KenLM-style perplexity filtering, built distributed. Bigrams
+    never cross document boundaries (the SQL twin is lead() partitioned by
+    doc_id). All integers + total-order tie-breaks → bit-identical to SQL.
+
+    Scale shape: one tokenization pass emits (w1, w2, n) partials — one row
+    per distinct pair per batch. grouped_topk picks the head without
+    materializing the pair vocabulary; bucketed_group_agg dedupes the full
+    pair support as a DATASET (a pair lives wholly in one bucket), over
+    which the continuation counts are per-batch partial sums FILTERED to
+    the ≤2×TOP head words (broadcast in the closure) before a bounded
+    driver reduce. Only skinny pair rows ever shuffle; nothing
+    vocabulary-sized reaches the driver."""
+    from ..stages.agg import bucketed_group_agg, grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    partials = ds.map_batches(textstats.bigram_partials, batch_format="pyarrow", batch_size=4096)
+    top = grouped_topk(
+        partials,
+        ["w1", "w2"],
+        {"n": "sum"},
+        k=BIGRAM_TOP,
+        sort_by=["n", "w1", "w2"],
+        ascending=[False, True, True],
+    )
+    pairs = bucketed_group_agg(partials, ["w1", "w2"], {"n": "sum"}, num_buckets=64)
+    w1_set = frozenset(str(w) for w in top["w1"])
+    w2_set = frozenset(str(w) for w in top["w2"])
+
+    def word_stat_partial(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        cont: Counter = Counter()
+        left: Counter = Counter()
+        for a, b in zip(batch.column("w1").to_pylist(), batch.column("w2").to_pylist()):
+            if a in w1_set:
+                cont[("c", a)] += 1
+            if b in w2_set:
+                left[("l", b)] += 1
+        keys = list(cont.keys()) + list(left.keys())
+        vals = [cont[k] for k in cont] + [left[k] for k in left]
+        return pa.table(
+            {
+                "kind": pa.array([k[0] for k in keys], pa.string()),
+                "w": pa.array([k[1] for k in keys], pa.string()),
+                "n": pa.array(np.asarray(vals, dtype=np.int64)),
+            }
+        )
+
+    stats = driver_reduce(
+        pairs.map_batches(word_stat_partial, batch_format="pyarrow"),
+        ["kind", "w"],
+        {"n": "sum"},
+    )
+    cont = stats[stats["kind"] == "c"].rename(columns={"w": "w1", "n": "n_continuations"})
+    left = stats[stats["kind"] == "l"].rename(columns={"w": "w2", "n": "n_left_contexts"})
+    out = top.merge(cont[["w1", "n_continuations"]], on="w1").merge(
+        left[["w2", "n_left_contexts"]], on="w2"
+    )
+    out = out.astype({"n": "int64", "n_continuations": "int64", "n_left_contexts": "int64"})
+    return (
+        out[["w1", "w2", "n", "n_continuations", "n_left_contexts"]]
+        .sort_values(["n", "w1", "w2"], ascending=[False, True, True], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+SQL_DOC_BIGRAM_LM = f"""
+WITH {_SQL_DOC_TOKS},
+bg AS (
+  SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+top AS (SELECT * FROM bgc ORDER BY n DESC, w1 ASC, w2 ASC LIMIT {BIGRAM_TOP}),
+cont AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_continuations FROM bgc GROUP BY w1),
+lctx AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n_left_contexts FROM bgc GROUP BY w2)
+SELECT t.w1, t.w2, t.n, c.n_continuations, l.n_left_contexts
+FROM top t JOIN cont c USING (w1) JOIN lctx l USING (w2)
+ORDER BY t.n DESC, t.w1 ASC, t.w2 ASC
+"""
+
+
 _DUPSPAN_W = 5  # repeated-span window width (tokens), shared with the oracle
 
 
@@ -4992,6 +5088,7 @@ QUERIES = {
     # post-freeze round-5 additions (tail: gate-checked locally this round)
     "q_doc_inverted_index": q_doc_inverted_index,
     "q_crawl_url_templates": q_crawl_url_templates,
+    "q_doc_bigram_lm": q_doc_bigram_lm,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5192,6 +5289,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_anchors": _sql_pages(sf_dir, SQL_CRAWL_ANCHORS),
         "q_doc_inverted_index": SQL_DOC_INVERTED_INDEX,
         "q_crawl_url_templates": _sql_pages(sf_dir, SQL_CRAWL_URL_TEMPLATES),
+        "q_doc_bigram_lm": SQL_DOC_BIGRAM_LM,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

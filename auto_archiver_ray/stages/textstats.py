@@ -562,6 +562,29 @@ def postings_partials(query_terms: list[str], k: int = 5):
     return fn
 
 
+def bigram_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch partial bigram counts: one (w1, w2, n) row per distinct
+    ADJACENT token pair per batch (pairs never cross document boundaries —
+    the SQL twin is lead() partitioned by doc_id). Summing over batches is
+    the exact corpus bigram count; the distinct (w1, w2) key set of the
+    reduced table is the LM's support, from which Kneser–Ney continuation
+    counts derive."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        toks = (t or "").split()
+        c.update(zip(toks, toks[1:]))
+    keys = list(c.keys())
+    return pa.table(
+        {
+            "w1": pa.array([k[0] for k in keys], pa.string()),
+            "w2": pa.array([k[1] for k in keys], pa.string()),
+            "n": pa.array(np.fromiter((c[k] for k in keys), dtype=np.int64, count=len(keys))),
+        }
+    )
+
+
 def rank_score_stage(vocab_sorted: np.ndarray, ranks: np.ndarray):
     """Build a map_batches fn scoring each doc by the sum of its tokens'
     GLOBAL frequency ranks (rank 1 = most frequent term; ties broken by

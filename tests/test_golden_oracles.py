@@ -883,3 +883,42 @@ def test_url_templates_matches_sql_and_flags_traps():
     assert not got["template"].str.contains(r"[0-9]").any()
     # tracker-param urls collapse into a distinct query template
     assert got["template"].str.contains(r"\?utm_source=feed").any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bigram_lm_matches_sql_and_batch_invariant():
+    """q_doc_bigram_lm on sf0.001 (the driver checks sf0.01): bit-identical
+    to the DuckDB oracle, and the bigram partials are batch-layout
+    invariant (pairs never cross docs; integer sums commute)."""
+    import duckdb
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_BIGRAM_LM, q_doc_bigram_lm
+    from auto_archiver_ray.stages import textstats
+    from auto_archiver_ray.stages.agg import driver_reduce
+
+    got = q_doc_bigram_lm(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_BIGRAM_LM).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # KN sanity: every continuation/context count is >= 1 (the bigram itself)
+    assert (got["n_continuations"] >= 1).all() and (got["n_left_contexts"] >= 1).all()
+
+    # partials are exact under a pathological batch size
+    docs = _docs(SF_SMALL)
+    full = driver_reduce(
+        rd.from_pandas(docs).map_batches(
+            textstats.bigram_partials, batch_format="pyarrow", batch_size=3
+        ),
+        ["w1", "w2"],
+        {"n": "sum"},
+    )
+    lookup = full.set_index(["w1", "w2"])["n"]
+    for _, r in got.iterrows():
+        assert int(lookup.loc[(r["w1"], r["w2"])]) == int(r["n"])
