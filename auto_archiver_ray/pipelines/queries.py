@@ -3320,6 +3320,98 @@ ORDER BY d.doc_id
 """
 
 
+def q_doc_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail perplexity partitioning (Wenzek et al. 2020
+    §4.3) over the integer rank-perplexity proxy: score each doc by its
+    mean token frequency rank (``rank_sum // n_tokens`` — integer floor, so
+    both sides agree exactly), cut the corpus into tertiles of the score
+    distribution, and label every doc head (lowest mean rank = most fluent)
+    / middle / tail. The thresholds are EXACT discrete quantiles via the
+    distributed-histogram trick (distinct mean ranks are bounded by the
+    vocabulary's max rank, not the corpus), same contract as
+    q_doc_length_quantiles; docs at a threshold value all take the lower
+    bucket, a total-order rule both sides share.
+
+    Scale shape: one scoring pass (broadcast rank arrays, no shuffle), one
+    histogram reduce of (score_q, cnt) partials, one labeling pass with two
+    scalar thresholds in the closure. The per-doc scored dataset is
+    recomputed from lineage for the labeling pass rather than materialized
+    — three streaming passes, nothing corpus-sized anywhere."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    tf_tbl = driver_reduce(
+        ds.map_batches(textstats.term_tf_partials, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        {"tf": "sum"},
+    )
+    tf_tbl = tf_tbl.sort_values(["tf", "term"], ascending=[False, True], kind="mergesort")
+    tf_tbl["rank"] = np.arange(1, len(tf_tbl) + 1, dtype=np.int64)
+    tf_tbl = tf_tbl.sort_values("term")
+    fn = textstats.rank_score_stage(
+        np.asarray(tf_tbl["term"].to_numpy(), dtype=object),
+        tf_tbl["rank"].to_numpy().astype(np.int64),
+    )
+    scored = ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+    def score_hist(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_numpy()
+        rs = batch.column("rank_sum").to_numpy()
+        q = np.where(nt > 0, rs // np.maximum(nt, 1), 0).astype(np.int64)
+        vals, cnts = np.unique(q, return_counts=True)
+        return pa.table(
+            {"score_q": pa.array(vals), "cnt": pa.array(cnts.astype(np.int64))}
+        )
+
+    hist = driver_reduce(
+        scored.map_batches(score_hist, batch_format="pyarrow"), ["score_q"], {"cnt": "sum"}
+    ).sort_values("score_q")
+    total = int(hist["cnt"].sum())
+    cum = hist["cnt"].cumsum().to_numpy()
+    vals = hist["score_q"].to_numpy()
+    t1 = int(vals[int(np.searchsorted(cum, (total + 2) // 3))])
+    t2 = int(vals[int(np.searchsorted(cum, (2 * total + 2) // 3))])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_numpy()
+        rs = batch.column("rank_sum").to_numpy()
+        q = np.where(nt > 0, rs // np.maximum(nt, 1), 0).astype(np.int64)
+        b = np.where(q <= t1, "head", np.where(q <= t2, "middle", "tail"))
+        return batch.append_column("score_q", pa.array(q)).append_column(
+            "bucket", pa.array(b.astype(object), pa.string())
+        )
+
+    out = scored.map_batches(bucketize, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PPL_BUCKETS = f"""
+WITH {_SQL_DOC_TOKS},
+tf AS (SELECT tok AS term, COUNT(*) AS c FROM toks GROUP BY tok),
+r AS (SELECT term, CAST(row_number() OVER (ORDER BY c DESC, term) AS BIGINT) AS rnk FROM tf),
+perdoc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, CAST(SUM(rnk) AS BIGINT) AS rank_sum
+  FROM toks JOIN r ON tok = r.term GROUP BY doc_id
+),
+scored AS (
+  SELECT d.doc_id, COALESCE(p.n_tokens, 0) AS n_tokens, COALESCE(p.rank_sum, 0) AS rank_sum,
+         CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+              ELSE COALESCE(p.rank_sum, 0) // p.n_tokens END AS score_q
+  FROM documents d LEFT JOIN perdoc p USING (doc_id)
+),
+ranked AS (SELECT score_q, row_number() OVER (ORDER BY score_q) AS rn,
+                  COUNT(*) OVER () AS cnt FROM scored),
+thr AS (
+  SELECT MIN(CASE WHEN rn >= (cnt + 2) // 3 THEN score_q END) AS t1,
+         MIN(CASE WHEN rn >= (2 * cnt + 2) // 3 THEN score_q END) AS t2
+  FROM ranked
+)
+SELECT s.doc_id, s.n_tokens, s.rank_sum, CAST(s.score_q AS BIGINT) AS score_q,
+       CASE WHEN s.score_q <= t.t1 THEN 'head'
+            WHEN s.score_q <= t.t2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM scored s CROSS JOIN thr t ORDER BY s.doc_id
+"""
+
+
 def q_doc_pii(sf_dir: str):
     """PII scan + redaction over the documents table (C4/Dolma hygiene
     pass): per-doc email/IPv4/phone detection counts on the raw text and a
@@ -5089,6 +5181,7 @@ QUERIES = {
     "q_doc_inverted_index": q_doc_inverted_index,
     "q_crawl_url_templates": q_crawl_url_templates,
     "q_doc_bigram_lm": q_doc_bigram_lm,
+    "q_doc_ppl_buckets": q_doc_ppl_buckets,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5290,6 +5383,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_inverted_index": SQL_DOC_INVERTED_INDEX,
         "q_crawl_url_templates": _sql_pages(sf_dir, SQL_CRAWL_URL_TEMPLATES),
         "q_doc_bigram_lm": SQL_DOC_BIGRAM_LM,
+        "q_doc_ppl_buckets": SQL_DOC_PPL_BUCKETS,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -160,6 +160,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_inverted_index",
             "q_crawl_url_templates",
             "q_doc_bigram_lm",
+            "q_doc_ppl_buckets",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -922,3 +922,32 @@ def test_bigram_lm_matches_sql_and_batch_invariant():
     lookup = full.set_index(["w1", "w2"])["n"]
     for _, r in got.iterrows():
         assert int(lookup.loc[(r["w1"], r["w2"])]) == int(r["n"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ppl_buckets_matches_sql_and_partitions_sanely():
+    """q_doc_ppl_buckets on sf0.001: value-exact vs the DuckDB oracle, every
+    doc labeled, buckets ordered by score (max head score <= min middle
+    score, etc.), and tertile sizes within the tie-induced slack."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_PPL_BUCKETS, q_doc_ppl_buckets
+
+    got = q_doc_ppl_buckets(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_PPL_BUCKETS).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert set(got["bucket"]) == {"head", "middle", "tail"}
+    h = got[got["bucket"] == "head"]["score_q"]
+    m = got[got["bucket"] == "middle"]["score_q"]
+    t = got[got["bucket"] == "tail"]["score_q"]
+    assert h.max() < m.min() and m.max() < t.min()
+    # head holds at least a third (threshold docs fall low), never everything
+    assert len(h) >= len(got) // 3 and len(h) < len(got)
