@@ -4895,6 +4895,117 @@ FROM t GROUP BY host, template ORDER BY host, template
 """
 
 
+TRAP_CAP = 50  # urls admitted per (host, template) group
+
+
+def q_crawl_trap_gate(sf_dir: str):
+    """Per-template admission capping — the enforcement half of
+    :func:`q_crawl_url_templates`: within every (canonical host, template)
+    group admit only the first ``TRAP_CAP`` urls by url order (ASCII sort,
+    deterministic across engines) and suppress the rest, reporting per host
+    how many urls were offered / admitted / trap-suppressed. This is the
+    frontier gate that stops a calendar trap from eating a host's politeness
+    budget: bounded admission per URL shape instead of per host alone.
+
+    Scale shape: per-batch, each group keeps only its C smallest urls
+    (lossless for a smallest-C selection — a url outside its batch's first
+    C cannot be in the global first C), so at most C×groups_in_batch skinny
+    (host, template, url) rows shuffle to hash(host,template) coarse
+    buckets for the exact final selection; admitted/offered counts then
+    roll up per host in one bucketed sum. Payloads never move; no
+    group-sized row set ever reaches one task beyond C per group."""
+    from ..stages.agg import _add_key_bucket_fn, bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=2048)
+
+    def tmpl_partial(batch: pa.Table) -> pa.Table:
+        t = pc.struct_field(
+            pc.extract_regex(batch.column("url"), r"^https?://[^/?#]*(?P<t>[^#]*)"), "t"
+        )
+        t = pc.if_else(pc.equal(t, ""), "/", t)
+        tmpl = pc.replace_substring_regex(t, "[0-9]+", "N")
+        df = pa.table(
+            {"host": batch.column("host"), "template": tmpl, "url": batch.column("url")}
+        ).to_pandas()
+        # batch-local first-C per group + the batch's group offer counts
+        df = df.sort_values("url", kind="mergesort")
+        df["__r"] = df.groupby(["host", "template"]).cumcount()
+        offered = df.groupby(["host", "template"], as_index=False).size()
+        head = df[df["__r"] < TRAP_CAP].drop(columns="__r")
+        head["n_offered"] = np.int64(0)
+        offered = offered.rename(columns={"size": "n_offered"})
+        offered["url"] = ""
+        return pa.Table.from_pandas(
+            pd.concat(
+                [head[["host", "template", "url", "n_offered"]], offered], ignore_index=True
+            ),
+            preserve_index=False,
+        )
+
+    def bucket_select(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"])
+        offered = g.groupby(["host", "template"], as_index=False)["n_offered"].sum()
+        urls = g[g["url"] != ""].sort_values("url", kind="mergesort")
+        urls = urls.groupby(["host", "template"], as_index=False).head(TRAP_CAP)
+        admitted = urls.groupby(["host", "template"], as_index=False).size()
+        out = offered.merge(
+            admitted.rename(columns={"size": "n_admitted"}), on=["host", "template"], how="left"
+        )
+        out["n_admitted"] = out["n_admitted"].fillna(0).astype("int64")
+        return out
+
+    per_tmpl = (
+        ds.map_batches(tmpl_partial, batch_format="pyarrow", batch_size=8192)
+        .map_batches(_add_key_bucket_fn(["host", "template"], 64), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(bucket_select, batch_format="pandas")
+    )
+
+    def host_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["n_suppressed"] = df["n_offered"] - df["n_admitted"]
+        return df.groupby("host", as_index=False)[
+            ["n_offered", "n_admitted", "n_suppressed"]
+        ].sum()
+
+    out = (
+        bucketed_group_agg(
+            per_tmpl.map_batches(host_partial, batch_format="pandas"),
+            ["host"],
+            {"n_offered": "sum", "n_admitted": "sum", "n_suppressed": "sum"},
+            num_buckets=16,
+        )
+        .to_pandas()
+        .astype({"n_offered": "int64", "n_admitted": "int64", "n_suppressed": "int64"})
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_CRAWL_TRAP_GATE = f"""
+WITH t AS (
+  SELECT {_sql_canon_host('url')} AS host, url,
+         regexp_replace(
+           CASE WHEN regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
+                ELSE regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) END,
+           '[0-9]+', 'N', 'g') AS template
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+r AS (
+  SELECT host, template, url,
+         row_number() OVER (PARTITION BY host, template ORDER BY url) AS rn
+  FROM t
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_offered,
+       CAST(COUNT(*) FILTER (rn <= {TRAP_CAP}) AS BIGINT) AS n_admitted,
+       CAST(COUNT(*) FILTER (rn > {TRAP_CAP}) AS BIGINT) AS n_suppressed
+FROM r GROUP BY host ORDER BY host
+"""
+
+
 def q_embed_ivfpq(sf_dir: str):
     """IVF-PQ ANN — the composed billion-vector recipe: probe the nprobe
     nearest coarse cells (knn_ivf's filter), then score the survivors from
@@ -5182,6 +5293,7 @@ QUERIES = {
     "q_crawl_url_templates": q_crawl_url_templates,
     "q_doc_bigram_lm": q_doc_bigram_lm,
     "q_doc_ppl_buckets": q_doc_ppl_buckets,
+    "q_crawl_trap_gate": q_crawl_trap_gate,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5384,6 +5496,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_url_templates": _sql_pages(sf_dir, SQL_CRAWL_URL_TEMPLATES),
         "q_doc_bigram_lm": SQL_DOC_BIGRAM_LM,
         "q_doc_ppl_buckets": SQL_DOC_PPL_BUCKETS,
+        "q_crawl_trap_gate": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

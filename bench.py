@@ -161,6 +161,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_url_templates",
             "q_doc_bigram_lm",
             "q_doc_ppl_buckets",
+            "q_crawl_trap_gate",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -951,3 +951,28 @@ def test_ppl_buckets_matches_sql_and_partitions_sanely():
     assert h.max() < m.min() and m.max() < t.min()
     # head holds at least a third (threshold docs fall low), never everything
     assert len(h) >= len(got) // 3 and len(h) < len(got)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_trap_gate_matches_sql_and_caps():
+    """q_crawl_trap_gate on sf0.001: value-exact vs the DuckDB oracle, the
+    cap actually fires (some host has suppressions), and the invariant
+    n_offered == n_admitted + n_suppressed holds everywhere."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_CRAWL_TRAP_GATE,
+        _sql_pages,
+        q_crawl_trap_gate,
+    )
+
+    got = q_crawl_trap_gate(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, SQL_CRAWL_TRAP_GATE)).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert (got["n_offered"] == got["n_admitted"] + got["n_suppressed"]).all()
+    assert (got["n_suppressed"] > 0).any(), "cap never fired — corpus too small for the test"
