@@ -4847,11 +4847,7 @@ def q_crawl_url_templates(sf_dir: str):
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=2048)
 
     def partial(batch: pa.Table) -> pa.Table:
-        t = pc.struct_field(
-            pc.extract_regex(batch.column("url"), r"^https?://[^/?#]*(?P<t>[^#]*)"), "t"
-        )
-        t = pc.if_else(pc.equal(t, ""), "/", t)
-        tmpl = pc.replace_substring_regex(t, "[0-9]+", "N")
+        tmpl = validate.url_template_array(batch.column("url"))
         g = pa.table(
             {
                 "host": batch.column("host"),
@@ -4922,11 +4918,7 @@ def q_crawl_trap_gate(sf_dir: str):
     ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=2048)
 
     def tmpl_partial(batch: pa.Table) -> pa.Table:
-        t = pc.struct_field(
-            pc.extract_regex(batch.column("url"), r"^https?://[^/?#]*(?P<t>[^#]*)"), "t"
-        )
-        t = pc.if_else(pc.equal(t, ""), "/", t)
-        tmpl = pc.replace_substring_regex(t, "[0-9]+", "N")
+        tmpl = validate.url_template_array(batch.column("url"))
         df = pa.table(
             {"host": batch.column("host"), "template": tmpl, "url": batch.column("url")}
         ).to_pandas()
@@ -4981,6 +4973,41 @@ def q_crawl_trap_gate(sf_dir: str):
         .to_pandas()
         .astype({"n_offered": "int64", "n_admitted": "int64", "n_suppressed": "int64"})
     )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def q_crawl_trap_frontier(sf_dir: str):
+    """Template capping enforced by the LIVE sharded frontier — the
+    north-rule integration of :func:`q_crawl_trap_gate`: validated pages
+    stream through ``Frontier(template_cap=TRAP_CAP).offer_stage()`` and
+    every shard counts admissions per (host, template), suppressing
+    first-seen urls beyond the cap at the admission point itself (counted
+    in the shard's ``trap_suppressed`` counter, state checkpointed with the
+    shard). The per-group admitted count is min(first-seen, cap) REGARDLESS
+    of offer order — order-independence is what makes a streaming-actor
+    admission gate exactly SQL-oracle-able. Hosts are shard-affine, so
+    concatenating shard rollups is the global answer with no
+    re-aggregation."""
+    import os
+
+    from ..state.frontier import Frontier
+
+    rd = _rd()
+    _CRAWL_SEQ[0] += 1
+    prefix = f"qtrap_{os.getpid()}_{_CRAWL_SEQ[0]}"
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=2048)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=2048)
+    f = Frontier(num_shards=4, capacity_per_shard=1_000_000, name_prefix=prefix,
+                 template_cap=TRAP_CAP)
+    try:
+        ds.map_batches(f.offer_stage(), batch_format="pyarrow", batch_size=2048).sum(
+            "n_offered"
+        )
+        out = f.trap_stats().to_pandas()
+    finally:
+        f.shutdown()
+    out["n_suppressed"] = (out["n_offered"] - out["n_admitted"]).astype("int64")
     return out.sort_values("host").reset_index(drop=True)
 
 
@@ -5294,6 +5321,7 @@ QUERIES = {
     "q_doc_bigram_lm": q_doc_bigram_lm,
     "q_doc_ppl_buckets": q_doc_ppl_buckets,
     "q_crawl_trap_gate": q_crawl_trap_gate,
+    "q_crawl_trap_frontier": q_crawl_trap_frontier,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5497,6 +5525,9 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_bigram_lm": SQL_DOC_BIGRAM_LM,
         "q_doc_ppl_buckets": SQL_DOC_PPL_BUCKETS,
         "q_crawl_trap_gate": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
+        # the frontier-enforced gate admits min(first-seen, cap) per group
+        # regardless of offer order — the same rollup SQL is its exact oracle
+        "q_crawl_trap_frontier": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -126,6 +126,19 @@ def validate_batch(batch: pa.Table, url_col: str = "url") -> pa.Table:
     )
 
 
+def url_template_array(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """URL shape template for trap detection: path+query with every digit
+    run collapsed to ``N`` (fragment dropped, empty path → ``/``). Pure
+    Arrow RE2 kernels — zero Python rows — and byte-identical to DuckDB's
+    RE2 ``regexp_replace(..., 'g')`` twin, so template keys computed here
+    (frontier admission) and in SQL oracles can never diverge."""
+    import pyarrow.compute as pc
+
+    t = pc.struct_field(pc.extract_regex(urls, r"^https?://[^/?#]*(?P<t>[^#]*)"), "t")
+    t = pc.if_else(pc.equal(t, ""), "/", t)
+    return pc.replace_substring_regex(t, "[0-9]+", "N")
+
+
 def keep_valid(batch: pa.Table) -> pa.Table:
     import pyarrow.compute as pc
 

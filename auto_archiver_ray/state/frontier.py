@@ -80,9 +80,16 @@ class FrontierShard:
         capacity: int = 1_000_000,
         error_rate: float = 1e-4,
         seen_filter: str = "bloom",
+        template_cap: int | None = None,
     ):
         self.shard_id = shard_id
         self.seen_kind = seen_filter
+        # per-(host, template) admission cap — trap-gate enforcement at the
+        # offer path. Hosts are shard-affine, so per-shard counting IS the
+        # global count; the admitted count per group is min(first-seen, cap)
+        # regardless of offer order (order-independent, hence oracle-able).
+        self.template_cap = template_cap
+        self.template_counts: dict[str, int] = {}
         if seen_filter == "cuckoo":
             self.bloom = CuckooFilter(capacity)
         elif seen_filter == "bloom":
@@ -128,16 +135,34 @@ class FrontierShard:
         url_hashes: list[str],
         ts_us: np.ndarray,
         priorities: np.ndarray,
+        templates: list[str] | None = None,
     ) -> int:
         """Seen-filter + enqueue in one round trip: first-seen rows join
         their host's pending priority heap. Returns the number admitted.
         This is the unbounded-seed path (cursor feeds) — no full-table plan
-        pass needed before epochs can be emitted."""
+        pass needed before epochs can be emitted.
+
+        When the shard has a ``template_cap`` and the caller passes per-row
+        ``templates`` (see stages.validate.url_template_array), first-seen
+        rows beyond the cap for their (host, template) group are
+        trap-suppressed: counted, never enqueued, and permanently in the
+        seen-filter (a suppressed trap URL never re-enters)."""
         is_new = self.check_and_add(digests, hosts)
+        cap = self.template_cap
         admitted = 0
         pending = self.pending
         for i, nw in enumerate(is_new):
             if nw:
+                if cap is not None and templates is not None:
+                    k = hosts[i] + "\x1f" + templates[i]
+                    c = self.template_counts.get(k, 0)
+                    if c >= cap:
+                        self.counters["admitted"] -= 1
+                        self.counters["trap_suppressed"] = (
+                            self.counters.get("trap_suppressed", 0) + 1
+                        )
+                        continue
+                    self.template_counts[k] = c + 1
                 slot = pending.get(hosts[i])
                 if slot is None:
                     slot = pending[hosts[i]] = [[], 0, []]
@@ -146,6 +171,26 @@ class FrontierShard:
                 )
                 admitted += 1
         return admitted
+
+    def trap_stats(self) -> pa.Table:
+        """Per-host admission rollup under template capping: offered =
+        first-seen urls (host_counts), admitted = sum of this host's
+        template counts. Hosts are shard-affine so concatenating shard
+        tables is the exact global rollup."""
+        per_host: dict[str, int] = {}
+        for k, c in self.template_counts.items():
+            h = k.split("\x1f", 1)[0]
+            per_host[h] = per_host.get(h, 0) + c
+        hosts = sorted(self.host_counts)
+        return pa.table(
+            {
+                "host": pa.array(hosts, pa.string()),
+                "n_offered": pa.array(
+                    [int(self.host_counts[h]) for h in hosts], pa.int64()
+                ),
+                "n_admitted": pa.array([int(per_host.get(h, 0)) for h in hosts], pa.int64()),
+            }
+        )
 
     def pending_count(self) -> int:
         return sum(len(s[0]) - s[1] + len(s[2]) for s in self.pending.values())
@@ -246,6 +291,7 @@ class FrontierShard:
             "seen": self.bloom.count,
             "seen_kind": self.seen_kind,
             "hosts": len(self.host_counts),
+            "template_cap": self.template_cap,
             **self.counters,
         }
 
@@ -269,6 +315,8 @@ class FrontierShard:
             "pending": {h: s[0][s[1]:] + s[2] for h, s in self.pending.items()},
             "host_budgets": getattr(self, "host_budgets", {}),
             "seen_kind": self.seen_kind,
+            "template_cap": self.template_cap,
+            "template_counts": self.template_counts,
         }
         blob = json.dumps(meta).encode() + b"\x00" + self.bloom.to_bytes()
         tmp = path + ".tmp"
@@ -300,6 +348,8 @@ class FrontierShard:
             if entries
         }
         self.host_budgets = meta.get("host_budgets", {})
+        self.template_cap = meta.get("template_cap")
+        self.template_counts = meta.get("template_counts", {})
         self.seen_kind = meta.get("seen_kind", "bloom")
         cls = CuckooFilter if self.seen_kind == "cuckoo" else BloomFilter
         self.bloom = cls.from_bytes(bloom_b)
@@ -316,12 +366,14 @@ class Frontier:
         error_rate: float = 1e-4,
         name_prefix: str = "frontier",
         seen_filter: str = "bloom",
+        template_cap: int | None = None,
     ):
         self.num_shards = num_shards
         self.name_prefix = name_prefix
+        self.template_cap = template_cap
         self.shards = [
             FrontierShard.options(name=f"{name_prefix}_{i}", get_if_exists=True).remote(
-                i, capacity_per_shard, error_rate, seen_filter
+                i, capacity_per_shard, error_rate, seen_filter, template_cap
             )
             for i in range(num_shards)
         ]
@@ -413,12 +465,21 @@ class Frontier:
 
         shards = self.shards
         num_shards = self.num_shards
+        template_cap = self.template_cap
 
         def fn(batch: pa.Table) -> pa.Table:
             hosts = batch.column("host").to_pylist()
             n = len(hosts)
             if n == 0:
                 return pa.table({"n_offered": pa.array([0], pa.int64())})
+            tmpl_arr = None
+            if template_cap is not None:
+                from ..stages.validate import url_template_array
+
+                ucol = "url" if "url" in batch.column_names else "url_canon"
+                tmpl_arr = np.asarray(
+                    url_template_array(batch.column(ucol)).to_pylist(), dtype=object
+                )
             hashes = batch.column("url_hash").to_pylist()
             canons = batch.column("url_canon").to_pylist()
             ts_us = np.asarray(
@@ -446,6 +507,7 @@ class Frontier:
                         hash_arr[idx].tolist(),
                         ts_us[idx],
                         pri[idx],
+                        tmpl_arr[idx].tolist() if tmpl_arr is not None else None,
                     )
                 )
             total = sum(ray.get(futs))  # delivery barrier before the task ends
@@ -522,11 +584,24 @@ class Frontier:
     def stats(self) -> list[dict]:
         return ray.get([s.stats.remote() for s in self.shards])
 
+    def trap_stats(self) -> pa.Table:
+        """Global per-host (n_offered, n_admitted) rollup under template
+        capping. Hosts are shard-affine, so concatenating the shard tables
+        is exact — no re-aggregation needed."""
+        tables = ray.get([s.trap_stats.remote() for s in self.shards])
+        return pa.concat_tables([t for t in tables if t.num_rows])
+
     def checkpoint(self, ckpt_dir: str) -> list[str]:
         return ray.get([s.snapshot.remote(ckpt_dir) for s in self.shards])
 
     def restore(self, ckpt_dir: str) -> int:
-        return sum(ray.get([s.restore.remote(ckpt_dir) for s in self.shards]))
+        n = sum(ray.get([s.restore.remote(ckpt_dir) for s in self.shards]))
+        if n:
+            # config rides the checkpoint: a resumed frontier keeps capping
+            # even when the caller didn't re-pass template_cap
+            caps = [s.get("template_cap") for s in self.stats()]
+            self.template_cap = next((c for c in caps if c is not None), self.template_cap)
+        return n
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -635,3 +635,62 @@ def test_robots_shard_rfc_rules_and_checkpoint(tmp_path):
     assert ray.get(s2.restore.remote(ck))
     assert ray.get(s2.robots_allowed.remote(hosts, paths)) == [False, False, True, True]
     ray.kill(s2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_template_cap_suppresses_and_survives_checkpoint(tmp_path):
+    """Template-capped admission: a trap family (many urls, one (host,
+    template) shape) is capped at the offer path; counters are exact; the
+    cap state round-trips through the checkpoint so a resumed frontier
+    keeps suppressing where the killed one stopped."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.state.frontier import Frontier
+
+    def mkrows(lo, hi):
+        return pd.DataFrame(
+            {
+                "url": [f"https://trap.org/cal/{i}" for i in range(lo, hi)],
+                "host": ["trap.org"] * (hi - lo),
+                "url_canon": [f"https://trap.org/cal/{i}" for i in range(lo, hi)],
+                "url_hash": [f"{i:02x}" * 32 for i in range(lo, hi)],
+                "warc_ts": pd.to_datetime(["2024-01-01"] * (hi - lo)),
+            }
+        )
+
+    f1 = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_trap_a",
+                  template_cap=3)
+    rd.from_pandas(mkrows(0, 5)).map_batches(
+        f1.offer_stage(), batch_format="pyarrow"
+    ).sum("n_offered")
+    st = f1.trap_stats().to_pandas()
+    assert st.loc[st["host"] == "trap.org", "n_offered"].iloc[0] == 5
+    assert st.loc[st["host"] == "trap.org", "n_admitted"].iloc[0] == 3
+    assert sum(s.get("trap_suppressed", 0) for s in f1.stats()) == 2
+    # only the admitted 3 ever reach an epoch
+    assert len(f1.emit_epoch(budget=100).to_pandas()) == 3
+    f1.checkpoint(str(tmp_path))
+    f1.shutdown()
+
+    f2 = Frontier(num_shards=2, capacity_per_shard=10_000, name_prefix="t_trap_b")
+    assert f2.restore(str(tmp_path)) == 2
+    # more of the same template after resume: all suppressed (cap already
+    # consumed before the kill), while a fresh template still admits
+    fresh = mkrows(5, 8)
+    fresh2 = fresh.copy()
+    fresh2["url"] = ["https://trap.org/about"] + list(fresh["url"][1:])
+    fresh2["url_canon"] = fresh2["url"]
+    fresh2["url_hash"] = [f"{i + 100:02x}" * 32 for i in range(3)]
+    rd.from_pandas(pd.concat([fresh, fresh2], ignore_index=True)).map_batches(
+        f2.offer_stage(), batch_format="pyarrow"
+    ).sum("n_offered")
+    st2 = f2.trap_stats().to_pandas()
+    # 5 pre-kill + 3 fresh cal + (1 about + 2 cal) = 11 first-seen offers;
+    # every post-restore cal url is suppressed (cap consumed BEFORE the
+    # kill), about opens a fresh template and admits
+    assert st2.loc[st2["host"] == "trap.org", "n_offered"].iloc[0] == 11
+    assert st2.loc[st2["host"] == "trap.org", "n_admitted"].iloc[0] == 4  # 3 cal + about
+    # counters round-trip too: 2 suppressed pre-kill + 5 post-restore
+    assert sum(s.get("trap_suppressed", 0) for s in f2.stats()) == 7
+    f2.shutdown()
