@@ -646,3 +646,35 @@ def test_bfs_warc_tee_archives_fetched_raw_bytes(tmp_path):
         src.update(zip(t.column("url").to_pylist(), t.column("html").to_pylist()))
     for u, p in zip(back["target_uri"], back["payload"]):
         assert hashlib.sha256(bytes(p)).hexdigest() == hashlib.sha256(src[u]).hexdigest()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_streaming_composes_with_template_cap(tmp_path):
+    """The trap gate composes into the north-rule loop with no crawl-side
+    code: a template-capped frontier passed to crawl_streaming bounds every
+    (host, template) family in the WRITTEN output at the cap, suppressions
+    are counted, and written rows == admitted rows."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.crawl import crawl_streaming
+    from auto_archiver_ray.stages.validate import url_template_array
+
+    path = ensure_pages("/root/testdata/sf0.001")
+    cap = 7
+    f = Frontier(num_shards=4, capacity_per_shard=100_000, name_prefix="strapcap",
+                 template_cap=cap)
+    w, _ = crawl_streaming(
+        rd.read_parquet(path), str(tmp_path / "capped"), frontier=f,
+        per_host_budget=5, extract_concurrency=2,
+    )
+    suppressed = sum(s.get("trap_suppressed", 0) for s in f.stats())
+    admitted = int(f.trap_stats().to_pandas()["n_admitted"].sum())
+    f.shutdown()
+
+    out = w.read_all().to_pandas()
+    assert suppressed > 0, "corpus never tripped the cap — test input too small"
+    assert len(out) == admitted
+    tmpl = url_template_array(pa.array(out["url"].tolist(), pa.string())).to_pylist()
+    sizes = out.assign(template=tmpl).groupby(["host", "template"]).size()
+    assert (sizes <= cap).all(), sizes[sizes > cap]
