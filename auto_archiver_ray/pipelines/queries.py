@@ -1118,6 +1118,41 @@ def q_doc_simhash_pairs(sf_dir: str):
     return simhash_candidate_pairs(ds, max_hamming=3)
 
 
+WINNOW_MIN_SHARED = 20  # pairs must share at least this many fingerprints
+WINNOW_FP_CAP = 32  # fingerprints in more docs than this are stop-fps
+
+
+def q_doc_winnow_pairs(sf_dir: str):
+    """Winnowing-overlap near-dup pairs (the MOSS scheme, Schleimer et al.
+    SIGMOD'03) — the fifth near-dup family: character-level fingerprint
+    sharing with an explicit stop-fingerprint rule. Oracle: a TRUE SQL
+    self-join over the independently derived golden fingerprint table
+    (scripts/golden_serial.winnow_fps_serial — its own blake2b chain), so
+    the distributed explode/bucket/pair/re-aggregate machinery must invert
+    the serial spec exactly, including the cap and threshold."""
+    from ..stages.dedup import winnow_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return winnow_candidate_pairs(
+        ds, min_shared=WINNOW_MIN_SHARED, fp_cap=WINNOW_FP_CAP
+    )
+
+
+def _sql_winnow_pairs(golden_dir: str) -> str:
+    return f"""
+WITH fps AS (SELECT doc_id, fp FROM read_parquet('{golden_dir}/doc_winnow_fps.parquet')),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {WINNOW_FP_CAP}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM fps a JOIN ok USING (fp) JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= {WINNOW_MIN_SHARED}
+ORDER BY id_a, id_b
+"""
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard pairs ≥0.8 — oracled with a TRUE SQL oracle
     (shingle self-join over all pairs in DuckDB), which also validates
@@ -5322,6 +5357,7 @@ QUERIES = {
     "q_doc_ppl_buckets": q_doc_ppl_buckets,
     "q_crawl_trap_gate": q_crawl_trap_gate,
     "q_crawl_trap_frontier": q_crawl_trap_frontier,
+    "q_doc_winnow_pairs": q_doc_winnow_pairs,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5528,6 +5564,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # the frontier-enforced gate admits min(first-seen, cap) per group
         # regardless of offer order — the same rollup SQL is its exact oracle
         "q_crawl_trap_frontier": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
+        "q_doc_winnow_pairs": _sql_winnow_pairs(g),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -870,6 +870,74 @@ def ngram_jaccard_pairs(
     return scored.filter(expr=f"jaccard >= {threshold}")
 
 
+def winnow_candidate_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 20,
+    fp_cap: int = 32,
+    num_buckets: int = 256,
+):
+    """Winnowing-fingerprint overlap near-dup pairs (Schleimer/Wilkerson/
+    Aiken SIGMOD'03 — the MOSS scheme): docs sharing ≥ ``min_shared``
+    winnowed k-gram fingerprints, EXCLUDING stop-fingerprints that occur in
+    more than ``fp_cap`` docs (boilerplate k-grams; an explicit rule the
+    SQL oracle applies identically, not a silent truncation). The fifth
+    near-dup family beside exact / MinHash / SimHash / embedding-LSH —
+    character-level, so it catches local plagiarism-style overlap that
+    whole-doc signatures dilute.
+
+    Scale shape: one map pass explodes (fp uint64, doc_id) rows via Arrow
+    list_flatten (zero Python rows at the explode); rows shuffle to
+    hash(fp) coarse buckets where each fingerprint's doc group pairs
+    locally (group size ≤ fp_cap bounds the quadratic term per
+    fingerprint); per-bucket pair partial counts then re-aggregate in a
+    second bucketed sum keyed by the pair. Only 16-byte (fp, id) and
+    (id_a, id_b, n) rows ever move."""
+    import pyarrow.compute as pc
+
+    from .agg import _add_key_bucket_fn, bucketed_group_agg
+    from .textstats import fingerprint_stage
+
+    fps = ds.map_batches(fingerprint_stage, batch_format="pyarrow", batch_size=2048)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = batch.column("fingerprint")
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col)
+        return pa.table(
+            {
+                "fp": flat.cast(pa.uint64()),
+                id_col: pc.take(batch.column(id_col), parent).cast(pa.int64()),
+            }
+        )
+
+    rows = fps.map_batches(explode, batch_format="pyarrow").map_batches(
+        _add_key_bucket_fn(["fp"], num_buckets), batch_format="pyarrow"
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"])
+        sizes = g.groupby("fp")[id_col].transform("size")
+        g = g[(sizes >= 2) & (sizes <= fp_cap)]
+        if g.empty:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "n_shared": pd.Series(dtype="int64")})
+        m = g.merge(g, on="fp")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False).size()
+        return out.rename(
+            columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "n_shared"}
+        ).astype({"n_shared": "int64"})
+
+    partials = rows.groupby("__tb").map_groups(bucket_pairs, batch_format="pandas")
+    merged = bucketed_group_agg(partials, ["id_a", "id_b"], {"n_shared": "sum"}, num_buckets=64)
+    out = merged.to_pandas()
+    out = out[out["n_shared"] >= min_shared].astype("int64")
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------

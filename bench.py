@@ -163,6 +163,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_ppl_buckets",
             "q_crawl_trap_gate",
             "q_crawl_trap_frontier",
+            "q_doc_winnow_pairs",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

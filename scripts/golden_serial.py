@@ -137,7 +137,7 @@ def simhash_pairs_serial(
 # --------------------------------------------------------------- winnowing
 
 
-def winnow_key(text: str, k: int = 5, window: int = 4) -> str:
+def winnow_fps(text: str, k: int = 5, window: int = 4) -> list[int]:
     n = len(text) - k + 1
     h = (
         np.asarray([hash64(text[i : i + k].encode("utf-8")) for i in range(n)], dtype=np.uint64)
@@ -145,13 +145,31 @@ def winnow_key(text: str, k: int = 5, window: int = 4) -> str:
         else np.empty(0, dtype=np.uint64)
     )
     if h.size == 0:
-        fp: list[int] = []
-    elif h.size <= window:
-        fp = [int(h.min())]
-    else:
-        sw = np.lib.stride_tricks.sliding_window_view(h, window)
-        fp = sorted({int(x) for x in sw.min(axis=1)})
+        return []
+    if h.size <= window:
+        return [int(h.min())]
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return sorted({int(x) for x in sw.min(axis=1)})
+
+
+def winnow_key(text: str, k: int = 5, window: int = 4) -> str:
+    fp = winnow_fps(text, k, window)
     return hashlib.blake2b(np.asarray(fp, dtype=np.uint64).tobytes(), digest_size=8).hexdigest()
+
+
+def winnow_fps_serial(docs: pd.DataFrame) -> pd.DataFrame:
+    """Exploded (doc_id, fp) winnowing-fingerprint rows — the ground-truth
+    table the winnow-pairs SQL oracle self-joins (stop-fingerprint cap and
+    shared-count threshold both expressed in the SQL)."""
+    ids: list[int] = []
+    fps: list[int] = []
+    for r in docs.itertuples():
+        for x in winnow_fps(r.text or ""):
+            ids.append(int(r.doc_id))
+            fps.append(x)
+    return pd.DataFrame(
+        {"doc_id": pd.Series(ids, dtype="int64"), "fp": pd.Series(fps, dtype="uint64")}
+    )
 
 
 def fingerprints_serial(docs: pd.DataFrame) -> pd.DataFrame:

@@ -46,6 +46,7 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/q_doc_simhash_pairs.parquet", index=False
     )
     gs.fingerprints_serial(docs).to_parquet(f"{out_dir}/doc_fingerprints.parquet", index=False)
+    gs.winnow_fps_serial(docs).to_parquet(f"{out_dir}/doc_winnow_fps.parquet", index=False)
     est = gs.hll_estimate_serial(events["user_id"].tolist())
     pd.DataFrame({"approx_distinct_users": pd.Series([est], dtype="int64")}).to_parquet(
         f"{out_dir}/q_events_distinct_users_approx.parquet", index=False

@@ -976,3 +976,35 @@ def test_trap_gate_matches_sql_and_caps():
 
     assert (got["n_offered"] == got["n_admitted"] + got["n_suppressed"]).all()
     assert (got["n_suppressed"] > 0).any(), "cap never fired — corpus too small for the test"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_pairs_matches_serial_golden_and_repartition_invariant():
+    """q_doc_winnow_pairs on sf0.001: the distributed explode/bucket/pair
+    chain matches the SQL self-join over the INDEPENDENT serial fingerprint
+    table (golden_serial's own blake2b chain), and the result is invariant
+    to input partitioning (a fingerprint lives wholly in one bucket)."""
+    import duckdb
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_winnow_pairs,
+        q_doc_winnow_pairs,
+    )
+    from auto_archiver_ray.stages.dedup import winnow_candidate_pairs
+
+    got = q_doc_winnow_pairs(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_winnow_pairs(_golden_dir(SF_SMALL))).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    redo = winnow_candidate_pairs(
+        rd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+        .repartition(7)
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(redo, got, check_dtype=False, check_exact=True)
