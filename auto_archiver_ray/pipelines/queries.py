@@ -2853,6 +2853,85 @@ ORDER BY term, rank
 """
 
 
+STOPWORD_TOP = 5  # corpus-adaptive stopword list size (top df terms)
+STOP_RATIO_LO = 10  # keep if stopword hits are 10..25% of tokens (integer %)
+STOP_RATIO_HI = 25
+
+
+def q_doc_stopword_gate(sf_dir: str):
+    """Corpus-ADAPTIVE stopword quality gate (the C4/Gopher stopword-ratio
+    heuristic without a fixed language list — the list is DISCOVERED as the
+    corpus's top-``STOPWORD_TOP`` terms by document frequency, so the gate
+    works for any language mix): per-doc stopword token share, kept when
+    ``STOP_RATIO_LO% ≤ share ≤ STOP_RATIO_HI%``. Too few stopwords = navboil
+    / keyword spam; too many = empty filler. Integer percent math
+    (``100·hits // n_tokens``) keeps both sides bit-identical.
+
+    Scale shape: the df reduce streams one (term, df) row per term per
+    batch into grouped_topk (unbounded vocabulary, never on the driver);
+    the 30 winners broadcast in the closure; one scoring pass, no
+    shuffle."""
+    from ..stages.agg import grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    top = grouped_topk(
+        ds.map_batches(textstats.term_df_partials, batch_format="pyarrow", batch_size=8192),
+        ["term"],
+        {"df": "sum"},
+        k=STOPWORD_TOP,
+        sort_by=["df", "term"],
+        ascending=[False, True],
+    )
+    stop = frozenset(str(t) for t in top["term"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        hits = np.zeros(len(ids), dtype=np.int64)
+        ntok = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch.column("text").to_pylist()):
+            toks = (t or "").split()
+            ntok[i] = len(toks)
+            hits[i] = sum(1 for w in toks if w in stop)
+        pct = np.where(ntok > 0, (100 * hits) // np.maximum(ntok, 1), 0).astype(np.int64)
+        keep = (pct >= STOP_RATIO_LO) & (pct <= STOP_RATIO_HI)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.asarray(ids, dtype=np.int64)),
+                "n_tokens": pa.array(ntok),
+                "stop_hits": pa.array(hits),
+                "stop_pct": pa.array(pct),
+                "keep": pa.array(keep),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_STOPWORD_GATE = f"""
+WITH {_SQL_DOC_TOKS},
+df AS (
+  SELECT tok AS term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY tok ORDER BY df DESC, term ASC LIMIT {STOPWORD_TOP}
+),
+per AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) FILTER (tok IN (SELECT term FROM df)) AS BIGINT) AS stop_hits
+  FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0) AS n_tokens,
+       COALESCE(p.stop_hits, 0) AS stop_hits,
+       CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+            ELSE (100 * p.stop_hits) // p.n_tokens END AS stop_pct,
+       (CASE WHEN COALESCE(p.n_tokens, 0) = 0 THEN 0
+             ELSE (100 * p.stop_hits) // p.n_tokens END) BETWEEN {STOP_RATIO_LO} AND {STOP_RATIO_HI} AS keep
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 BIGRAM_TOP = 25  # bigrams returned with their Kneser-Ney ingredient counts
 
 
@@ -5358,6 +5437,7 @@ QUERIES = {
     "q_crawl_trap_gate": q_crawl_trap_gate,
     "q_crawl_trap_frontier": q_crawl_trap_frontier,
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
+    "q_doc_stopword_gate": q_doc_stopword_gate,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5565,6 +5645,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # regardless of offer order — the same rollup SQL is its exact oracle
         "q_crawl_trap_frontier": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
         "q_doc_winnow_pairs": _sql_winnow_pairs(g),
+        "q_doc_stopword_gate": SQL_DOC_STOPWORD_GATE,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

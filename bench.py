@@ -164,6 +164,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_trap_gate",
             "q_crawl_trap_frontier",
             "q_doc_winnow_pairs",
+            "q_doc_stopword_gate",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

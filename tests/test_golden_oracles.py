@@ -1008,3 +1008,24 @@ def test_winnow_pairs_matches_serial_golden_and_repartition_invariant():
         .repartition(7)
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(redo, got, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_stopword_gate_matches_sql_and_discriminates():
+    """q_doc_stopword_gate on sf0.001: value-exact vs the DuckDB oracle and
+    the adaptive gate actually discriminates (both keep outcomes occur)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_STOPWORD_GATE, q_doc_stopword_gate
+
+    got = q_doc_stopword_gate(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_STOPWORD_GATE).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert got["keep"].any() and (~got["keep"]).any()
