@@ -3757,6 +3757,45 @@ SELECT node AS host, MIN(peer) AS component
 FROM reach GROUP BY node ORDER BY host"""
 
 
+def q_pages_triangles(sf_dir: str):
+    """Triangle counting + local-clustering ingredients over the host link
+    graph — the FOURTH link-graph analytic beside PageRank, HITS and
+    components: per host (degree, C(d,2) wedges, triangle participation).
+    Engine: :func:`..stages.graph.host_triangles` (degree-oriented
+    compact-forward; every triangle found exactly once). Oracle: a pure
+    3-way self-join over the golden edge set — degree, wedges and
+    participation all re-derived in SQL."""
+    from ..stages.graph import host_triangles
+
+    return host_triangles(_host_edges(sf_dir))
+
+
+def _sql_triangles(golden_dir: str) -> str:
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    return f"""WITH e AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+ue AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst GROUP BY 1, 2),
+deg AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS d
+  FROM (SELECT a AS host FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM ue e1 JOIN ue e2 ON e2.a = e1.b JOIN ue e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+part AS (
+  SELECT host, CAST(COUNT(*) AS BIGINT) AS t
+  FROM (SELECT x AS host FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+  GROUP BY 1
+)
+SELECT d.host, d.d AS degree, CAST(d.d * (d.d - 1) // 2 AS BIGINT) AS n_wedges,
+       CAST(COALESCE(p.t, 0) AS BIGINT) AS n_triangles
+FROM deg d LEFT JOIN part p USING (host) ORDER BY host"""
+
+
 def q_pages_hostrank(sf_dir: str):
     """Host-level PageRank over the stored-media link graph — the
     crawl-priority authority signal, in integer fixed-point so the result
@@ -5438,6 +5477,7 @@ QUERIES = {
     "q_crawl_trap_frontier": q_crawl_trap_frontier,
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
     "q_doc_stopword_gate": q_doc_stopword_gate,
+    "q_pages_triangles": q_pages_triangles,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5646,6 +5686,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_trap_frontier": _sql_pages(sf_dir, SQL_CRAWL_TRAP_GATE),
         "q_doc_winnow_pairs": _sql_winnow_pairs(g),
         "q_doc_stopword_gate": SQL_DOC_STOPWORD_GATE,
+        "q_pages_triangles": _sql_triangles(g),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -603,3 +603,138 @@ def host_components(edges_ds, src_col: str = "src", dst_col: str = "dst"):
     )
     out = bucketed_hash_join(member_hosts.select_columns(["host", "label"]), reps, on="label")
     return out.select_columns(["host", "component"])
+
+
+def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.DataFrame:
+    """Triangle counting with local-clustering ingredients over the
+    undirected host graph (compact-forward / node-iterator with degree
+    orientation, Latapy 2008) — the fourth link-graph analytic beside
+    PageRank, HITS and components: per host, its degree, wedge count
+    C(d, 2) and triangle participation — the local clustering
+    coefficient's integer numerator/denominator, a site-family density
+    signal the frontier's shard-affinity grouping can rank by.
+
+    Scale shape: distinct undirected (a < b) edges via one bucketed dedup;
+    degrees via bucketed sums, broadcast once as sorted parallel arrays
+    (node-sized — the pagerank-ranks broadcast contract; swap to a sharded
+    key-set join beyond ~1e8 hosts); wedges enumerated per apex inside
+    hash(apex) buckets with the degree orientation bounding each apex's
+    out-neighborhood (sum of C(outdeg, 2) is the classic O(m^1.5) wedge
+    bound — every triangle has exactly ONE vertex out-oriented to the
+    other two, so each is found once); closure tested by tagging wedge and
+    edge rows with the same "x\\x1fy" pair key in ONE bucketed exchange.
+    Only skinny string rows ever move; nothing graph-sized on the driver
+    beyond the degree table."""
+    import ray
+
+    from .agg import _add_key_bucket_fn, bucketed_group_agg
+
+    SEP = "\x1f"
+
+    def undirect(batch: pa.Table) -> pa.Table:
+        a = batch.column(src_col).to_pylist()
+        b = batch.column(dst_col).to_pylist()
+        lo = [min(x, y) for x, y in zip(a, b) if x != y]
+        hi = [max(x, y) for x, y in zip(a, b) if x != y]
+        return pa.table(
+            {
+                "a": pa.array(lo, pa.string()),
+                "b": pa.array(hi, pa.string()),
+                "n": pa.array(np.ones(len(lo), dtype=np.int64)),
+            }
+        )
+
+    und = bucketed_group_agg(
+        edges_ds.map_batches(undirect, batch_format="pyarrow", batch_size=4096),
+        ["a", "b"],
+        {"n": "max"},
+        num_buckets=64,
+    ).materialize()  # consumed three times: degrees, wedges, closure keys
+
+    def deg_partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = pd.concat([df["a"], df["b"]]).value_counts()
+        return pd.DataFrame({"host": s.index, "d": s.to_numpy().astype("int64")})
+
+    deg = (
+        bucketed_group_agg(
+            und.map_batches(deg_partial, batch_format="pandas"),
+            ["host"],
+            {"d": "sum"},
+            num_buckets=64,
+        )
+        .to_pandas()
+        .sort_values("host")
+        .reset_index(drop=True)
+    )
+    hosts_ref = ray.put(np.asarray(deg["host"].to_numpy(), dtype=object))
+    d_ref = ray.put(deg["d"].to_numpy().astype(np.int64))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        hs, dd = ray.get(hosts_ref), ray.get(d_ref)
+        a = batch.column("a").to_pylist()
+        b = batch.column("b").to_pylist()
+        da = dd[np.searchsorted(hs, np.asarray(a, dtype=object))]
+        db = dd[np.searchsorted(hs, np.asarray(b, dtype=object))]
+        u, v = [], []
+        for x, y, dx, dy in zip(a, b, da, db):
+            if (int(dx), x) <= (int(dy), y):
+                u.append(x)
+                v.append(y)
+            else:
+                u.append(y)
+                v.append(x)
+        return pa.table({"u": pa.array(u, pa.string()), "v": pa.array(v, pa.string())})
+
+    def apex_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        keys: list[str] = []
+        apexes: list[str] = []
+        for u, grp in g.groupby("u"):
+            nb = sorted(grp["v"])
+            for i in range(len(nb)):
+                for j in range(i + 1, len(nb)):
+                    keys.append(nb[i] + SEP + nb[j])
+                    apexes.append(u)
+        return pd.DataFrame({"key": pd.Series(keys, dtype=object), "apex": pd.Series(apexes, dtype=object)})
+
+    wedges = (
+        und.map_batches(orient, batch_format="pyarrow")
+        .map_batches(_add_key_bucket_fn(["u"], 64), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(apex_pairs, batch_format="pandas")
+    )
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"key": df["a"] + SEP + df["b"], "apex": [""] * len(df)})
+
+    tagged = wedges.union(und.map_batches(edge_keys, batch_format="pandas"))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__tb")
+        closed = set(g.loc[g["apex"] == "", "key"])
+        tri = g[(g["apex"] != "") & g["key"].isin(closed)]
+        if tri.empty:
+            return pd.DataFrame(
+                {"host": pd.Series(dtype=object), "t": pd.Series(dtype="int64")}
+            )
+        parts = tri["key"].str.split(SEP, expand=True)
+        s = pd.concat([tri["apex"], parts[0], parts[1]]).value_counts()
+        return pd.DataFrame({"host": s.index, "t": s.to_numpy().astype("int64")})
+
+    tri_partials = (
+        tagged.map_batches(_add_key_bucket_fn(["key"], 64), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(close, batch_format="pandas")
+    )
+    tri = bucketed_group_agg(tri_partials, ["host"], {"t": "sum"}, num_buckets=64).to_pandas()
+    if "t" not in tri.columns:  # triangle-free graph → empty partials
+        tri = pd.DataFrame({"host": pd.Series(dtype=object), "t": pd.Series(dtype="int64")})
+
+    out = deg.merge(tri, on="host", how="left")
+    out["n_triangles"] = out["t"].fillna(0).astype("int64")
+    out["n_wedges"] = (out["d"] * (out["d"] - 1) // 2).astype("int64")
+    out = out.rename(columns={"d": "degree"})
+    return (
+        out[["host", "degree", "n_wedges", "n_triangles"]]
+        .sort_values("host")
+        .reset_index(drop=True)
+    )

@@ -165,6 +165,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_trap_frontier",
             "q_doc_winnow_pairs",
             "q_doc_stopword_gate",
+            "q_pages_triangles",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

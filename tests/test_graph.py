@@ -269,3 +269,33 @@ def test_host_components_repartition_invariant():
     # the 10-cycle is one component named by its min member
     assert (a.loc[a["host"].str.startswith("h"), "component"] == "h00.org").all()
     assert (a.loc[a["host"].str.startswith("solo"), "component"] == "solo-a.org").all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_triangles_toy_graph_and_repartition_invariance():
+    """K4 plus a pendant: every K4 vertex sits in 3 of the 4 triangles; the
+    pendant host has wedges but no triangles; duplicate/reversed input
+    edges collapse; result invariant to input partitioning."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_triangles
+
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    edges = k4 + [("e", "a"), ("a", "e"), ("b", "a"), ("x", "x")]  # dups/reverse/self
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+
+    got = host_triangles(rd.from_pandas(df))
+    want = pd.DataFrame(
+        {
+            "host": ["a", "b", "c", "d", "e"],
+            "degree": [4, 3, 3, 3, 1],
+            "n_wedges": [6, 3, 3, 3, 0],
+            "n_triangles": [3, 3, 3, 3, 0],
+        }
+    )
+    pd.testing.assert_frame_equal(got.astype({"degree": "int64"}), want, check_dtype=False)
+    assert got["n_triangles"].sum() == 12  # 4 triangles x 3 vertices
+
+    redo = host_triangles(rd.from_pandas(df).repartition(5))
+    pd.testing.assert_frame_equal(redo, got, check_dtype=False)
