@@ -1153,6 +1153,58 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_winnow_dedup(sf_dir: str):
+    """END-TO-END winnowing dedup — the fifth near-dup family completed to
+    its corpus deliverable: winnow-overlap pairs → min-label propagation →
+    losers removed via the sharded anti-join; one survivor (min doc_id) per
+    overlap cluster plus every unclustered doc. The ORACLE is a full-chain
+    SQL statement: pair derivation (self-join over the independent golden
+    fingerprint table, stop-fp cap + threshold), recursive-CTE closure, and
+    min-survivor selection all in one query — every stage of the
+    distributed chain must invert it exactly."""
+    from ..stages.dedup import label_propagate, winnow_candidate_pairs
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = winnow_candidate_pairs(
+        ds, min_shared=WINNOW_MIN_SHARED, fp_cap=WINNOW_FP_CAP
+    )
+    labels = label_propagate(rd.from_pandas(pairs[["id_a", "id_b"]]))
+    losers = labels.filter(expr="node != label").map_batches(
+        lambda t: t.select(["node"]).rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    kept = anti_join(ds.select_columns(["doc_id"]), losers, on="doc_id", strategy="sharded")
+    out = kept.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_winnow_dedup(golden_dir: str) -> str:
+    return f"""
+WITH RECURSIVE fps AS (
+  SELECT doc_id, fp FROM read_parquet('{golden_dir}/doc_winnow_fps.parquet')
+),
+ok AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) BETWEEN 2 AND {WINNOW_FP_CAP}),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fps a JOIN ok USING (fp) JOIN fps b USING (fp)
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+),
+ue AS (SELECT id_a AS a, id_b AS b FROM p UNION SELECT id_b, id_a FROM p),
+nodes AS (SELECT DISTINCT a AS node FROM ue),
+reach AS (
+  SELECT node, node AS peer FROM nodes
+  UNION
+  SELECT r.node, ue.b AS peer FROM reach r JOIN ue ON ue.a = r.peer
+),
+labels AS (SELECT node, MIN(peer) AS label FROM reach GROUP BY node)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT node FROM labels WHERE node <> label)
+ORDER BY doc_id
+"""
+
+
 def q_doc_ngram_jaccard(sf_dir: str):
     """Exact n-gram Jaccard pairs ≥0.8 — oracled with a TRUE SQL oracle
     (shingle self-join over all pairs in DuckDB), which also validates
@@ -5478,6 +5530,7 @@ QUERIES = {
     "q_doc_winnow_pairs": q_doc_winnow_pairs,
     "q_doc_stopword_gate": q_doc_stopword_gate,
     "q_pages_triangles": q_pages_triangles,
+    "q_doc_winnow_dedup": q_doc_winnow_dedup,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5687,6 +5740,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_winnow_pairs": _sql_winnow_pairs(g),
         "q_doc_stopword_gate": SQL_DOC_STOPWORD_GATE,
         "q_pages_triangles": _sql_triangles(g),
+        "q_doc_winnow_dedup": _sql_winnow_dedup(g),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -1029,3 +1029,38 @@ def test_stopword_gate_matches_sql_and_discriminates():
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert got["keep"].any() and (~got["keep"]).any()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_winnow_dedup_full_chain_matches_sql():
+    """q_doc_winnow_dedup on sf0.001: the whole distributed chain (pairs →
+    label propagation → sharded anti-join) matches ONE SQL statement
+    (pair self-join over the independent fingerprint golden + recursive
+    closure + min survivor), and exactly one doc per pair-cluster
+    survives."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_winnow_dedup,
+        q_doc_winnow_dedup,
+        q_doc_winnow_pairs,
+    )
+
+    got = q_doc_winnow_dedup(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(_sql_winnow_dedup(_golden_dir(SF_SMALL))).df()
+    con.close()
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    pairs = q_doc_winnow_pairs(SF_SMALL)
+    clustered = set(pairs["id_a"]) | set(pairs["id_b"])
+    kept = set(got["doc_id"])
+    assert len(clustered - kept) > 0  # some losers actually dropped
+    # each pair has at most one survivor
+    for _, r in pairs.iterrows():
+        assert not ({int(r["id_a"]), int(r["id_b"])} <= kept)
