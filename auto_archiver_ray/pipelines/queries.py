@@ -1170,7 +1170,10 @@ def q_doc_winnow_dedup(sf_dir: str):
     pairs = winnow_candidate_pairs(
         ds, min_shared=WINNOW_MIN_SHARED, fp_cap=WINNOW_FP_CAP
     )
-    labels = label_propagate(rd.from_pandas(pairs[["id_a", "id_b"]]))
+    # max_iters bounds the cluster DIAMETER the propagation can close; the
+    # oracle is a full recursive closure, so give long overlap chains
+    # (incremental-edit lineages) headroom well past the default 10
+    labels = label_propagate(rd.from_pandas(pairs[["id_a", "id_b"]]), max_iters=48)
     losers = labels.filter(expr="node != label").map_batches(
         lambda t: t.select(["node"]).rename_columns(["doc_id"]), batch_format="pyarrow"
     )
@@ -2921,8 +2924,8 @@ def q_doc_stopword_gate(sf_dir: str):
 
     Scale shape: the df reduce streams one (term, df) row per term per
     batch into grouped_topk (unbounded vocabulary, never on the driver);
-    the 30 winners broadcast in the closure; one scoring pass, no
-    shuffle."""
+    the ``STOPWORD_TOP`` winners broadcast in the closure; one scoring
+    pass, no shuffle."""
     from ..stages.agg import grouped_topk
 
     rd = _rd()
@@ -3010,7 +3013,9 @@ def q_doc_bigram_lm(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
-    partials = ds.map_batches(textstats.bigram_partials, batch_format="pyarrow", batch_size=4096)
+    partials = ds.map_batches(
+        textstats.bigram_partials, batch_format="pyarrow", batch_size=4096
+    ).materialize()  # consumed twice (head + pair support): tokenize ONCE
     top = grouped_topk(
         partials,
         ["w1", "w2"],
@@ -3829,7 +3834,8 @@ def _sql_triangles(golden_dir: str) -> str:
                   {_sql_canon_host('media_url_best')} AS dst
   FROM read_parquet('{g}')
 ),
-ue AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e WHERE src <> dst GROUP BY 1, 2),
+ue AS (SELECT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       FROM e WHERE src <> dst AND src <> '' AND dst <> '' GROUP BY 1, 2),
 deg AS (
   SELECT host, CAST(COUNT(*) AS BIGINT) AS d
   FROM (SELECT a AS host FROM ue UNION ALL SELECT b FROM ue) GROUP BY 1
@@ -5081,13 +5087,20 @@ def q_crawl_url_templates(sf_dir: str):
     return out.sort_values(["host", "template"]).reset_index(drop=True)
 
 
+# SQL twin of stages.validate.url_template_array — shared by the template
+# census, the gate, and the frontier-gate oracles so an edit to the rule
+# can never desynchronize them
+_SQL_URL_TEMPLATE = (
+    "regexp_replace("
+    "CASE WHEN regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) = '' THEN '/' "
+    "ELSE regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) END, "
+    "'[0-9]+', 'N', 'g')"
+)
+
 SQL_CRAWL_URL_TEMPLATES = f"""
 WITH t AS (
   SELECT {_sql_canon_host('url')} AS host,
-         regexp_replace(
-           CASE WHEN regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
-                ELSE regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) END,
-           '[0-9]+', 'N', 'g') AS template
+         {_SQL_URL_TEMPLATE} AS template
   FROM __PAGES__ WHERE {_VALID_SQL}
 )
 SELECT host, template, CAST(COUNT(*) AS BIGINT) AS n_urls,
@@ -5192,7 +5205,15 @@ def q_crawl_trap_frontier(sf_dir: str):
     of offer order — order-independence is what makes a streaming-actor
     admission gate exactly SQL-oracle-able. Hosts are shard-affine, so
     concatenating shard rollups is the global answer with no
-    re-aggregation."""
+    re-aggregation.
+
+    Oracle preconditions (hold on the fixture, asserted by the gate): the
+    frontier counts FIRST-SEEN canonical urls while the SQL counts valid
+    raw rows, so inputs must be duplicate-free under canonicalization
+    (clean() tracker-stripping); and the seen-filter's bloom FP rate
+    (1e-4) must be negligible at the input size — production callers read
+    ``trap_stats``/``trap_suppressed`` directly rather than re-deriving
+    them relationally."""
     import os
 
     from ..state.frontier import Frontier
@@ -5219,10 +5240,7 @@ def q_crawl_trap_frontier(sf_dir: str):
 SQL_CRAWL_TRAP_GATE = f"""
 WITH t AS (
   SELECT {_sql_canon_host('url')} AS host, url,
-         regexp_replace(
-           CASE WHEN regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) = '' THEN '/'
-                ELSE regexp_extract(url, '^https?://[^/?#]*([^#]*)', 1) END,
-           '[0-9]+', 'N', 'g') AS template
+         {_SQL_URL_TEMPLATE} AS template
   FROM __PAGES__ WHERE {_VALID_SQL}
 ),
 r AS (

@@ -634,8 +634,10 @@ def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.D
     def undirect(batch: pa.Table) -> pa.Table:
         a = batch.column(src_col).to_pylist()
         b = batch.column(dst_col).to_pylist()
-        lo = [min(x, y) for x, y in zip(a, b) if x != y]
-        hi = [max(x, y) for x, y in zip(a, b) if x != y]
+        # hostless endpoints (canonical_host of a relative/data: URL is "")
+        # are not host-graph nodes — dropped here AND in the SQL oracle
+        lo = [min(x, y) for x, y in zip(a, b) if x != y and x and y]
+        hi = [max(x, y) for x, y in zip(a, b) if x != y and x and y]
         return pa.table(
             {
                 "a": pa.array(lo, pa.string()),
@@ -694,7 +696,13 @@ def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.D
                 for j in range(i + 1, len(nb)):
                     keys.append(nb[i] + SEP + nb[j])
                     apexes.append(u)
-        return pd.DataFrame({"key": pd.Series(keys, dtype=object), "apex": pd.Series(apexes, dtype=object)})
+        return pd.DataFrame(
+            {
+                "key": pd.Series(keys, dtype=object),
+                "apex": pd.Series(apexes, dtype=object),
+                "is_edge": pd.Series(np.zeros(len(keys), dtype=np.int64)),
+            }
+        )
 
     wedges = (
         und.map_batches(orient, batch_format="pyarrow")
@@ -704,14 +712,21 @@ def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.D
     )
 
     def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"key": df["a"] + SEP + df["b"], "apex": [""] * len(df)})
+        # explicit tag column, NOT an apex sentinel — "" is a possible host
+        return pd.DataFrame(
+            {
+                "key": df["a"] + SEP + df["b"],
+                "apex": [""] * len(df),
+                "is_edge": np.ones(len(df), dtype=np.int64),
+            }
+        )
 
     tagged = wedges.union(und.map_batches(edge_keys, batch_format="pandas"))
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__tb")
-        closed = set(g.loc[g["apex"] == "", "key"])
-        tri = g[(g["apex"] != "") & g["key"].isin(closed)]
+        closed = set(g.loc[g["is_edge"] == 1, "key"])
+        tri = g[(g["is_edge"] == 0) & g["key"].isin(closed)]
         if tri.empty:
             return pd.DataFrame(
                 {"host": pd.Series(dtype=object), "t": pd.Series(dtype="int64")}

@@ -348,7 +348,10 @@ class FrontierShard:
             if entries
         }
         self.host_budgets = meta.get("host_budgets", {})
-        self.template_cap = meta.get("template_cap")
+        # pre-feature checkpoints lack the key: keep the constructor's cap
+        # (a capped frontier restoring an old snapshot must keep capping)
+        if "template_cap" in meta:
+            self.template_cap = meta["template_cap"]
         self.template_counts = meta.get("template_counts", {})
         self.seen_kind = meta.get("seen_kind", "bloom")
         cls = CuckooFilter if self.seen_kind == "cuckoo" else BloomFilter
@@ -589,7 +592,8 @@ class Frontier:
         capping. Hosts are shard-affine, so concatenating the shard tables
         is exact — no re-aggregation needed."""
         tables = ray.get([s.trap_stats.remote() for s in self.shards])
-        return pa.concat_tables([t for t in tables if t.num_rows])
+        nonempty = [t for t in tables if t.num_rows]
+        return pa.concat_tables(nonempty) if nonempty else tables[0]
 
     def checkpoint(self, ckpt_dir: str) -> list[str]:
         return ray.get([s.snapshot.remote(ckpt_dir) for s in self.shards])
@@ -597,10 +601,15 @@ class Frontier:
     def restore(self, ckpt_dir: str) -> int:
         n = sum(ray.get([s.restore.remote(ckpt_dir) for s in self.shards]))
         if n:
-            # config rides the checkpoint: a resumed frontier keeps capping
-            # even when the caller didn't re-pass template_cap
+            # config rides the checkpoint: the driver adopts the shards'
+            # restored cap VERBATIM (shards are uniform), so driver and
+            # shards can never disagree — a capped frontier restoring an
+            # explicitly-uncapped snapshot stops capping, and vice versa;
+            # pre-feature snapshots leave the constructor cap in place on
+            # both sides (shard restore keeps it when the key is absent)
             caps = [s.get("template_cap") for s in self.stats()]
-            self.template_cap = next((c for c in caps if c is not None), self.template_cap)
+            if caps:
+                self.template_cap = caps[0]
         return n
 
     def shutdown(self) -> None:
