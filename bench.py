@@ -100,8 +100,15 @@ def run_bench(skip_queries: bool = False) -> dict:
     n_pages = sum(
         pq.read_metadata(f).num_rows for f in _glob.glob(f"{pages_dir}/*.parquet")
     )
-    # fixed actor pool at ~3/4 of the CPUs: the rest serve read/write tasks
-    A = max(2, (NUM_CPUS * 3) // 4)
+    # fixed actor pool at HALF the CPUs (floor 3): a per-level sweep on the
+    # 2.4M-row profile measured walls {A=12:17.4, A=16:14.0, A=20:17.7,
+    # A=24:18.8} s at 32 CPUs and {A=6:32.3, A=8:25.0, A=12:34.4} s at 16 —
+    # the old 3/4 rule starved the read→validate→hash feeder chain and the
+    # write tasks of task slots, capping the hi-CPU side ~35% below its
+    # half-split optimum (the round-5 scaling-efficiency collapse was THIS,
+    # not hypervisor steal). At 4 CPUs 3/4 still wins (A=3: 82.8 vs A=2:
+    # 90.2), which the floor preserves.
+    A = max(3, NUM_CPUS // 2)
 
     def build(profile):
         # headline = fetch+extract throughput (the BASELINE.json metric);

@@ -32,7 +32,9 @@ def main():
     from auto_archiver_ray.state.frontier import Frontier
 
     pages = ensure_pages("bench")
-    A = max(2, (NUM_CPUS * 3) // 4)
+    # half the CPUs, floor 3 — the bench.py pool sweep showed the 3/4 rule
+    # starves the feeder chain + write tasks at >=16 CPUs (see bench.py)
+    A = max(3, NUM_CPUS // 2)
 
     # warmup on the tiny profile (forks workers, spawns actors)
     fsmall = Frontier(num_shards=4, name_prefix=f"warm_{os.getpid()}")
