@@ -86,6 +86,13 @@ def run_bench(skip_queries: bool = False) -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
+    # The executor's default 2-block streaming-gen buffer throttles read
+    # block delivery to ~100k rows/s at this block size, idling 30% of a
+    # 14-actor pool (measured: A=14@16 CPUs 94k/s busy 0.68 → 124k/s busy
+    # 0.91 with buffer 8; the no-Ray multiprocessing ceiling for the same
+    # kernel is 127k/s at 14 procs). 8 blocks ≈ 22 MB per in-flight read
+    # task here; at 128 MB target blocks temper this to 4.
+    ctx._max_num_blocks_in_streaming_gen_buffer = 8
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from auto_archiver_ray.pipelines import queries as Q
@@ -100,22 +107,23 @@ def run_bench(skip_queries: bool = False) -> dict:
     n_pages = sum(
         pq.read_metadata(f).num_rows for f in _glob.glob(f"{pages_dir}/*.parquet")
     )
-    # fixed actor pool at HALF the CPUs (floor 3): a per-level sweep on the
-    # 2.4M-row profile measured walls {A=12:17.4, A=16:14.0, A=20:17.7,
-    # A=24:18.8} s at 32 CPUs and {A=6:32.3, A=8:25.0, A=12:34.4} s at 16 —
-    # the old 3/4 rule starved the read→validate→hash feeder chain and the
-    # write tasks of task slots, capping the hi-CPU side ~35% below its
-    # half-split optimum (the round-5 scaling-efficiency collapse was THIS,
-    # not hypervisor steal). At 4 CPUs 3/4 still wins (A=3: 82.8 vs A=2:
-    # 90.2), which the floor preserves.
-    A = max(3, NUM_CPUS // 2)
+    # FUSED chain (validate+hash+meta+pdq+extract in one actor __call__,
+    # archive.FusedArchiveStage) with the pool sized to nearly all CPUs:
+    # fusing removes the feeder-task/extract-actor CPU split that had to be
+    # re-tuned per level (the r4 half-split rule) — with one pool, actor
+    # count is the scaling unit at every cluster size. Reserve ~1/8 of the
+    # CPUs for read+write tasks. Clean-window measurements (noise 0.997):
+    # split A=8@16: 82k rows/s; fused A=14@16: 124k/s, actor busy 0.91 —
+    # at the box's own multiprocessing ceiling for the same kernel
+    # (127k/s at 14 procs), and 4→16 CPU efficiency 0.95.
+    A = max(3, NUM_CPUS - max(1, NUM_CPUS // 8))
 
     def build(profile):
         # headline = fetch+extract throughput (the BASELINE.json metric);
         # content dedup is benched separately via q_pages_dedup
         # batch_size=None → bytes-budget auto sizing (archive.auto_batch_size)
         return archive_pages(
-            profile, extract_concurrency=(A, A)
+            profile, extract_concurrency=(A, A), fused=True
         ).drop_columns(["media_links"])
 
     # warmup: same pool size on the tiny profile → forks the worker

@@ -1,5 +1,6 @@
 """End-to-end pipeline tests on the sf0.001 synthetic pages table."""
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -74,6 +75,31 @@ def test_archive_pipeline_end_to_end():
     ).to_pandas()
     assert summ["n_urls"].sum() == batch.num_rows
     assert (summ["total_bytes"] > 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fused_archive_matches_unfused():
+    """FusedArchiveStage (the bench/scaling path: whole per-row chain in
+    one actor __call__) is row-for-row identical to the staged chain."""
+    from auto_archiver_ray.pipelines.archive import archive_pages
+
+    drop = ["media_links", "page_links"]
+    a = (
+        archive_pages("/root/testdata/sf0.001", extract_concurrency=2)
+        .drop_columns(drop)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    b = (
+        archive_pages("/root/testdata/sf0.001", extract_concurrency=2, fused=True)
+        .drop_columns(drop)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert list(a.columns) == list(b.columns)
+    pd.testing.assert_frame_equal(a, b)
 
 
 @pytest.mark.usefixtures("ray_session")
