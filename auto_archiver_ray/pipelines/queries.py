@@ -5468,6 +5468,86 @@ def q_embed_semdedup(sf_dir: str):
 # registry
 # ---------------------------------------------------------------------------
 
+PHRASE_LEN = 3  # probe phrase length (tokens)
+
+
+def q_doc_phrase_search(sf_dir: str):
+    """Exact phrase retrieval via POSITIONAL-postings intersection — the
+    query-time half of the inverted-index plane (q_doc_inverted_index is
+    the build half): all docs containing the corpus's MOST FREQUENT
+    ``PHRASE_LEN``-token phrase, with per-doc occurrence counts. The probe
+    phrase is corpus-derived (top trigram by total count, ties broken
+    lexicographically), so the query is deterministic and exercises
+    multi-document hits.
+
+    Scale shape: pass 1 streams per-batch (w1,w2,w3,n) trigram partials
+    into grouped_topk (unbounded trigram vocabulary — hash buckets, never
+    the driver); pass 2 emits only QUERY-TERM occurrences as skinny
+    ``(doc_id, term_idx, pos)`` int64 rows (the slice a positional index
+    lookup returns — document text never shuffles), which exchange by
+    ``hash(doc_id)`` bucket where each bucket runs the classic phrase
+    merge (slot-k positions shifted by −k, intersected). Integer positions
+    and counts → bit-identical to the SQL oracle's lead()-adjacency twin."""
+    from ..stages.agg import grouped_topk
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def trigram_partials(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = (t or "").split()
+            c.update(zip(toks, toks[1:], toks[2:]))
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "w1": pa.array([k[0] for k in keys], pa.string()),
+                "w2": pa.array([k[1] for k in keys], pa.string()),
+                "w3": pa.array([k[2] for k in keys], pa.string()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    top = grouped_topk(
+        ds.map_batches(trigram_partials, batch_format="pyarrow", batch_size=8192),
+        ["w1", "w2", "w3"],
+        {"n": "sum"},
+        k=1,
+        sort_by=["n", "w1", "w2", "w3"],
+        ascending=[False, True, True, True],
+    )
+    phrase = [str(top["w1"].iloc[0]), str(top["w2"].iloc[0]), str(top["w3"].iloc[0])]
+    postings = ds.map_batches(
+        textstats.phrase_postings(phrase), batch_format="pyarrow", batch_size=4096
+    )
+    out = textstats.phrase_intersect(postings, n_terms=PHRASE_LEN).to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_matches"] = out["n_matches"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_PHRASE_SEARCH = f"""
+WITH {_SQL_DOC_TOKS},
+tri AS (
+  SELECT doc_id,
+         tok AS t1,
+         lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t2,
+         lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t3
+  FROM toks
+),
+ph AS (
+  SELECT t1, t2, t3 FROM tri WHERE t3 IS NOT NULL
+  GROUP BY t1, t2, t3
+  ORDER BY COUNT(*) DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 1
+)
+SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+FROM tri JOIN ph USING (t1, t2, t3)
+GROUP BY tri.doc_id ORDER BY doc_id
+"""
+
+
 # Ordering matters: the driver's correctness gate checks the FIRST 50 entries
 # (dict order).  The riskiest queries — the near-dup family, the webtext
 # flagship, the byte-identical extract-text invariant, kNN/IVF, and every
@@ -5549,6 +5629,7 @@ QUERIES = {
     "q_doc_stopword_gate": q_doc_stopword_gate,
     "q_pages_triangles": q_pages_triangles,
     "q_doc_winnow_dedup": q_doc_winnow_dedup,
+    "q_doc_phrase_search": q_doc_phrase_search,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5759,6 +5840,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_stopword_gate": SQL_DOC_STOPWORD_GATE,
         "q_pages_triangles": _sql_triangles(g),
         "q_doc_winnow_dedup": _sql_winnow_dedup(g),
+        "q_doc_phrase_search": SQL_DOC_PHRASE_SEARCH,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -562,6 +562,77 @@ def postings_partials(query_terms: list[str], k: int = 5):
     return fn
 
 
+def phrase_postings(phrase: list[str]):
+    """Build a map_batches fn emitting POSITIONAL postings for the phrase's
+    terms only: one ``(doc_id, term_idx, pos)`` row per occurrence of a
+    phrase term (``term_idx`` = which phrase slot the token matches, ``pos``
+    = 0-based token position). This is the slice of a positional inverted
+    index a phrase query reads — only query-term occurrences leave the
+    corpus scan (skinny int64 rows), the document text never shuffles. A
+    term appearing at several phrase slots (e.g. "the X the") emits one row
+    per slot, exactly as a per-slot index lookup would."""
+    tmap: dict[str, list[int]] = {}
+    for idx, t in enumerate(phrase):
+        tmap.setdefault(str(t), []).append(idx)
+
+    def fn(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+        ids: list[int] = []
+        tis: list[int] = []
+        poss: list[int] = []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            for p, tok in enumerate((t or "").split()):
+                for ti in tmap.get(tok, ()):
+                    ids.append(i)
+                    tis.append(ti)
+                    poss.append(p)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "term_idx": pa.array(tis, pa.int64()),
+                "pos": pa.array(poss, pa.int64()),
+            }
+        )
+
+    return fn
+
+
+def phrase_intersect(postings_ds, n_terms: int, num_buckets: int = 64):
+    """Positional-postings intersection: docs where slot-k occurrences line
+    up at ``pos0+k`` for every k — the classic phrase-query merge. Postings
+    shuffle by ``hash(doc_id) % num_buckets`` (a doc's postings land wholly
+    in one bucket, so the per-bucket intersection is exact); each bucket
+    intersects per doc with numpy set ops over int64 positions. Returns a
+    Dataset of ``(doc_id, n_matches)`` for docs with ≥1 phrase occurrence."""
+    import pandas as pd
+
+    def bucket_intersect(df: pd.DataFrame) -> pd.DataFrame:
+        out_ids: list[int] = []
+        out_n: list[int] = []
+        for doc_id, grp in df.groupby("doc_id"):
+            starts = None
+            for k in range(n_terms):
+                p = grp.loc[grp["term_idx"] == k, "pos"].to_numpy(dtype=np.int64) - k
+                starts = p if starts is None else np.intersect1d(starts, p)
+                if starts.size == 0:
+                    break
+            if starts is not None and starts.size:
+                out_ids.append(int(doc_id))
+                out_n.append(int(starts.size))
+        return pd.DataFrame({"doc_id": pd.array(out_ids, dtype="int64"),
+                             "n_matches": pd.array(out_n, dtype="int64")})
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((ids * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) % np.uint64(num_buckets)
+        return batch.append_column("bucket", pa.array(bucket.astype(np.int64)))
+
+    return (
+        postings_ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=65536)
+        .groupby("bucket")
+        .map_groups(bucket_intersect, batch_format="pandas")
+    )
+
+
 def bigram_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Per-batch partial bigram counts: one (w1, w2, n) row per distinct
     ADJACENT token pair per batch (pairs never cross document boundaries —

@@ -182,6 +182,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_stopword_gate",
             "q_pages_triangles",
             "q_doc_winnow_dedup",
+            "q_doc_phrase_search",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)
