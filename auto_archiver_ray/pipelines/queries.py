@@ -5309,6 +5309,24 @@ def q_doc_bpe(sf_dir: str):
     return bpe_learn(ds, num_merges=8)
 
 
+def q_doc_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION — the encode half completing the BPE plane
+    (q_doc_bpe trains the merges): learn 8 merges from the corpus, then one
+    streaming encode pass maps every doc to its post-merge token count and
+    pre-merge character count (``textstats.bpe_encode``: merges ride the
+    closure, each batch encodes distinct words once, no shuffle). Applying
+    merges in rank order as leftmost-first passes reproduces the trainer's
+    table evolution exactly, so the result is bit-identical to the serial
+    learn+encode golden (scripts/golden_serial.bpe_encode_serial)."""
+    from ..stages.textstats import bpe_encode, bpe_learn
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_learn(ds.select_columns(["text"]), num_merges=8)
+    out = bpe_encode(ds, merges).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_embed_cluster_sample(sf_dir: str):
     """Cluster-balanced coreset sample: k-means the embedding space
     (integer-exact kmeans_assign, labels golden-checked by q_embed_kmeans)
@@ -5630,6 +5648,7 @@ QUERIES = {
     "q_pages_triangles": q_pages_triangles,
     "q_doc_winnow_dedup": q_doc_winnow_dedup,
     "q_doc_phrase_search": q_doc_phrase_search,
+    "q_doc_bpe_encode": q_doc_bpe_encode,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5841,6 +5860,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_triangles": _sql_triangles(g),
         "q_doc_winnow_dedup": _sql_winnow_dedup(g),
         "q_doc_phrase_search": SQL_DOC_PHRASE_SEARCH,
+        "q_doc_bpe_encode": (
+            "SELECT doc_id, n_tokens, n_chars "
+            f"FROM read_parquet('{g}/q_doc_bpe_encode.parquet') ORDER BY doc_id"
+        ),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -994,3 +994,52 @@ def bpe_learn(docs_ds, text_col: str = "text", num_merges: int = 8):
          "right": pd.Series(dtype=str), "merged": pd.Series(dtype=str),
          "pair_count": pd.Series(dtype="int64")}
     )
+
+
+def bpe_encode(docs_ds, merges, text_col: str = "text", id_col: str = "doc_id"):
+    """Apply a LEARNED merge list to the corpus — the tokenizer-application
+    half of the BPE plane (``bpe_learn`` trains it). ``merges`` is the
+    trainer's output frame ordered by rank; each word starts as characters
+    and every merge applies in rank order as one leftmost-first
+    non-overlapping pass (``_apply_merge_seq`` — exactly the trainer's
+    per-round table evolution, so a training word encodes to its final
+    trainer symbols). Returns a Dataset of ``(doc_id, n_tokens, n_chars)``:
+    post-merge token count and pre-merge character token count per doc.
+
+    Scale shape: the merge list is tokenizer-sized (rides the closure);
+    one streaming pass, no shuffle; each batch encodes its DISTINCT words
+    once (memo) and multiplies by occurrence, so cost tracks vocabulary ×
+    batch, not corpus length × merges."""
+    ordered = merges.sort_values("rank") if len(merges) else merges
+    pairs = [(str(lft), str(rgt)) for lft, rgt in zip(ordered["left"], ordered["right"])]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        memo: dict[str, int] = {}
+
+        def tok_len(w: str) -> int:
+            v = memo.get(w)
+            if v is None:
+                syms = list(w)
+                for lft, rgt in pairs:
+                    syms = _apply_merge_seq(syms, lft, rgt)
+                v = len(syms)
+                memo[w] = v
+            return v
+
+        ids: list[int] = []
+        ntok: list[int] = []
+        nchar: list[int] = []
+        for i, t in zip(batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()):
+            words = (t or "").split()
+            ids.append(i)
+            ntok.append(sum(tok_len(w) for w in words))
+            nchar.append(sum(len(w) for w in words))
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "n_tokens": pa.array(ntok, pa.int64()),
+                "n_chars": pa.array(nchar, pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)

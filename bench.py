@@ -183,6 +183,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_pages_triangles",
             "q_doc_winnow_dedup",
             "q_doc_phrase_search",
+            "q_doc_bpe_encode",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

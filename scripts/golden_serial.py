@@ -963,3 +963,54 @@ def bpe_serial(docs: pd.DataFrame, num_merges: int = 8) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["rank", "left", "right", "merged", "pair_count"]).astype(
         {"rank": "int64", "pair_count": "int64"}
     )
+
+
+def bpe_encode_serial(docs: pd.DataFrame, num_merges: int = 8) -> pd.DataFrame:
+    """Serial BPE learn + ENCODE: run the bpe_serial trainer loop (same
+    spec, own code) and read each doc's token count off the final word
+    table — every corpus word's symbols after all merges. Returns
+    (doc_id, n_tokens, n_chars) sorted by doc_id."""
+    from collections import Counter
+
+    word_counts: Counter = Counter()
+    for t in docs["text"]:
+        word_counts.update((t or "").split())
+    table = {w: tuple(w) for w in word_counts}
+    for _rank in range(num_merges):
+        pairs: Counter = Counter()
+        for w, syms in table.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += n
+        if not pairs:
+            break
+        (left, right), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        new_table = {}
+        for w, syms in table.items():
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_table[w] = tuple(out)
+        table = new_table
+    rows = []
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        words = (t or "").split()
+        rows.append(
+            {
+                "doc_id": int(i),
+                "n_tokens": sum(len(table[w]) for w in words),
+                "n_chars": sum(len(w) for w in words),
+            }
+        )
+    return (
+        pd.DataFrame(rows, columns=["doc_id", "n_tokens", "n_chars"])
+        .astype({"doc_id": "int64", "n_tokens": "int64", "n_chars": "int64"})
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

@@ -95,6 +95,9 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.knn_pq_serial(emb).to_parquet(f"{out_dir}/q_embed_pq.parquet", index=False)
     gs.heavy_terms_serial(docs).to_parquet(f"{out_dir}/q_doc_heavy_terms.parquet", index=False)
     gs.bpe_serial(docs, num_merges=8).to_parquet(f"{out_dir}/q_doc_bpe.parquet", index=False)
+    gs.bpe_encode_serial(docs, num_merges=8).to_parquet(
+        f"{out_dir}/q_doc_bpe_encode.parquet", index=False
+    )
     gs.knn_ivfpq_serial(emb).to_parquet(f"{out_dir}/q_embed_ivfpq.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
 

@@ -1116,3 +1116,31 @@ def test_phrase_search_matches_sql_and_batch_invariant():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(alt, got, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bpe_encode_matches_serial_and_batch_invariant():
+    """q_doc_bpe_encode on sf0.001: identical to the independent serial
+    learn+encode golden, and the encode pass is batch-layout invariant
+    (each doc encodes from the broadcast merge list alone)."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_doc_bpe_encode
+    from auto_archiver_ray.stages.textstats import bpe_encode, bpe_learn
+
+    got = q_doc_bpe_encode(SF_SMALL).reset_index(drop=True)
+    want = pd.read_parquet("tests/golden/sf0.001/q_doc_bpe_encode.parquet")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # merges strictly compress: post-merge tokens never exceed chars
+    assert (got["n_tokens"] <= got["n_chars"]).all()
+    assert (got["n_tokens"] < got["n_chars"]).any()
+
+    docs = _docs(SF_SMALL)
+    merges = bpe_learn(rd.from_pandas(docs[["text"]]), num_merges=8)
+    alt = (
+        bpe_encode(rd.from_pandas(docs).map_batches(lambda t: t, batch_format="pyarrow", batch_size=3), merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, got, check_dtype=False)
