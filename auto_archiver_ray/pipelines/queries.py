@@ -2990,6 +2990,154 @@ ORDER BY d.doc_id
 BIGRAM_TOP = 25  # bigrams returned with their Kneser-Ney ingredient counts
 
 
+LM_SCALE = 1 << 20  # fixed-point scale for the per-bigram KN probability
+_LM_SEP = "\x1f"
+
+
+def q_doc_lm_score(sf_dir: str):
+    """Kneser–Ney smoothed bigram-LM DOCUMENT SCORING — the CCNet/KenLM
+    perplexity filter made integer-exact (q_doc_bigram_lm computes the
+    ingredients; this trains the full interpolated-KN model on the corpus
+    and scores every doc against it). With discount d = 3/4 the KN
+    probability is a RATIONAL:
+
+        P(w2|w1) = max(c12 - 3/4, 0)/c1 + (3/4)·(N1+(w1·)/c1)·(N1+(·w2)/D)
+                 = (max(4·c12 − 3, 0)·D + 3·N1L·N1R) / (4·c1·D)
+
+    so each bigram type's fixed-point contribution ``fp = (2^20·num)//den``
+    is an INTEGER both engines floor identically; a doc's ``score_fp`` is
+    Σ occurrences·fp (higher = more probable text; the head/tail filter
+    thresholds on score_fp // n_bigrams). Self-scoring the training corpus
+    means every doc bigram exists in the model — no OOV branch to diverge.
+
+    Scale shape: the model is the UNBOUNDED distinct-bigram table
+    (bucketed_group_agg — never on the driver); context stats derive from
+    the model by two more bucketed rollups; model→stats and docs→model are
+    bucketed hash joins on skinny integer/string rows; only D (one scalar)
+    reaches the driver. Document text never shuffles — docs reduce to
+    per-doc (bigram, m) partials before joining."""
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.join import bucketed_hash_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    model = bucketed_group_agg(
+        ds.map_batches(textstats.bigram_partials, batch_format="pyarrow", batch_size=8192),
+        ["w1", "w2"],
+        {"n": "sum"},
+    ).materialize()  # consumed three times (w1 stats, w2 stats, contrib)
+
+    def with_one(batch: pa.Table) -> pa.Table:
+        return batch.append_column("one", pa.array(np.ones(batch.num_rows, dtype=np.int64)))
+
+    w1s = bucketed_group_agg(
+        model.map_batches(with_one, batch_format="pyarrow"), ["w1"], {"n": "sum", "one": "sum"}
+    ).map_batches(
+        lambda t: pa.table({"w1": t["w1"], "c1": t["n"], "n1l": t["one"]}),
+        batch_format="pyarrow",
+    )
+    w2s = bucketed_group_agg(
+        model.map_batches(with_one, batch_format="pyarrow"), ["w2"], {"one": "sum"}
+    ).map_batches(
+        lambda t: pa.table({"w2": t["w2"], "n1r": t["one"]}), batch_format="pyarrow"
+    )
+    n_distinct = model.count()  # D — the one driver scalar
+
+    j = bucketed_hash_join(bucketed_hash_join(model, w1s, on="w1"), w2s, on="w2")
+
+    def contrib(batch: pa.Table, d: int = n_distinct) -> pa.Table:
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.int64)
+        n1l = batch.column("n1l").to_numpy(zero_copy_only=False).astype(np.int64)
+        n1r = batch.column("n1r").to_numpy(zero_copy_only=False).astype(np.int64)
+        num = np.maximum(4 * n - 3, 0) * d + 3 * n1l * n1r
+        den = 4 * c1 * d
+        fp = (LM_SCALE * num) // den
+        bk = [
+            f"{a}{_LM_SEP}{b}"
+            for a, b in zip(batch.column("w1").to_pylist(), batch.column("w2").to_pylist())
+        ]
+        return pa.table({"bk": pa.array(bk, pa.string()), "fp": pa.array(fp)})
+
+    contribs = j.map_batches(contrib, batch_format="pyarrow")
+
+    def doc_bigrams(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        ids: list[int] = []
+        bks: list[str] = []
+        ms: list[int] = []
+        for i, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = (t or "").split()
+            c = Counter(zip(toks, toks[1:]))
+            for (a, b), m in c.items():
+                ids.append(i)
+                bks.append(f"{a}{_LM_SEP}{b}")
+                ms.append(m)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "bk": pa.array(bks, pa.string()),
+                "m": pa.array(ms, pa.int64()),
+            }
+        )
+
+    docbg = ds.map_batches(doc_bigrams, batch_format="pyarrow", batch_size=4096)
+    scored = bucketed_hash_join(docbg, contribs, on="bk")
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        m = batch.column("m").to_numpy(zero_copy_only=False).astype(np.int64)
+        fp = batch.column("fp").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bigrams": pa.array(m),
+                "score_fp": pa.array(m * fp),
+            }
+        )
+
+    out = bucketed_group_agg(
+        scored.map_batches(score_partial, batch_format="pyarrow"),
+        ["doc_id"],
+        {"n_bigrams": "sum", "score_fp": "sum"},
+    ).to_pandas()
+    out = out.astype({"doc_id": "int64", "n_bigrams": "int64", "score_fp": "int64"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_LM_SCORE = f"""
+WITH {_SQL_DOC_TOKS},
+bgv AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, tok AS w1,
+           lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks
+  ) WHERE w2 IS NOT NULL
+),
+model AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n FROM bgv GROUP BY w1, w2),
+w1s AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS n1l
+        FROM model GROUP BY w1),
+w2s AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1r FROM model GROUP BY w2),
+dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM model),
+contrib AS (
+  SELECT m.w1, m.w2,
+         ({LM_SCALE} * (GREATEST(4 * m.n - 3, 0) * dd.d + 3 * w1s.n1l * w2s.n1r))
+           // (4 * w1s.c1 * dd.d) AS fp
+  FROM model m
+  JOIN w1s USING (w1) JOIN w2s USING (w2) CROSS JOIN dd
+),
+docbg AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS m FROM bgv GROUP BY doc_id, w1, w2
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       CAST(SUM(m * fp) AS BIGINT) AS score_fp
+FROM docbg JOIN contrib USING (w1, w2)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_doc_bigram_lm(sf_dir: str):
     """Kneser–Ney ingredient counts for a bigram language model (Kneser &
     Ney 1995; Chen & Goodman 1998): for the corpus's top-``BIGRAM_TOP``
@@ -5649,6 +5797,7 @@ QUERIES = {
     "q_doc_winnow_dedup": q_doc_winnow_dedup,
     "q_doc_phrase_search": q_doc_phrase_search,
     "q_doc_bpe_encode": q_doc_bpe_encode,
+    "q_doc_lm_score": q_doc_lm_score,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -5864,6 +6013,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT doc_id, n_tokens, n_chars "
             f"FROM read_parquet('{g}/q_doc_bpe_encode.parquet') ORDER BY doc_id"
         ),
+        "q_doc_lm_score": SQL_DOC_LM_SCORE,
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

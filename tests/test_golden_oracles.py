@@ -1144,3 +1144,30 @@ def test_bpe_encode_matches_serial_and_batch_invariant():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(alt, got, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_lm_score_matches_sql_and_batch_invariant():
+    """q_doc_lm_score on sf0.001: bit-identical to the DuckDB KN-rational
+    oracle (integer fixed-point, discount 3/4), n_bigrams consistent with
+    token counts, and invariant to document batch layout."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_LM_SCORE, q_doc_lm_score
+
+    got = q_doc_lm_score(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_LM_SCORE).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    docs = _docs(SF_SMALL)
+    ntok = {int(i): len((t or "").split()) for i, t in zip(docs["doc_id"], docs["text"])}
+    for _, r in got.iterrows():
+        assert int(r["n_bigrams"]) == max(ntok[int(r["doc_id"])] - 1, 0)
+    assert (got["score_fp"] > 0).all()  # every bigram is in the model
