@@ -3138,6 +3138,43 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+CDC_TOP = 50  # q_pages_cdc: top duplicated chunks reported
+
+
+def q_pages_cdc(sf_dir: str):
+    """Content-defined chunking dedup over RAW payload bytes (FastCDC-style
+    gear-hash boundaries, Xia et al. 2016) — the storage-layer dedup the
+    byte-identical-payload pass (q_pages_dedup) can't see: pages that share
+    template regions but differ elsewhere still share CHUNKS, and a
+    content-addressed store keeps one copy per chunk hash. Reports the
+    corpus's top-``CDC_TOP`` chunks by occurrence (count DESC, hash ASC).
+
+    Scale shape: chunk boundaries come from a 32-byte rolling gear hash
+    vectorized as 32 shifted table-lookup adds (no per-byte Python; only
+    the ~n/64 candidate cuts hit the min/max walk); each batch emits
+    pre-aggregated (chunk_hash, size, n) partials, so the UNBOUNDED chunk
+    space shuffles only as skinny distinct-per-batch rows into
+    grouped_topk (driver merges ≤ buckets×k). Oracle: independent serial
+    byte-loop chunker golden (scripts/golden_serial.cdc_chunks_serial)."""
+    from ..stages.agg import grouped_topk
+    from ..stages.dedup import cdc_chunk_partials
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["html"])
+    top = grouped_topk(
+        ds.map_batches(cdc_chunk_partials(), batch_format="pyarrow", batch_size=1024),
+        ["chunk_hash", "size_bytes"],
+        {"n": "sum"},
+        k=CDC_TOP,
+        sort_by=["n", "chunk_hash"],
+        ascending=[False, True],
+    ).rename(columns={"n": "n_occurrences"})
+    top.insert(0, "rank", pd.array(range(1, len(top) + 1), dtype="int64"))
+    return top[["rank", "chunk_hash", "size_bytes", "n_occurrences"]].astype(
+        {"size_bytes": "int64", "n_occurrences": "int64"}
+    )
+
+
 def q_doc_bigram_lm(sf_dir: str):
     """Kneser–Ney ingredient counts for a bigram language model (Kneser &
     Ney 1995; Chen & Goodman 1998): for the corpus's top-``BIGRAM_TOP``
@@ -5798,6 +5835,7 @@ QUERIES = {
     "q_doc_phrase_search": q_doc_phrase_search,
     "q_doc_bpe_encode": q_doc_bpe_encode,
     "q_doc_lm_score": q_doc_lm_score,
+    "q_pages_cdc": q_pages_cdc,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6014,6 +6052,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"FROM read_parquet('{g}/q_doc_bpe_encode.parquet') ORDER BY doc_id"
         ),
         "q_doc_lm_score": SQL_DOC_LM_SCORE,
+        "q_pages_cdc": (
+            'SELECT "rank", chunk_hash, size_bytes, n_occurrences '
+            f"FROM read_parquet('{g}/q_pages_cdc.parquet') ORDER BY \"rank\""
+        ),
         "q_crawl_authority": _sql_pages(sf_dir, _sql_crawl_authority(g, sf_dir)),
         "q_doc_incremental_neardup": (
             "SELECT id_a, id_b, est_jaccard "

@@ -1430,3 +1430,104 @@ def incremental_neardup_pairs(
     sigs_union = index_sigs.union(sigs_new)
     scored = pair_scores(cand, sigs_union, id_col, "minhash_sig", est_jaccard, "est_jaccard")
     return scored.filter(expr=f"est_jaccard >= {threshold}")
+
+
+# --- content-defined chunking (storage-layer dedup) -----------------------
+
+_CDC_HASH_BITS = 32  # gear rolling hash width → effective 32-byte window
+
+
+def _cdc_gear_table() -> np.ndarray:
+    """256-entry gear table derived from blake2b(byte) — a fixed public
+    spec both the distributed kernel and the independent serial golden
+    (scripts/golden_serial.cdc_chunks_serial) re-derive identically."""
+    import hashlib
+
+    return np.array(
+        [
+            int.from_bytes(hashlib.blake2b(bytes([i]), digest_size=4).digest(), "big")
+            for i in range(256)
+        ],
+        dtype=np.uint64,
+    )
+
+
+_CDC_GEAR = _cdc_gear_table()
+
+
+def cdc_chunk_spans(
+    data: bytes, min_size: int = 64, mask_bits: int = 6, max_size: int = 512
+) -> list[tuple[int, int]]:
+    """Gear-hash content-defined chunking (FastCDC's core idea, Xia et al.
+    2016): cut after byte i when the rolling hash ``g_i = (2·g_{i-1} +
+    gear[b_i]) mod 2^32`` has its low ``mask_bits`` bits zero, subject to
+    min/max chunk sizes (a max-size cut restarts the scan at the cut, so
+    boundaries depend only on content from the previous cut — the property
+    that makes equal payload regions chunk identically regardless of what
+    precedes them... within a max_size-aligned region).
+
+    Vectorized: g depends only on the last 32 bytes (older terms shift past
+    bit 31), so the whole hash sequence is 32 shifted table-lookup adds —
+    no per-byte Python. Only candidate boundaries (~n/2^mask_bits of them)
+    hit the Python min/max walk."""
+    b = np.frombuffer(data, dtype=np.uint8)
+    n = b.size
+    if n == 0:
+        return []
+    gv = _CDC_GEAR[b]
+    g = np.zeros(n, dtype=np.uint64)
+    for k in range(_CDC_HASH_BITS):
+        if k >= n:
+            break
+        g[k:] += gv[: n - k] << np.uint64(k)
+    mask = np.uint64((1 << mask_bits) - 1)
+    cand = np.flatnonzero((g & mask) == 0) + 1  # cut AFTER byte i
+    spans: list[tuple[int, int]] = []
+    start = 0
+    ci = int(np.searchsorted(cand, min_size))
+    while start < n:
+        hard_end = min(start + max_size, n)
+        lo = start + min_size
+        while ci < cand.size and cand[ci] < lo:
+            ci += 1
+        if ci < cand.size and cand[ci] <= hard_end:
+            end = int(cand[ci])
+            ci += 1
+        else:
+            end = hard_end
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+def cdc_chunk_partials(
+    payload_col: str = "html", min_size: int = 64, mask_bits: int = 6, max_size: int = 512
+):
+    """map_batches fn: chunk each payload and emit per-batch PARTIAL chunk
+    counts — one (chunk_hash, size_bytes, n) row per distinct chunk per
+    batch (never one row per occurrence). Feed bucketed_group_agg /
+    grouped_topk; the UNBOUNDED chunk-hash space shuffles only as these
+    skinny pre-aggregated rows."""
+    import hashlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        c: Counter = Counter()
+        for payload in batch.column(payload_col).to_pylist():
+            data = payload or b""
+            if isinstance(data, str):
+                data = data.encode()
+            for s, e in cdc_chunk_spans(data, min_size, mask_bits, max_size):
+                h = hashlib.sha256(data[s:e]).hexdigest()
+                c[(h, e - s)] += 1
+        keys = list(c.keys())
+        return pa.table(
+            {
+                "chunk_hash": pa.array([k[0] for k in keys], pa.string()),
+                "size_bytes": pa.array([k[1] for k in keys], pa.int64()),
+                "n": pa.array([c[k] for k in keys], pa.int64()),
+            }
+        )
+
+    return fn

@@ -185,6 +185,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_phrase_search",
             "q_doc_bpe_encode",
             "q_doc_lm_score",
+            "q_pages_cdc",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1014,3 +1014,63 @@ def bpe_encode_serial(docs: pd.DataFrame, num_merges: int = 8) -> pd.DataFrame:
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+def cdc_chunks_serial(
+    pages: pd.DataFrame,
+    payload_col: str = "html",
+    min_size: int = 64,
+    mask_bits: int = 6,
+    max_size: int = 512,
+    top_k: int = 50,
+) -> pd.DataFrame:
+    """Serial content-defined chunking golden: byte-at-a-time gear rolling
+    hash (g = (2g + gear[b]) mod 2^32, gear[i] = blake2b(byte i, 4B); cut
+    after a byte whose hash has the low mask_bits zero, min/max enforced
+    with the scan restarting at each cut) over every payload, global chunk
+    Counter, top-k by (count DESC, hash ASC). Shares only the spec with
+    stages.dedup.cdc_chunk_spans (which vectorizes the recurrence)."""
+    import hashlib
+    from collections import Counter
+
+    gear = [
+        int.from_bytes(hashlib.blake2b(bytes([i]), digest_size=4).digest(), "big")
+        for i in range(256)
+    ]
+    mask = (1 << mask_bits) - 1
+    c: Counter = Counter()
+    for payload in pages[payload_col]:
+        data = payload or b""
+        if isinstance(data, str):
+            data = data.encode()
+        n = len(data)
+        # candidate cut positions from the rolling hash
+        g = 0
+        cands = []
+        for i in range(n):
+            g = ((g << 1) + gear[data[i]]) & 0xFFFFFFFF
+            if (g & mask) == 0:
+                cands.append(i + 1)
+        start = 0
+        ci = 0
+        while start < n:
+            hard_end = min(start + max_size, n)
+            lo = start + min_size
+            while ci < len(cands) and cands[ci] < lo:
+                ci += 1
+            if ci < len(cands) and cands[ci] <= hard_end:
+                end = cands[ci]
+                ci += 1
+            else:
+                end = hard_end
+            c[(hashlib.sha256(data[start:end]).hexdigest(), end - start)] += 1
+            start = end
+    rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0]))[:top_k]
+    return pd.DataFrame(
+        {
+            "rank": pd.array(range(1, len(rows) + 1), dtype="int64"),
+            "chunk_hash": [k[0] for k, _ in rows],
+            "size_bytes": pd.array([k[1] for k, _ in rows], dtype="int64"),
+            "n_occurrences": pd.array([n for _, n in rows], dtype="int64"),
+        }
+    )

@@ -99,6 +99,13 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
         f"{out_dir}/q_doc_bpe_encode.parquet", index=False
     )
     gs.knn_ivfpq_serial(emb).to_parquet(f"{out_dir}/q_embed_ivfpq.parquet", index=False)
+
+    # content-defined chunking over the raw page payloads (the pages table
+    # is deterministic per sf — materialize on demand, read html only)
+    from auto_archiver_ray.sources.pages import ensure_pages
+
+    pages = pd.read_parquet(ensure_pages(sf_dir), columns=["html"])
+    gs.cdc_chunks_serial(pages).to_parquet(f"{out_dir}/q_pages_cdc.parquet", index=False)
     print(f"serial goldens written to {out_dir}")
 
 

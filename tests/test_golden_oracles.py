@@ -1171,3 +1171,51 @@ def test_lm_score_matches_sql_and_batch_invariant():
     for _, r in got.iterrows():
         assert int(r["n_bigrams"]) == max(ntok[int(r["doc_id"])] - 1, 0)
     assert (got["score_fp"] > 0).all()  # every bigram is in the model
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_matches_serial_and_chunk_spec():
+    """q_pages_cdc on sf0.001: identical to the independent serial
+    byte-loop chunker golden; chunk spans partition each payload exactly
+    with sizes inside [min, max] (last chunk may undershoot); result is
+    batch-layout invariant."""
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import q_pages_cdc
+    from auto_archiver_ray.sources.pages import ensure_pages
+    from auto_archiver_ray.stages.agg import grouped_topk
+    from auto_archiver_ray.stages.dedup import cdc_chunk_partials, cdc_chunk_spans
+
+    got = q_pages_cdc(SF_SMALL).reset_index(drop=True)
+    want = pd.read_parquet("tests/golden/sf0.001/q_pages_cdc.parquet")
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert got["n_occurrences"].iloc[0] > 1  # template regions DO repeat
+
+    pages = pd.read_parquet(ensure_pages(SF_SMALL), columns=["html"])
+    # span partition property on every payload
+    for payload in pages["html"].head(50):
+        data = payload if isinstance(payload, bytes) else (payload or "").encode()
+        spans = cdc_chunk_spans(data)
+        if not data:
+            assert spans == []
+            continue
+        assert spans[0][0] == 0 and spans[-1][1] == len(data)
+        assert all(e1 == s2 for (_, e1), (s2, _) in zip(spans, spans[1:]))
+        assert all(e - s <= 512 for s, e in spans)
+        assert all(e - s >= 64 for s, e in spans[:-1] if e - s != len(data))
+
+    # batch-layout invariance of the distributed rollup
+    alt = grouped_topk(
+        rd.from_pandas(pages).map_batches(
+            cdc_chunk_partials(), batch_format="pyarrow", batch_size=7
+        ),
+        ["chunk_hash", "size_bytes"],
+        {"n": "sum"},
+        k=50,
+        sort_by=["n", "chunk_hash"],
+        ascending=[False, True],
+    ).rename(columns={"n": "n_occurrences"})
+    alt.insert(0, "rank", pd.array(range(1, len(alt) + 1), dtype="int64"))
+    pd.testing.assert_frame_equal(
+        alt.astype({"size_bytes": "int64", "n_occurrences": "int64"}), got, check_dtype=False
+    )
