@@ -3175,6 +3175,160 @@ def q_pages_cdc(sf_dir: str):
     )
 
 
+REDIRECT_MOD = 64  # q_crawl_redirects: pages with n % MOD == 0 are terminal
+
+
+def q_crawl_redirects(sf_dir: str):
+    """Redirect-chain resolution via parallel pointer jumping (Wyllie 1979):
+    the reference walks each URL's HTTP redirect chain sequentially inside
+    the single-item fetch (ref:core/orchestrator.py:543-553 — requests
+    follows the hops transparently, one URL at a time); at 10^10-URL scale
+    chains must resolve in O(log L) all-to-all rounds over the whole
+    frontier at once, never O(L) dependent passes. Resolves EVERY distinct
+    valid url to its final target plus the exact hop count.
+
+    The redirect graph is derived from the corpus itself so BOTH engines
+    can compute it independently (no sidecar): page number n = the integer
+    in '/p/n' (unique per row by construction, sources/pages.py:166);
+    n % REDIRECT_MOD != 0 redirects to page n-1 WHEN that page exists as a
+    distinct valid url (invalid-url gaps break chains early — exercising
+    the existence join), else n is terminal. Max chain = REDIRECT_MOD-1.
+
+    Scale shape: urls collapse to skinny (int64 node, ptr, d) triples
+    immediately after the validate scan; pointer construction is one
+    bucketed existence join + one bucketed min/max group-agg;
+    ceil(log2(64)) = 6 pointer-doubling self-join exchanges
+    (stages/graph.pointer_double_resolve); two more bucketed joins map page
+    numbers back to urls. One row per url throughout; nothing driver-side.
+    Oracle: recursive-CTE walk over the same derived edges."""
+    import re
+
+    from ..stages.agg import bucketed_group_agg
+    from ..stages.graph import pointer_double_resolve
+    from ..stages.join import bucketed_hash_join
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    pat = re.compile(r"/p/(\d+)")
+
+    def to_nodes(batch: pa.Table) -> pa.Table:
+        urls = batch.column("url").to_pylist()
+        pns = np.fromiter(
+            (int(m.group(1)) if (m := pat.search(u)) else -1 for u in urls),
+            dtype=np.int64,
+            count=len(urls),
+        )
+        keep = pns >= 0
+        return pa.table(
+            {
+                "node": pa.array(pns[keep]),
+                "url": pa.array([u for u, k in zip(urls, keep) if k], pa.string()),
+            }
+        )
+
+    nodes = ds.map_batches(to_nodes, batch_format="pyarrow", batch_size=4096)
+    nodes = nodes.materialize()  # consumed 4x: desires, targets, url map x2
+
+    def desires(batch: pa.Table) -> pa.Table:
+        pn = batch.column("node").to_numpy()
+        red = pn % REDIRECT_MOD != 0
+        return pa.table({"key": pa.array(pn[red] - 1), "src": pa.array(pn[red])})
+
+    def key_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": batch.column("node")})
+
+    confirmed = bucketed_hash_join(
+        nodes.map_batches(desires, batch_format="pyarrow"),
+        nodes.map_batches(key_only, batch_format="pyarrow"),
+        on="key",
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("src"),
+                "ptr": batch.column("key"),
+                "d": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def self_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "ptr": batch.column("node"),
+                "d": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    # every node seeds a terminal self-row; a confirmed edge overrides it:
+    # min(ptr) picks n-1 over n, max(d) picks 1 over 0 — one exchange, no
+    # anti-join needed to find the terminals
+    p0 = bucketed_group_agg(
+        confirmed.map_batches(edge_rows, batch_format="pyarrow").union(
+            nodes.map_batches(self_rows, batch_format="pyarrow")
+        ),
+        ["node"],
+        {"ptr": "min", "d": "max"},
+        num_buckets=64,
+    )
+    resolved = pointer_double_resolve(p0, max_chain=REDIRECT_MOD)
+
+    with_url = bucketed_hash_join(resolved, nodes, on="node")
+
+    def to_final_key(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("ptr"),
+                "url": batch.column("url"),
+                "hops": batch.column("d"),
+            }
+        )
+
+    def final_urls(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"node": batch.column("node"), "final_url": batch.column("url")}
+        )
+
+    out = bucketed_hash_join(
+        with_url.map_batches(to_final_key, batch_format="pyarrow"),
+        nodes.map_batches(final_urls, batch_format="pyarrow"),
+        on="node",
+    )
+    return out.map_batches(
+        lambda t: t.select(["url", "final_url", "hops"]), batch_format="pyarrow"
+    )
+
+
+SQL_CRAWL_REDIRECTS_T = r"""
+WITH RECURSIVE pages AS (
+  SELECT DISTINCT url FROM read_parquet('{glob}') WHERE {valid}
+), n AS (
+  SELECT url, CAST(regexp_extract(url, '/p/(\d+)', 1) AS BIGINT) AS pn FROM pages
+  WHERE regexp_extract(url, '/p/(\d+)', 1) <> ''
+), edge AS (
+  SELECT a.pn AS src, b.pn AS dst
+  FROM n a JOIN n b ON b.pn = a.pn - 1
+  WHERE a.pn % {mod} <> 0
+), r AS (
+  SELECT pn AS start, pn AS cur, 0 AS hops FROM n
+  UNION ALL
+  SELECT r.start, e.dst, r.hops + 1 FROM r JOIN edge e ON e.src = r.cur
+)
+SELECT ns.url AS url, nf.url AS final_url, CAST(r.hops AS BIGINT) AS hops
+FROM r
+JOIN n ns ON ns.pn = r.start
+JOIN n nf ON nf.pn = r.cur
+WHERE NOT EXISTS (SELECT 1 FROM edge e WHERE e.src = r.cur)
+ORDER BY url
+"""
+
+
 def q_doc_bigram_lm(sf_dir: str):
     """Kneser–Ney ingredient counts for a bigram language model (Kneser &
     Ney 1995; Chen & Goodman 1998): for the corpus's top-``BIGRAM_TOP``
@@ -5836,6 +5990,7 @@ QUERIES = {
     "q_doc_bpe_encode": q_doc_bpe_encode,
     "q_doc_lm_score": q_doc_lm_score,
     "q_pages_cdc": q_pages_cdc,
+    "q_crawl_redirects": q_crawl_redirects,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6007,6 +6162,9 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_archive_stats": _sql_pages(sf_dir, _sql_archive_stats()),
         "q_archive_summary": _sql_pages(sf_dir, _sql_archive_summary()),
         "q_crawl_bfs": _sql_pages(sf_dir, _sql_crawl_bfs()),
+        "q_crawl_redirects": SQL_CRAWL_REDIRECTS_T.format(
+            glob=pages_glob(sf_dir), valid=_VALID_SQL, mod=REDIRECT_MOD
+        ),
         "q_knn": SQL_KNN,
         # --- golden / independent-serial oracles (round 3) ---
         "q_doc_repetition": SQL_DOC_REPETITION,

@@ -753,3 +753,74 @@ def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.D
         .sort_values("host")
         .reset_index(drop=True)
     )
+
+
+def pointer_double_resolve(ptr_ds, max_chain: int, num_buckets: int = 32):
+    """Parallel pointer jumping (Wyllie 1979; JaJa 1992 §3.1): resolve every
+    node of a FUNCTIONAL graph — each node has exactly one successor,
+    terminals point to themselves — to its terminal node plus the exact hop
+    distance, in ``ceil(log2(max_chain))`` rounds.
+
+    The crawl-plane use is redirect-chain resolution: the reference follows
+    HTTP redirect chains one sequential hop per URL
+    (ref:core/orchestrator.py:543-553 archives one item at a time; each
+    fetch transparently walks its own chain). At 10^10-URL scale a chain of
+    length L must NOT cost L dependent exchanges over the corpus — pointer
+    doubling squares the stride each round, so 64-hop chains settle in 6.
+
+    Input dataset columns (skinny int64 triples, one row per node):
+      node, ptr, d — terminals as ``(t, t, 0)``, others ``(n, succ(n), 1)``.
+    Output: same columns with ``ptr`` = the node's terminal and ``d`` = the
+    chain length (hops to terminal).
+
+    Scale shape: each round is ONE bucketed hash self-join exchange of the
+    int64 triples (left.ptr = right.node), then a stateless emit; the table
+    never grows (exactly one row per node throughout) and nothing reaches
+    the driver. Chain-length skew costs nothing — every node advances in
+    every round, there is no per-chain serialization. Rounds are fixed by
+    ``max_chain``, not corpus size; pass the generating process's bound
+    (redirect chains: the politeness cap on follow depth)."""
+    from .join import bucketed_hash_join
+
+    rounds = max(1, int(np.ceil(np.log2(max(2, max_chain)))))
+
+    def as_left(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "key": batch.column("ptr"),
+                "d_l": batch.column("d"),
+            }
+        )
+
+    def as_right(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": batch.column("node"),
+                "ptr2": batch.column("ptr"),
+                "d_r": batch.column("d"),
+            }
+        )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "ptr": batch.column("ptr2"),
+                "d": pc.add(batch.column("d_l"), batch.column("d_r")),
+            }
+        )
+
+    cur = ptr_ds
+    for _ in range(rounds):
+        cur = cur.materialize()  # consumed twice below (left + right side)
+        joined = bucketed_hash_join(
+            cur.map_batches(as_left, batch_format="pyarrow"),
+            cur.map_batches(as_right, batch_format="pyarrow"),
+            on="key",
+            num_buckets=num_buckets,
+        )
+        cur = joined.map_batches(emit, batch_format="pyarrow")
+    return cur

@@ -143,6 +143,15 @@ def plan_join(
     return dataset_join(probe, build, on, num_partitions=num_partitions)
 
 
+def _pandas_dtype(at: pa.DataType):
+    """Arrow type → pandas dtype for TYPED empty frames (string → object,
+    which round-trips back to arrow string)."""
+    try:
+        return np.dtype(at.to_pandas_dtype()) if not pa.types.is_string(at) else np.dtype(object)
+    except (NotImplementedError, TypeError):
+        return np.dtype(object)
+
+
 def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 1):
     """Explicit partitioned inner hash join; deterministic bucketing
     (blake2b — never the process-salted builtin ``hash``, which would break
@@ -171,6 +180,12 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
         for c in all_cols:
             if c in batch.column_names:
                 arrays.append(batch.column(c))
+            elif pa.types.is_integer(types[c]) or pa.types.is_floating(types[c]):
+                # zero sentinel, not null: padded cells are DROPPED by
+                # merge_bucket's side-column selection, but an int64 column
+                # holding any null turns float64 at the pandas conversion —
+                # silently corrupting >2^53 keys and splitting hash buckets
+                arrays.append(pa.array(np.zeros(n, dtype=types[c].to_pandas_dtype())))
             else:
                 arrays.append(pa.nulls(n, types[c]))
             names.append(c)
@@ -211,7 +226,16 @@ def bucketed_hash_join(left, right, on: str, num_buckets: int = 32, salt: int = 
         lrows = g.loc[g["__side"] == "L", [on] + l_only]
         rrows = g.loc[g["__side"] == "R", [on] + r_only]
         if lrows.empty or rrows.empty:
-            return pd.DataFrame(columns=[on] + l_only + r_only)
+            # typed empty frame, never bare object columns: a dtype-less
+            # empty block destabilizes the dataset schema and promotes
+            # int64 key columns to float64 downstream, where hash
+            # bucketing of 1328.0 != hash of 1328 silently splits keys
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=_pandas_dtype(types[c]))
+                    for c in [on] + l_only + r_only
+                }
+            )
         return lrows.merge(rrows, on=on, how="inner")
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

@@ -299,3 +299,95 @@ def test_host_triangles_toy_graph_and_repartition_invariance():
 
     redo = host_triangles(rd.from_pandas(df).repartition(5))
     pd.testing.assert_frame_equal(redo, got, check_dtype=False)
+
+
+# ---------------------------------------------------------------------------
+# pointer_double_resolve — parallel pointer jumping
+# ---------------------------------------------------------------------------
+
+
+def serial_resolve(ptr: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """Naive chain walk: node -> (terminal, hops)."""
+    out = {}
+    for n in ptr:
+        cur, hops = n, 0
+        while ptr[cur] != cur:
+            cur = ptr[cur]
+            hops += 1
+        out[n] = (cur, hops)
+    return out
+
+
+def _resolve_via_ray(ptr: dict[int, int], max_chain: int):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import pointer_double_resolve
+
+    nodes = sorted(ptr)
+    tbl = pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "ptr": pa.array([ptr[n] for n in nodes], pa.int64()),
+            "d": pa.array([0 if ptr[n] == n else 1 for n in nodes], pa.int64()),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(4)
+    got = pointer_double_resolve(ds, max_chain=max_chain).to_pandas()
+    return {int(r.node): (int(r.ptr), int(r.d)) for r in got.itertuples()}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pointer_double_resolve_chains_and_trees():
+    # chain 0<-1<-...<-9, a self-terminal island, and a tree into node 20
+    ptr = {i: i - 1 for i in range(1, 10)}
+    ptr[0] = 0
+    ptr[15] = 15
+    ptr[20] = 20
+    ptr[21] = 20
+    ptr[22] = 20
+    ptr[23] = 22
+    want = serial_resolve(ptr)
+    got = _resolve_via_ray(ptr, max_chain=16)
+    assert got == want
+    assert got[9] == (0, 9)
+    assert got[23] == (20, 2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pointer_double_resolve_exact_power_of_two_boundary():
+    # chain of length exactly 2^k must resolve with rounds = k
+    L = 8
+    ptr = {i: max(0, i - 1) for i in range(L + 1)}
+    ptr[0] = 0
+    want = serial_resolve(ptr)
+    got = _resolve_via_ray(ptr, max_chain=L)
+    assert got == want
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_redirects_matches_recursive_sql():
+    """End-to-end gate: the pointer-jumping resolution equals DuckDB's
+    recursive-CTE walk over the same derived redirect edges (sf0.001)."""
+    import duckdb
+    import pandas as pd
+
+    from auto_archiver_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    res = Q.q_crawl_redirects(sf)
+    df = res.to_pandas() if not isinstance(res, pd.DataFrame) else res
+    sql = Q.SQL_CRAWL_REDIRECTS_T.format(
+        glob=Q.pages_glob(sf), valid=Q._VALID_SQL, mod=Q.REDIRECT_MOD
+    )
+    odf = duckdb.connect().execute(sql).df()
+
+    def canon(d):
+        d = d[sorted(d.columns)].copy()
+        return d.sort_values(list(d.columns), kind="mergesort").reset_index(drop=True)
+
+    a, b = canon(df), canon(odf)
+    for c in a.columns:
+        b[c] = b[c].astype(a[c].dtype)
+    assert len(a) > 0
+    assert a.equals(b)
