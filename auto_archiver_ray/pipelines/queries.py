@@ -3138,6 +3138,113 @@ GROUP BY doc_id ORDER BY doc_id
 """
 
 
+PMI_TOP = 50  # q_doc_pmi: top collocations reported
+PMI_MIN_COUNT = 5  # q_doc_pmi: minimum bigram support (the standard filter)
+PMI_SCALE = 1 << 20  # q_doc_pmi fixed-point scale
+
+
+def q_doc_pmi(sf_dir: str):
+    """PMI collocation mining (Church & Hanks 1990): the corpus's top
+    ``PMI_TOP`` adjacent word pairs by pointwise mutual information,
+    restricted to pairs with support >= ``PMI_MIN_COUNT`` (the standard
+    low-count filter — PMI otherwise ranks hapax pairs first). Ranking is
+    by the INTEGER fixed-point monotone transform
+    ``score_fp = (PMI_SCALE * n_xy * N) // (c1_x * c2_y)`` (N = total
+    bigram slots; c1/c2 = the word's count in first/second position), so
+    the distributed result hash-matches the SQL twin exactly — float
+    log-PMI would depend on reduction order.
+
+    Scale shape: one tokenization pass emits distinct-per-batch (w1,w2,n)
+    partials; the UNBOUNDED pair table reduces via bucketed_group_agg and
+    stays a Dataset; positional word counts are two more bucketed rollups
+    joined back by two bucketed hash joins (the q_doc_lm_score chain
+    shape); one scalar (N) reaches the driver; grouped_topk keeps
+    buckets*k candidates. The per-row score uses Python ints (arbitrary
+    precision — PMI_SCALE*n*N overflows int64 at ~1e7-bigram corpora) but
+    only on the post-min-count DISTINCT pairs, never per token."""
+    from ..stages.agg import bucketed_group_agg, grouped_topk
+    from ..stages.join import bucketed_hash_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    model = bucketed_group_agg(
+        ds.map_batches(textstats.bigram_partials, batch_format="pyarrow", batch_size=8192),
+        ["w1", "w2"],
+        {"n": "sum"},
+    ).materialize()  # consumed four times: c1, c2, N, scored join
+    n_total = int(model.sum("n"))  # N — the one driver scalar
+
+    c1s = bucketed_group_agg(model, ["w1"], {"n": "sum"}).map_batches(
+        lambda t: pa.table({"w1": t["w1"], "c1": t["n"]}), batch_format="pyarrow"
+    )
+    c2s = bucketed_group_agg(model, ["w2"], {"n": "sum"}).map_batches(
+        lambda t: pa.table({"w2": t["w2"], "c2": t["n"]}), batch_format="pyarrow"
+    )
+
+    def keep_supported(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch.column("n"), pa.scalar(PMI_MIN_COUNT)))
+
+    j = bucketed_hash_join(
+        bucketed_hash_join(
+            model.map_batches(keep_supported, batch_format="pyarrow"), c1s, on="w1"
+        ),
+        c2s,
+        on="w2",
+    )
+
+    def score(batch: pa.Table, nn: int = n_total) -> pa.Table:
+        n = batch.column("n").to_pylist()
+        c1 = batch.column("c1").to_pylist()
+        c2 = batch.column("c2").to_pylist()
+        fp = [
+            (PMI_SCALE * int(a) * nn) // (int(x) * int(y)) for a, x, y in zip(n, c1, c2)
+        ]
+        return pa.table(
+            {
+                "w1": batch.column("w1"),
+                "w2": batch.column("w2"),
+                "n": pc.cast(batch.column("n"), pa.int64()),
+                "c1": pc.cast(batch.column("c1"), pa.int64()),
+                "c2": pc.cast(batch.column("c2"), pa.int64()),
+                "score_fp": pa.array(fp, pa.int64()),
+            }
+        )
+
+    top = grouped_topk(
+        j.map_batches(score, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n": "max", "c1": "max", "c2": "max", "score_fp": "max"},
+        k=PMI_TOP,
+        sort_by=["score_fp", "w1", "w2"],
+        ascending=[False, True, True],
+    )
+    return top[["w1", "w2", "n", "c1", "c2", "score_fp"]].astype(
+        {"n": "int64", "c1": "int64", "c2": "int64", "score_fp": "int64"}
+    )
+
+
+SQL_DOC_PMI = f"""
+WITH {_SQL_DOC_TOKS},
+bg AS (
+  SELECT doc_id, tok AS w1, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bgc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+  FROM bg WHERE w2 IS NOT NULL GROUP BY w1, w2
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM bgc),
+c1s AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+c2s AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS c2 FROM bgc GROUP BY w2)
+SELECT b.w1, b.w2, b.n, c1s.c1, c2s.c2,
+       CAST((CAST({PMI_SCALE} AS HUGEINT) * b.n * tot.nn)
+            // (CAST(c1s.c1 AS HUGEINT) * c2s.c2) AS BIGINT) AS score_fp
+FROM bgc b JOIN c1s USING (w1) JOIN c2s USING (w2) CROSS JOIN tot
+WHERE b.n >= {PMI_MIN_COUNT}
+ORDER BY score_fp DESC, b.w1 ASC, b.w2 ASC LIMIT {PMI_TOP}
+"""
+
+
 CDC_TOP = 50  # q_pages_cdc: top duplicated chunks reported
 
 
@@ -5991,6 +6098,7 @@ QUERIES = {
     "q_doc_lm_score": q_doc_lm_score,
     "q_pages_cdc": q_pages_cdc,
     "q_crawl_redirects": q_crawl_redirects,
+    "q_doc_pmi": q_doc_pmi,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6210,6 +6318,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"FROM read_parquet('{g}/q_doc_bpe_encode.parquet') ORDER BY doc_id"
         ),
         "q_doc_lm_score": SQL_DOC_LM_SCORE,
+        "q_doc_pmi": SQL_DOC_PMI,
         "q_pages_cdc": (
             'SELECT "rank", chunk_hash, size_bytes, n_occurrences '
             f"FROM read_parquet('{g}/q_pages_cdc.parquet') ORDER BY \"rank\""

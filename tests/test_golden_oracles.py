@@ -1219,3 +1219,61 @@ def test_cdc_matches_serial_and_chunk_spec():
     pd.testing.assert_frame_equal(
         alt.astype({"size_bytes": "int64", "n_occurrences": "int64"}), got, check_dtype=False
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pmi_matches_sql_and_serial_replay():
+    """q_doc_pmi on sf0.001: bit-identical to the DuckDB oracle AND to an
+    independent pure-dict serial PMI (same fixed-point rational), so the
+    SQL and the distributed chain can't share a bug."""
+    import duckdb
+    from collections import Counter
+
+    from auto_archiver_ray.pipelines.queries import (
+        PMI_MIN_COUNT,
+        PMI_SCALE,
+        PMI_TOP,
+        SQL_DOC_PMI,
+        q_doc_pmi,
+    )
+
+    got = q_doc_pmi(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_PMI).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # independent serial replay (no query-code reuse)
+    docs = _docs(SF_SMALL)
+    bg: Counter = Counter()
+    for t in docs["text"]:
+        toks = (t or "").split()
+        bg.update(zip(toks, toks[1:]))
+    n_total = sum(bg.values())
+    c1: Counter = Counter()
+    c2: Counter = Counter()
+    for (a, b), n in bg.items():
+        c1[a] += n
+        c2[b] += n
+    scored = [
+        (
+            (PMI_SCALE * n * n_total) // (c1[a] * c2[b]),
+            a,
+            b,
+            n,
+        )
+        for (a, b), n in bg.items()
+        if n >= PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+    top = scored[:PMI_TOP]
+    assert len(got) == len(top)
+    for row, (fp, a, b, n) in zip(got.itertuples(index=False), top):
+        assert (row.w1, row.w2, row.n, row.score_fp) == (a, b, n, fp)
+    # PMI sanity: every reported pair is positively associated
+    assert (got["score_fp"] > PMI_SCALE).all()
