@@ -3245,6 +3245,65 @@ ORDER BY score_fp DESC, b.w1 ASC, b.w2 ASC LIMIT {PMI_TOP}
 """
 
 
+COS_TAU_NUM, COS_TAU_DEN = 3, 4  # q_doc_cosine_pairs: cosine threshold 3/4
+COS_DF_CAP = 64  # q_doc_cosine_pairs: stop-shingle document-frequency cut
+
+
+def q_doc_cosine_pairs(sf_dir: str):
+    """Exact all-pairs cosine similarity join over word-3-gram COUNT
+    vectors, candidates generated term-at-a-time (Elsayed/Lin/Oard 2008) —
+    the count-weighted sibling of q_doc_ngram_jaccard and a fourth
+    near-dup candidate strategy beside MinHash banding, SimHash pigeonhole
+    and winnowing. Pairs with cos >= COS_TAU_NUM/COS_TAU_DEN over vectors
+    restricted to shingles with df <= COS_DF_CAP (the stop-term cut is
+    part of the contract; the SQL twin applies it identically). The
+    threshold test is integer-only (den^2*dot^2 >= num^2*|A|^2*|B|^2) —
+    value-exact vs SQL, no float reduction order.
+
+    Scale shape: see stages/dedup.cosine_shingle_pairs — one bucketed
+    exchange by hash(shingle) yields df, pair partials and norms together;
+    per-shingle fanout bounded by C(df_cap, 2); everything else is
+    bucketed group-aggs and hash joins of int64 rows."""
+    from ..stages.dedup import cosine_shingle_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = cosine_shingle_pairs(
+        ds, tau_num=COS_TAU_NUM, tau_den=COS_TAU_DEN, df_cap=COS_DF_CAP
+    ).to_pandas()
+    out = out.astype(
+        {"id_a": "int64", "id_b": "int64", "dot": "int64", "na2": "int64", "nb2": "int64"}
+    )
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_DOC_COSINE_PAIRS = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS shingles
+  FROM t
+), e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+tf AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf FROM e GROUP BY doc_id, s),
+dfs AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s),
+v AS (SELECT tf.doc_id, tf.s, tf.tf FROM tf JOIN dfs USING (s) WHERE dfs.df <= {COS_DF_CAP}),
+norms AS (SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2 FROM v GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+  FROM v a JOIN v b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, dot, na.n2 AS na2, nb.n2 AS nb2
+FROM dots JOIN norms na ON na.doc_id = id_a JOIN norms nb ON nb.doc_id = id_b
+WHERE {COS_TAU_DEN * COS_TAU_DEN} * dot * dot >= {COS_TAU_NUM * COS_TAU_NUM} * na.n2 * nb.n2
+ORDER BY id_a, id_b
+"""
+
+
 CDC_TOP = 50  # q_pages_cdc: top duplicated chunks reported
 
 
@@ -6099,6 +6158,7 @@ QUERIES = {
     "q_pages_cdc": q_pages_cdc,
     "q_crawl_redirects": q_crawl_redirects,
     "q_doc_pmi": q_doc_pmi,
+    "q_doc_cosine_pairs": q_doc_cosine_pairs,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6319,6 +6379,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_doc_lm_score": SQL_DOC_LM_SCORE,
         "q_doc_pmi": SQL_DOC_PMI,
+        "q_doc_cosine_pairs": SQL_DOC_COSINE_PAIRS,
         "q_pages_cdc": (
             'SELECT "rank", chunk_hash, size_bytes, n_occurrences '
             f"FROM read_parquet('{g}/q_pages_cdc.parquet') ORDER BY \"rank\""

@@ -1531,3 +1531,186 @@ def cdc_chunk_partials(
         )
 
     return fn
+
+
+def cosine_shingle_pairs(
+    docs_ds,
+    tau_num: int,
+    tau_den: int,
+    df_cap: int,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Term-partitioned exact all-pairs cosine similarity join over word
+    n-gram COUNT vectors (the term-at-a-time MapReduce similarity join of
+    Elsayed/Lin/Oard 2008; Baraglia et al. "Document Similarity Self-Join"
+    2010) — the count-weighted sibling of :func:`ngram_jaccard_pairs`
+    (sets), and a fourth candidate-generation strategy beside MinHash
+    banding, SimHash pigeonhole and winnowing: candidates are generated per
+    TERM (every pair sharing a shingle meets inside that shingle's hash
+    bucket), never per document pair.
+
+    Emits every unordered pair with cos(A,B) >= tau_num/tau_den over
+    vectors RESTRICTED to shingles with document frequency <= ``df_cap``
+    (the standard stop-term cut, part of the operator's contract — the SQL
+    twin applies the same cut, so the comparison is exact). The threshold
+    test is INTEGER-only: ``tau_den^2 * dot^2 >= tau_num^2 * |A|^2 *
+    |B|^2`` — no sqrt, no float reduction order.
+
+    Scale shape: docs collapse to (shingle-hash, doc, tf) partials in one
+    scan (a doc lives wholly in one row, so tf is exact per batch with no
+    cross-batch merge); ONE bucketed exchange groups by hash(shingle) so
+    each bucket sees its shingles' full posting lists — df, the pair
+    partial products AND the df-filtered norm contributions all derive
+    there (norm rows ride the same output tagged ``id_b = -1``); pair
+    partials reduce via bucketed_group_agg keyed on the pair; two bucketed
+    hash joins attach norms. Per-shingle pair fanout is bounded by
+    C(df_cap, 2); only skinny int64 rows ever shuffle. 64-bit shingle
+    hashing is the same count-preserving premise ngram_jaccard_pairs
+    documents (collision odds ~ vocab^2 / 2^64)."""
+    import pyarrow.compute as pc
+
+    from ..functions import textkit
+    from .agg import _add_key_bucket_fn, bucketed_group_agg
+    from .join import bucketed_hash_join
+
+    def tf_rows(batch: pa.Table) -> pa.Table:
+        ids_out: list[np.ndarray] = []
+        hs_out: list[np.ndarray] = []
+        tf_out: list[np.ndarray] = []
+        for i, t in zip(
+            batch.column(id_col).to_pylist(), batch.column(text_col).to_pylist()
+        ):
+            sh = textkit.word_shingles(t or "", shingle_n)
+            if len(sh) == 0:
+                continue
+            u, c = np.unique(sh, return_counts=True)
+            ids_out.append(np.full(len(u), i, dtype=np.int64))
+            hs_out.append(u.view(np.int64))  # bit-reinterpret: bucket/join key only
+            tf_out.append(c.astype(np.int64))
+        if not ids_out:
+            return pa.table(
+                {
+                    "doc": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "doc": pa.array(np.concatenate(ids_out)),
+                "s": pa.array(np.concatenate(hs_out)),
+                "tf": pa.array(np.concatenate(tf_out)),
+            }
+        )
+
+    posts = docs_ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"])
+        # (doc, s) is unique by construction → df = posting-list length
+        sizes = g.groupby("s")["doc"].transform("size")
+        kept = g[sizes <= df_cap]
+        ia: list[np.ndarray] = []
+        ib: list[np.ndarray] = []
+        pp: list[np.ndarray] = []
+        for _, grp in kept[sizes[kept.index] >= 2].groupby("s"):
+            docs = grp["doc"].to_numpy()
+            tfs = grp["tf"].to_numpy()
+            order = np.argsort(docs, kind="mergesort")
+            docs, tfs = docs[order], tfs[order]
+            n = len(docs)
+            iu, ju = np.triu_indices(n, k=1)
+            ia.append(docs[iu])
+            ib.append(docs[ju])
+            pp.append(tfs[iu] * tfs[ju])
+        frames = []
+        if ia:
+            pairs = pd.DataFrame(
+                {
+                    "id_a": np.concatenate(ia),
+                    "id_b": np.concatenate(ib),
+                    "p": np.concatenate(pp),
+                }
+            ).groupby(["id_a", "id_b"], as_index=False)["p"].sum()
+            frames.append(pairs)
+        norms = kept.assign(p=kept["tf"] * kept["tf"]).groupby("doc", as_index=False)[
+            "p"
+        ].sum()
+        norms = pd.DataFrame(
+            {
+                "id_a": norms["doc"].to_numpy(),
+                "id_b": np.full(len(norms), -1, dtype=np.int64),
+                "p": norms["p"].to_numpy(),
+            }
+        )
+        frames.append(norms)
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype({"id_a": "int64", "id_b": "int64", "p": "int64"})
+
+    tagged = (
+        posts.map_batches(_add_key_bucket_fn(["s"], num_buckets), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(bucket_partials, batch_format="pandas")
+        .materialize()  # consumed twice: pair rows + norm rows
+    )
+
+    dots = bucketed_group_agg(
+        tagged.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("id_b"), pa.scalar(0))),
+            batch_format="pyarrow",
+        ),
+        ["id_a", "id_b"],
+        {"p": "sum"},
+        num_buckets=num_buckets,
+    )
+    norms = bucketed_group_agg(
+        tagged.map_batches(
+            lambda t: t.filter(pc.equal(t.column("id_b"), pa.scalar(-1))).select(
+                ["id_a", "p"]
+            ),
+            batch_format="pyarrow",
+        ),
+        ["id_a"],
+        {"p": "sum"},
+        num_buckets=num_buckets,
+    ).map_batches(
+        lambda t: t.rename_columns(["na2" if c == "p" else c for c in t.column_names]),
+        batch_format="pyarrow",
+    ).materialize()  # joined twice (a-side, b-side)
+
+    j = bucketed_hash_join(dots, norms, on="id_a")
+
+    def flip(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_b": batch.column("id_a"),
+                "nb2": batch.column("na2"),
+            }
+        )
+
+    j2 = bucketed_hash_join(j, norms.map_batches(flip, batch_format="pyarrow"), on="id_b")
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        dot = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        na2 = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb2 = batch.column("nb2").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (tau_den * tau_den) * dot * dot >= (tau_num * tau_num) * na2 * nb2
+        t = pa.table(
+            {
+                "id_a": pa.array(
+                    batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "id_b": pa.array(
+                    batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "dot": pa.array(dot[ok]),
+                "na2": pa.array(na2[ok]),
+                "nb2": pa.array(nb2[ok]),
+            }
+        )
+        return t
+
+    return j2.map_batches(threshold, batch_format="pyarrow")

@@ -1277,3 +1277,92 @@ def test_pmi_matches_sql_and_serial_replay():
         assert (row.w1, row.w2, row.n, row.score_fp) == (a, b, n, fp)
     # PMI sanity: every reported pair is positively associated
     assert (got["score_fp"] > PMI_SCALE).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cosine_pairs_matches_sql_serial_and_bucket_invariant():
+    """q_doc_cosine_pairs on sf0.001: bit-identical to the DuckDB twin AND
+    to an independent serial tf-vector replay; the bucketed chain is
+    invariant to a pathological bucket count (every shingle still lives
+    wholly in one bucket)."""
+    import duckdb
+    import math
+    from collections import Counter
+
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import (
+        COS_DF_CAP,
+        COS_TAU_DEN,
+        COS_TAU_NUM,
+        SQL_DOC_COSINE_PAIRS,
+        q_doc_cosine_pairs,
+    )
+    from auto_archiver_ray.stages.dedup import cosine_shingle_pairs
+
+    got = q_doc_cosine_pairs(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_COSINE_PAIRS).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    # independent serial replay over raw shingle STRINGS (no 64-bit hashing
+    # — also certifies the hash layer is collision-free on this corpus)
+    docs = _docs(SF_SMALL)
+    vecs: dict[int, Counter] = {}
+    for i, t in zip(docs["doc_id"], docs["text"]):
+        ws = (t or "").lower().split()
+        if not ws:
+            continue
+        if len(ws) < 3:
+            sh = [" ".join(ws)]
+        else:
+            sh = [" ".join(ws[k : k + 3]) for k in range(len(ws) - 2)]
+        vecs[int(i)] = Counter(sh)
+    df: Counter = Counter()
+    for c in vecs.values():
+        df.update(c.keys())
+    kept = {s for s, d in df.items() if d <= COS_DF_CAP}
+    vv = {i: {s: n for s, n in c.items() if s in kept} for i, c in vecs.items()}
+    pairs = []
+    ids = sorted(vv)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            shared = set(vv[a]) & set(vv[b])
+            if not shared:
+                continue
+            dot = sum(vv[a][s] * vv[b][s] for s in shared)
+            na2 = sum(n * n for n in vv[a].values())
+            nb2 = sum(n * n for n in vv[b].values())
+            if COS_TAU_DEN**2 * dot * dot >= COS_TAU_NUM**2 * na2 * nb2:
+                pairs.append((a, b, dot, na2, nb2))
+    assert len(pairs) == len(got)
+    for row, p in zip(got.itertuples(index=False), sorted(pairs)):
+        assert (row.id_a, row.id_b, row.dot, row.na2, row.nb2) == p
+    # reported pairs really are >= tau in float terms too
+    for row in got.itertuples(index=False):
+        assert row.dot / math.sqrt(row.na2 * row.nb2) >= COS_TAU_NUM / COS_TAU_DEN - 1e-12
+
+    # pathological bucket count → identical frame
+    ds = rd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    alt = (
+        cosine_shingle_pairs(
+            ds,
+            tau_num=COS_TAU_NUM,
+            tau_den=COS_TAU_DEN,
+            df_cap=COS_DF_CAP,
+            num_buckets=7,
+        )
+        .to_pandas()
+        .astype(got.dtypes.to_dict())
+        .sort_values(["id_a", "id_b"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(alt, got, check_dtype=False, check_exact=True)
