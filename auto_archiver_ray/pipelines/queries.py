@@ -3304,6 +3304,74 @@ ORDER BY id_a, id_b
 """
 
 
+CONT_TAU_NUM, CONT_TAU_DEN = 9, 10  # q_doc_containment: containment >= 9/10
+CONT_DF_CAP = 64  # q_doc_containment: stop-shingle document-frequency cut
+
+
+def q_doc_containment(sf_dir: str):
+    """Asymmetric set-containment join (Broder 1997): pairs where one
+    doc's word-3-gram shingle set is >= CONT_TAU_NUM/CONT_TAU_DEN
+    contained in the other's — the near-SUBSET detector (quotes, excerpts,
+    a page embedded verbatim in a longer one) that symmetric
+    Jaccard/cosine thresholds structurally miss: a short excerpt inside a
+    long page has containment ~1 but arbitrarily low Jaccard. Emits both
+    direction flags per pair. Vectors restricted to shingles with df <=
+    CONT_DF_CAP (contract shared with the SQL twin); integer-only test.
+
+    Scale shape: stages/dedup.containment_shingle_pairs — binary posts
+    through the shared term-at-a-time pair-stats core (one bucketed
+    exchange for df + intersections + set sizes, bounded C(df_cap,2)
+    fanout per shingle)."""
+    from ..stages.dedup import containment_shingle_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = containment_shingle_pairs(
+        ds, tau_num=CONT_TAU_NUM, tau_den=CONT_TAU_DEN, df_cap=CONT_DF_CAP
+    ).to_pandas()
+    out = out.astype(
+        {
+            "id_a": "int64",
+            "id_b": "int64",
+            "inter": "int64",
+            "na": "int64",
+            "nb": "int64",
+            "a_in_b": "bool",
+            "b_in_a": "bool",
+        }
+    )
+    return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
+
+
+SQL_DOC_CONTAINMENT = rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS shingles
+  FROM t
+), e AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+dfs AS (SELECT s, COUNT(*) AS df FROM e GROUP BY s),
+v AS (SELECT e.doc_id, e.s FROM e JOIN dfs USING (s) WHERE dfs.df <= {CONT_DF_CAP}),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS i
+  FROM v a JOIN v b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2
+)
+SELECT id_a, id_b, i AS inter, sa.n AS na, sb.n AS nb,
+       ({CONT_TAU_DEN} * i >= {CONT_TAU_NUM} * sa.n) AS a_in_b,
+       ({CONT_TAU_DEN} * i >= {CONT_TAU_NUM} * sb.n) AS b_in_a
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE {CONT_TAU_DEN} * i >= {CONT_TAU_NUM} * sa.n
+   OR {CONT_TAU_DEN} * i >= {CONT_TAU_NUM} * sb.n
+ORDER BY id_a, id_b
+"""
+
+
 CDC_TOP = 50  # q_pages_cdc: top duplicated chunks reported
 
 
@@ -6159,6 +6227,7 @@ QUERIES = {
     "q_crawl_redirects": q_crawl_redirects,
     "q_doc_pmi": q_doc_pmi,
     "q_doc_cosine_pairs": q_doc_cosine_pairs,
+    "q_doc_containment": q_doc_containment,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6380,6 +6449,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_lm_score": SQL_DOC_LM_SCORE,
         "q_doc_pmi": SQL_DOC_PMI,
         "q_doc_cosine_pairs": SQL_DOC_COSINE_PAIRS,
+        "q_doc_containment": SQL_DOC_CONTAINMENT,
         "q_pages_cdc": (
             'SELECT "rank", chunk_hash, size_bytes, n_occurrences '
             f"FROM read_parquet('{g}/q_pages_cdc.parquet') ORDER BY \"rank\""

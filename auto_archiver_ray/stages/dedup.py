@@ -1572,9 +1572,91 @@ def cosine_shingle_pairs(
     documents (collision odds ~ vocab^2 / 2^64)."""
     import pyarrow.compute as pc
 
+    posts = _shingle_posts(docs_ds, shingle_n, id_col, text_col, binary=False)
+    j2 = _shingle_pair_stats(posts, df_cap, num_buckets)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        dot = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        na2 = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb2 = batch.column("nb2").to_numpy(zero_copy_only=False).astype(np.int64)
+        ok = (tau_den * tau_den) * dot * dot >= (tau_num * tau_num) * na2 * nb2
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "id_b": pa.array(
+                    batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "dot": pa.array(dot[ok]),
+                "na2": pa.array(na2[ok]),
+                "nb2": pa.array(nb2[ok]),
+            }
+        )
+
+    return j2.map_batches(threshold, batch_format="pyarrow")
+
+
+def containment_shingle_pairs(
+    docs_ds,
+    tau_num: int,
+    tau_den: int,
+    df_cap: int,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Asymmetric set-containment join (Broder 1997's containment measure;
+    the near-SUBSET detector cosine/Jaccard thresholds structurally miss):
+    emits every pair where ``|S_A ∩ S_B| / |S_A| >= tau`` or the mirror —
+    a short quote, an excerpt, or a page embedded verbatim in a longer one
+    scores containment ~1 while its Jaccard stays arbitrarily low. S_* are
+    word n-gram shingle SETS restricted to shingles with df <= ``df_cap``
+    (contract shared with the SQL twin). Integer-only test:
+    ``tau_den * inter >= tau_num * |S_A|``.
+
+    Same term-at-a-time scale shape as :func:`cosine_shingle_pairs` —
+    binary posts make the shared pair-stats core compute |S_A ∩ S_B| as
+    the dot product and the set sizes as the "norms". A pair with
+    containment >= tau > 0 shares >= 1 shingle, so per-shingle candidate
+    generation is EXACT over the capped vocabulary."""
+    import pyarrow.compute as pc
+
+    posts = _shingle_posts(docs_ds, shingle_n, id_col, text_col, binary=True)
+    j2 = _shingle_pair_stats(posts, df_cap, num_buckets)
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        inter = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
+        nb = batch.column("nb2").to_numpy(zero_copy_only=False).astype(np.int64)
+        a_in_b = tau_den * inter >= tau_num * na
+        b_in_a = tau_den * inter >= tau_num * nb
+        ok = a_in_b | b_in_a
+        return pa.table(
+            {
+                "id_a": pa.array(
+                    batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "id_b": pa.array(
+                    batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
+                ),
+                "inter": pa.array(inter[ok]),
+                "na": pa.array(na[ok]),
+                "nb": pa.array(nb[ok]),
+                "a_in_b": pa.array(a_in_b[ok]),
+                "b_in_a": pa.array(b_in_a[ok]),
+            }
+        )
+
+    return j2.map_batches(threshold, batch_format="pyarrow")
+
+
+def _shingle_posts(docs_ds, shingle_n: int, id_col: str, text_col: str, binary: bool):
+    """(doc, shingle-hash, tf) rows — one scan, exact per batch (a doc
+    lives wholly in one row). ``binary=True`` emits set membership
+    (tf = 1) instead of counts."""
     from ..functions import textkit
-    from .agg import _add_key_bucket_fn, bucketed_group_agg
-    from .join import bucketed_hash_join
 
     def tf_rows(batch: pa.Table) -> pa.Table:
         ids_out: list[np.ndarray] = []
@@ -1589,7 +1671,7 @@ def cosine_shingle_pairs(
             u, c = np.unique(sh, return_counts=True)
             ids_out.append(np.full(len(u), i, dtype=np.int64))
             hs_out.append(u.view(np.int64))  # bit-reinterpret: bucket/join key only
-            tf_out.append(c.astype(np.int64))
+            tf_out.append(np.ones(len(u), dtype=np.int64) if binary else c.astype(np.int64))
         if not ids_out:
             return pa.table(
                 {
@@ -1606,7 +1688,21 @@ def cosine_shingle_pairs(
             }
         )
 
-    posts = docs_ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+    return docs_ds.map_batches(tf_rows, batch_format="pyarrow", batch_size=4096)
+
+
+def _shingle_pair_stats(posts, df_cap: int, num_buckets: int):
+    """Shared term-at-a-time core: from (doc, s, tf) posts, one bucketed
+    exchange by hash(s) derives df, pair partial products and the
+    df-filtered per-doc norms (norm rows tagged ``id_b = -1`` ride the
+    same output); pair partials reduce by pair; two bucketed joins attach
+    the norms. Returns a dataset (id_a, id_b, p, na2, nb2) — with count
+    posts p = dot and na2/nb2 = squared norms, with binary posts p =
+    |S_A ∩ S_B| and na2/nb2 = set sizes."""
+    import pyarrow.compute as pc
+
+    from .agg import _add_key_bucket_fn, bucketed_group_agg
+    from .join import bucketed_hash_join
 
     def bucket_partials(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__tb"])
@@ -1691,26 +1787,4 @@ def cosine_shingle_pairs(
             }
         )
 
-    j2 = bucketed_hash_join(j, norms.map_batches(flip, batch_format="pyarrow"), on="id_b")
-
-    def threshold(batch: pa.Table) -> pa.Table:
-        dot = batch.column("p").to_numpy(zero_copy_only=False).astype(np.int64)
-        na2 = batch.column("na2").to_numpy(zero_copy_only=False).astype(np.int64)
-        nb2 = batch.column("nb2").to_numpy(zero_copy_only=False).astype(np.int64)
-        ok = (tau_den * tau_den) * dot * dot >= (tau_num * tau_num) * na2 * nb2
-        t = pa.table(
-            {
-                "id_a": pa.array(
-                    batch.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
-                ),
-                "id_b": pa.array(
-                    batch.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)[ok]
-                ),
-                "dot": pa.array(dot[ok]),
-                "na2": pa.array(na2[ok]),
-                "nb2": pa.array(nb2[ok]),
-            }
-        )
-        return t
-
-    return j2.map_batches(threshold, batch_format="pyarrow")
+    return bucketed_hash_join(j, norms.map_batches(flip, batch_format="pyarrow"), on="id_b")

@@ -1366,3 +1366,55 @@ def test_cosine_pairs_matches_sql_serial_and_bucket_invariant():
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(alt, got, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_containment_matches_sql_and_catches_asymmetric_subset():
+    """q_doc_containment on sf0.001: bit-identical to the DuckDB twin, and
+    the asymmetry is real — a synthetic short excerpt of a long doc is
+    flagged contained-in while the mirror direction is not."""
+    import duckdb
+
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import (
+        CONT_DF_CAP,
+        CONT_TAU_DEN,
+        CONT_TAU_NUM,
+        SQL_DOC_CONTAINMENT,
+        q_doc_containment,
+    )
+    from auto_archiver_ray.stages.dedup import containment_shingle_pairs
+
+    got = q_doc_containment(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_CONTAINMENT).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    # at least one pair is asymmetric on this corpus (prefix-near-dups)
+    assert ((got["a_in_b"] != got["b_in_a"])).any()
+
+    # constructed asymmetric case: excerpt ⊂ long doc, low Jaccard
+    long_words = " ".join(f"w{i}" for i in range(200))
+    excerpt = " ".join(f"w{i}" for i in range(40, 60))
+    docs = pd.DataFrame({"doc_id": [1, 2], "text": [long_words, excerpt]})
+    out = containment_shingle_pairs(
+        rd.from_pandas(docs),
+        tau_num=CONT_TAU_NUM,
+        tau_den=CONT_TAU_DEN,
+        df_cap=CONT_DF_CAP,
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # id 2 (the excerpt, 18 shingles) is fully contained in id 1 (198)
+    assert (int(r.id_a), int(r.id_b)) == (1, 2)
+    assert bool(r.b_in_a) and not bool(r.a_in_b)
+    assert int(r.inter) == 18 and int(r.nb) == 18 and int(r.na) == 198
+    # its Jaccard is tiny — the symmetric detectors would never emit it
+    assert int(r.inter) / (int(r.na) + int(r.nb) - int(r.inter)) < 0.1
