@@ -3304,6 +3304,57 @@ ORDER BY id_a, id_b
 """
 
 
+SNM_WINDOW = 8  # q_doc_snm: sorted-neighborhood window size (ranks)
+SNM_MAX_HAMMING = 3  # q_doc_snm: same Hamming radius as q_doc_simhash_pairs
+
+
+def q_doc_snm(sf_dir: str):
+    """Sorted-neighborhood near-dup candidates (Hernandez & Stolfo 1995):
+    docs ranked by (signed simhash64, doc_id); every pair within
+    SNM_WINDOW ranks at Hamming <= SNM_MAX_HAMMING — the global-ORDER
+    candidate strategy (banding's classic competitor: sorted neighborhoods
+    catch near codes straddling every band boundary). Fifth candidate
+    family beside MinHash banding, SimHash pigeonhole, winnowing and the
+    term-at-a-time joins.
+
+    Scale shape: stages/dedup.snm_candidate_pairs — order-preserving range
+    partition by the code's top bits gives global ranks with only
+    2^prefix_bits counters on the driver; each ranked row ships to its
+    rank-block and the successor (2 rows/doc, blocks of 2*window rows);
+    pairs materialize exactly once. Oracle: row_number + windowed
+    self-join + bit_count(xor()) in SQL over the independently-computed
+    serial code table (golden parquet)."""
+    from ..stages.dedup import snm_candidate_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = snm_candidate_pairs(
+        ds, window=SNM_WINDOW, max_hamming=SNM_MAX_HAMMING
+    ).to_pandas()
+    out = out.astype(
+        {"id_a": "int64", "id_b": "int64", "hamming": "int64", "rank_gap": "int64"}
+    )
+    return out.sort_values(["id_a", "id_b", "rank_gap"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def _sql_doc_snm(golden_dir: str) -> str:
+    g = f"{golden_dir}/doc_simhash_codes.parquet"
+    return f"""
+WITH r AS (
+  SELECT doc_id, code, row_number() OVER (ORDER BY code, doc_id) - 1 AS rk
+  FROM read_parquet('{g}')
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.code, b.code)) AS BIGINT) AS hamming,
+       CAST(b.rk - a.rk AS BIGINT) AS rank_gap
+FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + {SNM_WINDOW}
+WHERE bit_count(xor(a.code, b.code)) <= {SNM_MAX_HAMMING}
+ORDER BY id_a, id_b, rank_gap
+"""
+
+
 CONT_TAU_NUM, CONT_TAU_DEN = 9, 10  # q_doc_containment: containment >= 9/10
 CONT_DF_CAP = 64  # q_doc_containment: stop-shingle document-frequency cut
 
@@ -6228,6 +6279,7 @@ QUERIES = {
     "q_doc_pmi": q_doc_pmi,
     "q_doc_cosine_pairs": q_doc_cosine_pairs,
     "q_doc_containment": q_doc_containment,
+    "q_doc_snm": q_doc_snm,
     # --- beyond the driver's 50-query window: r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
@@ -6450,6 +6502,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_pmi": SQL_DOC_PMI,
         "q_doc_cosine_pairs": SQL_DOC_COSINE_PAIRS,
         "q_doc_containment": SQL_DOC_CONTAINMENT,
+        "q_doc_snm": _sql_doc_snm(g),
         "q_pages_cdc": (
             'SELECT "rank", chunk_hash, size_bytes, n_occurrences '
             f"FROM read_parquet('{g}/q_pages_cdc.parquet') ORDER BY \"rank\""

@@ -1788,3 +1788,139 @@ def _shingle_pair_stats(posts, df_cap: int, num_buckets: int):
         )
 
     return bucketed_hash_join(j, norms.map_batches(flip, batch_format="pyarrow"), on="id_b")
+
+
+def snm_candidate_pairs(
+    docs_ds,
+    window: int = 8,
+    max_hamming: int = 3,
+    prefix_bits: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int = 64,
+):
+    """Sorted-neighborhood near-dup candidates (Hernandez & Stolfo 1995's
+    merge/purge, the classic alternative to hash-banded LSH): rank every
+    doc by its (signed simhash64, id) sort key and emit each pair within
+    ``window`` ranks whose codes differ by <= ``max_hamming`` bits. Where
+    banding needs an exact sub-key collision, the sorted neighborhood
+    catches near codes that straddle every band boundary — at the cost of
+    a global ORDER, the one all-to-all primitive the banded family avoids.
+
+    Global ranks WITHOUT a driver-sized materialization: the signed code's
+    top ``prefix_bits`` form an ORDER-PRESERVING range partition (arithmetic
+    shift, so partition order == code order); per-partition counts reduce to
+    <= 2^prefix_bits integers on the driver (corpus-size independent);
+    rank = partition offset + within-partition position. Window pairs then
+    need NO self-join: each ranked row ships to rank//window and its
+    successor block (2 skinny rows/doc), and a pair materializes exactly
+    once — native-native in the lower block, copy-native across the
+    boundary (copy-copy pairs are the same-block duplicates and are
+    skipped). Skew note: simhash prefixes of near-identical corpora
+    concentrate; a hot range partition degrades the rank step to that
+    partition's size — raise prefix_bits (the driver cost is 8 B per
+    partition) before that happens."""
+    from ..functions import textkit
+    from .agg import _add_key_bucket_fn, driver_reduce
+
+    shift = np.int64(64 - prefix_bits)
+
+    def code_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        codes = np.asarray(
+            [textkit.simhash64(t or "") for t in batch.column(text_col).to_pylist()],
+            dtype=np.uint64,
+        ).view(np.int64)
+        return pa.table(
+            {
+                "doc": pa.array(np.asarray(ids, dtype=np.int64)),
+                "code": pa.array(codes),
+                "pb": pa.array(codes >> shift),
+            }
+        )
+
+    coded = docs_ds.map_batches(code_rows, batch_format="pyarrow", batch_size=4096)
+    coded = coded.materialize()  # consumed twice: partition counts + ranking
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        pb, n = np.unique(batch.column("pb").to_numpy(), return_counts=True)
+        return pa.table({"pb": pa.array(pb), "n": pa.array(n.astype(np.int64))})
+
+    counts = driver_reduce(
+        coded.map_batches(count_partial, batch_format="pyarrow"), ["pb"], {"n": "sum"}
+    ).sort_values("pb")
+    offs = dict(
+        zip(
+            counts["pb"].astype("int64"),
+            np.concatenate([[0], np.cumsum(counts["n"].to_numpy())[:-1]]).astype(np.int64),
+        )
+    )
+
+    def rank_partition(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["code", "doc"], kind="mergesort").reset_index(drop=True)
+        base = offs[int(g["pb"].iloc[0])]
+        out = pd.DataFrame(
+            {
+                "doc": g["doc"].astype("int64"),
+                "code": g["code"].astype("int64"),
+                "rank": base + np.arange(len(g), dtype=np.int64),
+            }
+        )
+        return out
+
+    ranked = (
+        coded.groupby("pb")
+        .map_groups(rank_partition, batch_format="pandas")
+    )
+
+    def to_blocks(batch: pa.Table) -> pa.Table:
+        rk = batch.column("rank").to_numpy()
+        own = rk // window
+        t = pa.table(
+            {
+                "doc": pa.concat_arrays([batch.column("doc").combine_chunks()] * 2),
+                "code": pa.concat_arrays([batch.column("code").combine_chunks()] * 2),
+                "rank": pa.array(np.concatenate([rk, rk])),
+                "wb": pa.array(np.concatenate([own, own + 1])),
+                "native": pa.array(
+                    np.concatenate(
+                        [np.ones(len(rk), dtype=np.int8), np.zeros(len(rk), dtype=np.int8)]
+                    )
+                ),
+            }
+        )
+        return t
+
+    blocks = ranked.map_batches(to_blocks, batch_format="pyarrow")
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows_out: list[tuple[int, int, int, int]] = []
+        for _, grp in g.groupby("wb"):
+            grp = grp.sort_values(["rank"], kind="mergesort")
+            rk = grp["rank"].to_numpy()
+            dc = grp["doc"].to_numpy()
+            cd = grp["code"].to_numpy().astype(np.int64)
+            nat = grp["native"].to_numpy()
+            n = len(grp)
+            for i in range(n):
+                for j in range(i + 1, n):
+                    gap = int(rk[j] - rk[i])
+                    if gap > window:
+                        break
+                    if gap == 0:
+                        continue  # the same doc's native + copy rows
+                    if not nat[j]:
+                        continue  # copy-copy duplicates the lower block's pair
+                    d = bin((int(cd[i]) ^ int(cd[j])) & ((1 << 64) - 1)).count("1")
+                    if d <= max_hamming:
+                        rows_out.append((int(dc[i]), int(dc[j]), d, gap))
+        return pd.DataFrame(
+            rows_out, columns=["id_a", "id_b", "hamming", "rank_gap"]
+        ).astype("int64")
+
+    pairs = (
+        blocks.map_batches(_add_key_bucket_fn(["wb"], num_buckets), batch_format="pyarrow")
+        .groupby("__tb")
+        .map_groups(block_pairs, batch_format="pandas")
+    )
+    return pairs

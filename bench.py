@@ -186,6 +186,10 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_bpe_encode",
             "q_doc_lm_score",
             "q_pages_cdc",
+            "q_crawl_redirects",
+            "q_doc_pmi",
+            "q_doc_cosine_pairs",
+            "q_doc_containment",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1074,3 +1074,31 @@ def cdc_chunks_serial(
             "n_occurrences": pd.array([n for _, n in rows], dtype="int64"),
         }
     )
+
+
+def simhash_codes_serial(docs: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, code) with the simhash stored as SIGNED int64 (the bit
+    pattern reinterpreted) so DuckDB ORDER BY code and bit_count(xor())
+    match the distributed side's signed sort key exactly."""
+    rows = [
+        (int(r.doc_id), int(np.uint64(simhash64(r.text or "")).astype(np.int64)))
+        for r in docs.itertuples()
+    ]
+    return pd.DataFrame(rows, columns=["doc_id", "code"]).astype("int64")
+
+
+def snm_pairs_serial(docs: pd.DataFrame, window: int = 8, max_hamming: int = 3) -> pd.DataFrame:
+    """Sorted-neighborhood dedup, naive replay: rank docs by (signed
+    simhash code, doc_id); every pair within ``window`` ranks and Hamming
+    <= max_hamming. id_a is the lower-ranked doc."""
+    codes = simhash_codes_serial(docs)
+    order = codes.sort_values(["code", "doc_id"], kind="mergesort").reset_index(drop=True)
+    rows = []
+    n = len(order)
+    for i in range(n):
+        for j in range(i + 1, min(i + window + 1, n)):
+            a, b = order.iloc[i], order.iloc[j]
+            d = bin((int(a.code) ^ int(b.code)) & ((1 << 64) - 1)).count("1")
+            if d <= max_hamming:
+                rows.append((int(a.doc_id), int(b.doc_id), d, j - i))
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "hamming", "rank_gap"]).astype("int64")

@@ -45,6 +45,9 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
     gs.simhash_pairs_serial(docs, max_hamming=3).to_parquet(
         f"{out_dir}/q_doc_simhash_pairs.parquet", index=False
     )
+    gs.simhash_codes_serial(docs).to_parquet(
+        f"{out_dir}/doc_simhash_codes.parquet", index=False
+    )
     gs.fingerprints_serial(docs).to_parquet(f"{out_dir}/doc_fingerprints.parquet", index=False)
     gs.winnow_fps_serial(docs).to_parquet(f"{out_dir}/doc_winnow_fps.parquet", index=False)
     est = gs.hll_estimate_serial(events["user_id"].tolist())

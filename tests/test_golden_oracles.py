@@ -1418,3 +1418,53 @@ def test_containment_matches_sql_and_catches_asymmetric_subset():
     assert int(r.inter) == 18 and int(r.nb) == 18 and int(r.na) == 198
     # its Jaccard is tiny — the symmetric detectors would never emit it
     assert int(r.inter) / (int(r.na) + int(r.nb) - int(r.inter)) < 0.1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_snm_matches_sql_and_is_partitioning_invariant():
+    """q_doc_snm on sf0.001: bit-identical to the DuckDB windowed self-join
+    over the independently-computed serial simhash codes, and the
+    distributed ranks are invariant to the range-partition width
+    (prefix_bits) — global order must not depend on how it was sharded."""
+    import duckdb
+
+    import ray.data as rd
+
+    from auto_archiver_ray.pipelines.queries import (
+        SNM_MAX_HAMMING,
+        SNM_WINDOW,
+        _sql_doc_snm,
+        q_doc_snm,
+    )
+    from auto_archiver_ray.stages.dedup import snm_candidate_pairs
+
+    got = q_doc_snm(SF_SMALL).reset_index(drop=True)
+    want = duckdb.sql(_sql_doc_snm("tests/golden/sf0.001")).df()
+    assert list(got.columns) == list(want.columns)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(
+        got, want.astype(got.dtypes.to_dict()), check_dtype=False, check_exact=True
+    )
+    # pair invariants: emitted exactly once, ordered, gap in [1, window]
+    assert not got.duplicated(["id_a", "id_b"]).any()
+    assert got["rank_gap"].between(1, SNM_WINDOW).all()
+    assert got["hamming"].le(SNM_MAX_HAMMING).all()
+
+    # partition-width invariance: 2 bits (few fat ranges) == 14 bits (many)
+    docs = pd.read_parquet(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    for pb in (2, 14):
+        alt = (
+            snm_candidate_pairs(
+                rd.from_pandas(docs),
+                window=SNM_WINDOW,
+                max_hamming=SNM_MAX_HAMMING,
+                prefix_bits=pb,
+                num_buckets=5,
+            )
+            .to_pandas()
+            .astype(got.dtypes.to_dict())
+            .sort_values(["id_a", "id_b", "rank_gap"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(alt, got, check_dtype=False, check_exact=True)
+
