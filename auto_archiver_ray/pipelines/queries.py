@@ -3481,10 +3481,12 @@ def q_crawl_redirects(sf_dir: str):
 
     Scale shape: urls collapse to skinny (int64 node, ptr, d) triples
     immediately after the validate scan; pointer construction is one
-    bucketed existence join + one bucketed min/max group-agg;
-    ceil(log2(64)) = 6 pointer-doubling self-join exchanges
-    (stages/graph.pointer_double_resolve); two more bucketed joins map page
-    numbers back to urls. One row per url throughout; nothing driver-side.
+    bucketed existence join + one bucketed min/max group-agg; the resolve
+    is size-aware (stages/graph.pointer_double_resolve) — vectorized
+    numpy doubling on the driver while the 24 B/node triples fit
+    (≤ 5e6 nodes), else ceil(log2(64)) = 6 pointer-doubling self-join
+    exchanges with a sum(d)-fixpoint early-stop; two more bucketed joins
+    map page numbers back to urls. One row per url throughout.
     Oracle: recursive-CTE walk over the same derived edges."""
     import re
 

@@ -755,7 +755,13 @@ def host_triangles(edges_ds, src_col: str = "src", dst_col: str = "dst") -> pd.D
     )
 
 
-def pointer_double_resolve(ptr_ds, max_chain: int, num_buckets: int = 32):
+def pointer_double_resolve(
+    ptr_ds,
+    max_chain: int,
+    num_buckets: int = 32,
+    strategy: str = "auto",
+    driver_node_limit: int = 5_000_000,
+):
     """Parallel pointer jumping (Wyllie 1979; JaJa 1992 §3.1): resolve every
     node of a FUNCTIONAL graph — each node has exactly one successor,
     terminals point to themselves — to its terminal node plus the exact hop
@@ -773,16 +779,54 @@ def pointer_double_resolve(ptr_ds, max_chain: int, num_buckets: int = 32):
     Output: same columns with ``ptr`` = the node's terminal and ``d`` = the
     chain length (hops to terminal).
 
-    Scale shape: each round is ONE bucketed hash self-join exchange of the
-    int64 triples (left.ptr = right.node), then a stateless emit; the table
-    never grows (exactly one row per node throughout) and nothing reaches
-    the driver. Chain-length skew costs nothing — every node advances in
-    every round, there is no per-chain serialization. Rounds are fixed by
+    Strategy (the host_pagerank size-aware pattern — both paths are
+    bit-identical, the spec is pure integer arithmetic):
+
+    - ``"driver"``: the skinny triples (24 B/node) are collected and
+      doubled as vectorized numpy gathers — microseconds per round vs
+      ~1-3 s of all-to-all fixed cost per exchange. Right while nodes fit
+      one machine (``driver_node_limit`` ≈ 120 MB).
+    - ``"exchange"``: each round is ONE bucketed hash self-join exchange
+      of the int64 triples (left.ptr = right.node), then a stateless
+      emit; the table never grows (exactly one row per node throughout)
+      and nothing reaches the driver. Early-stops on a sum(d) fixpoint
+      (the connected-components convention): once no hop count grows,
+      every node is settled.
+    - ``"auto"`` (default): driver iff node count ≤ the limit.
+
+    Chain-length skew costs nothing — every node advances in every round,
+    there is no per-chain serialization. Rounds are bounded by
     ``max_chain``, not corpus size; pass the generating process's bound
     (redirect chains: the politeness cap on follow depth)."""
     from .join import bucketed_hash_join
 
     rounds = max(1, int(np.ceil(np.log2(max(2, max_chain)))))
+
+    # both paths consume the input at least twice (count + collect, or
+    # left + right join sides): pin it once
+    ptr_ds = ptr_ds.materialize()
+
+    if strategy == "driver" or (strategy == "auto" and ptr_ds.count() <= driver_node_limit):
+        import ray.data as rd
+
+        df = ptr_ds.to_pandas()
+        if not len(df):
+            return ptr_ds
+        node = df["node"].to_numpy(dtype=np.int64)
+        order = np.argsort(node, kind="stable")
+        node_s = node[order]
+        ptr_s = df["ptr"].to_numpy(dtype=np.int64)[order]
+        d_s = df["d"].to_numpy(dtype=np.int64)[order].copy()
+        for _ in range(rounds):
+            idx = np.searchsorted(node_s, ptr_s)
+            nd = d_s + d_s[idx]
+            if np.array_equal(nd, d_s):
+                break
+            d_s = nd
+            ptr_s = ptr_s[idx]
+        return rd.from_arrow(
+            pa.table({"node": pa.array(node_s), "ptr": pa.array(ptr_s), "d": pa.array(d_s)})
+        )
 
     def as_left(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -814,8 +858,14 @@ def pointer_double_resolve(ptr_ds, max_chain: int, num_buckets: int = 32):
         )
 
     cur = ptr_ds
-    for _ in range(rounds):
-        cur = cur.materialize()  # consumed twice below (left + right side)
+    prev_dsum = None
+    for rnd in range(rounds):
+        if rnd:
+            cur = cur.materialize()  # consumed twice below (left + right side)
+        dsum = cur.sum("d")  # cheap on the materialized skinny triples
+        if prev_dsum is not None and dsum == prev_dsum:
+            break  # no hop count grew last round: every node is settled
+        prev_dsum = dsum
         joined = bucketed_hash_join(
             cur.map_batches(as_left, batch_format="pyarrow"),
             cur.map_batches(as_right, batch_format="pyarrow"),

@@ -338,6 +338,36 @@ def _resolve_via_ray(ptr: dict[int, int], max_chain: int):
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_pointer_double_resolve_strategies_bit_identical():
+    """Driver (numpy gather) and exchange (bucketed self-join) paths give
+    the same resolution — the host_pagerank size-aware contract — and the
+    exchange path's sum(d) fixpoint early-stop does not change results
+    when rounds exceed the longest chain."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import pointer_double_resolve
+
+    rng = {i: i - 1 for i in range(1, 40)}
+    rng[0] = 0
+    rng.update({100: 100, 101: 100, 102: 101, 200: 200})
+    want = serial_resolve(rng)
+    nodes = sorted(rng)
+    tbl = pa.table(
+        {
+            "node": pa.array(nodes, pa.int64()),
+            "ptr": pa.array([rng[n] for n in nodes], pa.int64()),
+            "d": pa.array([0 if rng[n] == n else 1 for n in nodes], pa.int64()),
+        }
+    )
+    for strat, max_chain in (("driver", 64), ("exchange", 64), ("exchange", 4096)):
+        ds = rd.from_arrow(tbl).repartition(3)
+        got = pointer_double_resolve(ds, max_chain=max_chain, strategy=strat).to_pandas()
+        as_map = {int(r.node): (int(r.ptr), int(r.d)) for r in got.itertuples()}
+        assert as_map == want, strat
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_pointer_double_resolve_chains_and_trees():
     # chain 0<-1<-...<-9, a self-terminal island, and a tree into node 20
     ptr = {i: i - 1 for i in range(1, 10)}
