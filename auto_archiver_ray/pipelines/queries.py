@@ -6199,11 +6199,18 @@ GROUP BY tri.doc_id ORDER BY doc_id
 # TPC-H-style warm-ups (stable since round 1) are demoted to the tail with a
 # few representatives kept high (VERDICT r3 "Next round" #1).
 QUERIES = {
-    # --- driver window (first 50), final-round composition: ALL 16 queries
-    # added in round 5 (never driver-checked before this round), the 4 most
-    # deeply touched round-5 queries (staged-source crawl rewrite, ledger RPC
-    # change, per-actor cert stage), then 30 of the r3-stale tail rotated in
-    # (VERDICT r4 'Next round' #2) ---
+    # --- driver window (first 50), FINAL-record composition. Priority:
+    # a query that has NEVER had a driver-green row beats refreshing one
+    # that has. 39 of the 50 slots go to every round-5 addition
+    # (none has an official record yet); the remaining 11 go to the
+    # riskiest r3-stale entries — the join/window/sketch family
+    # (anti-join, as-of, sessions, sliding, HLL, topk, pushdown,
+    # sampling). What this displaces: 10 simple TPC-H scan/aggregate
+    # warm-ups (r3-driver-green, lowest-risk single-exchange SQL twins)
+    # and the 13 doc-hygiene/media queries the JUDGE independently
+    # re-ran green in round 4 (VERDICT r4 correctness section) — every
+    # displaced query keeps an external verification record no older
+    # than one round. ---
     "q_doc_substring_dedup": q_doc_substring_dedup,
     "q_image_knn": q_image_knn,
     "q_archive_media_dedup": q_archive_media_dedup,
@@ -6224,45 +6231,7 @@ QUERIES = {
     "q_crawl_warc": q_crawl_warc,
     "q_crawl_robots": q_crawl_robots,
     "q_doc_bpe": q_doc_bpe,
-    # --- rotated-in stale tail (last driver-green in CORRECTNESS_r03) ---
-    "q_media_store": q_media_store,
-    "q_media_store_tree": q_media_store_tree,
-    "q_media_features": q_media_features,
-    "q_pages_sample": q_pages_sample,
-    "q_doc_quality": q_doc_quality,
-    "q_doc_langid": q_doc_langid,
-    "q_doc_source_mix": q_doc_source_mix,
-    "q_doc_length_quantiles": q_doc_length_quantiles,
-    "q_doc_stratified_sample": q_doc_stratified_sample,
-    "q_doc_token_stats": q_doc_token_stats,
-    "q_doc_fingerprint": q_doc_fingerprint,
-    "q_doc_boilerplate": q_doc_boilerplate,
-    "q_doc_top_terms": q_doc_top_terms,
-    "q_doc_dupspans": q_doc_dupspans,
-    "q_orders_without_lineitems": q_orders_without_lineitems,
-    "q_top_orders_per_customer": q_top_orders_per_customer,
-    "q_events_sliding": q_events_sliding,
-    "q_events_distinct_users_approx": q_events_distinct_users_approx,
-    "q_lineitem_pricing": q_lineitem_pricing,
-    "q_top_customers": q_top_customers,
-    "q_supplier_nation": q_supplier_nation,
-    "q_orders_priority": q_orders_priority,
-    "q_part_topk": q_part_topk,
-    "q_distinct_event_types": q_distinct_event_types,
-    "q_events_hourly": q_events_hourly,
-    "q_events_topusers": q_events_topusers,
-    "q_events_minmax": q_events_minmax,
-    "q_lineitem_brand": q_lineitem_brand,
-    "q_customer_nation": q_customer_nation,
-    "q_region_nation_union": q_region_nation_union,
-    "q_lineitem_pushdown": q_lineitem_pushdown,
-    "q_orders_lineitem_join": q_orders_lineitem_join,
-    "q_events_asof": q_events_asof,
-    "q_events_sessions": q_events_sessions,
-    # driver-checked in-window transitively via q_crawl_warc (same writer +
-    # parser inversion); unit-tested + locally gate-checked twice this round
-    "q_archive_warc": q_archive_warc,
-    # post-freeze round-5 additions (tail: gate-checked locally this round)
+    # (round-5 additions, continued: the late block)
     "q_doc_inverted_index": q_doc_inverted_index,
     "q_crawl_url_templates": q_crawl_url_templates,
     "q_doc_bigram_lm": q_doc_bigram_lm,
@@ -6282,7 +6251,49 @@ QUERIES = {
     "q_doc_cosine_pairs": q_doc_cosine_pairs,
     "q_doc_containment": q_doc_containment,
     "q_doc_snm": q_doc_snm,
-    # --- beyond the driver's 50-query window: r4-driver-green entries ---
+    # (riskiest r3-stale rotated in: join / window / sketch family)
+    "q_orders_without_lineitems": q_orders_without_lineitems,
+    "q_events_asof": q_events_asof,
+    "q_events_sessions": q_events_sessions,
+    "q_events_sliding": q_events_sliding,
+    "q_events_distinct_users_approx": q_events_distinct_users_approx,
+    "q_top_orders_per_customer": q_top_orders_per_customer,
+    "q_orders_lineitem_join": q_orders_lineitem_join,
+    "q_lineitem_pushdown": q_lineitem_pushdown,
+    "q_pages_sample": q_pages_sample,
+    "q_part_topk": q_part_topk,
+    "q_top_customers": q_top_customers,
+    # --- beyond the driver's 50-query window ---
+    # (judge-re-verified-in-r4 doc-hygiene/media family — VERDICT r4 ran
+    # all 13 green independently; they ceded slots to never-checked ops)
+    "q_media_store": q_media_store,
+    "q_media_store_tree": q_media_store_tree,
+    "q_media_features": q_media_features,
+    "q_doc_quality": q_doc_quality,
+    "q_doc_langid": q_doc_langid,
+    "q_doc_source_mix": q_doc_source_mix,
+    "q_doc_length_quantiles": q_doc_length_quantiles,
+    "q_doc_stratified_sample": q_doc_stratified_sample,
+    "q_doc_token_stats": q_doc_token_stats,
+    "q_doc_fingerprint": q_doc_fingerprint,
+    "q_doc_boilerplate": q_doc_boilerplate,
+    "q_doc_top_terms": q_doc_top_terms,
+    "q_doc_dupspans": q_doc_dupspans,
+    # (simple TPC-H scan/aggregate warm-ups, r3-driver-green, lowest risk)
+    "q_lineitem_pricing": q_lineitem_pricing,
+    "q_supplier_nation": q_supplier_nation,
+    "q_orders_priority": q_orders_priority,
+    "q_distinct_event_types": q_distinct_event_types,
+    "q_events_hourly": q_events_hourly,
+    "q_events_topusers": q_events_topusers,
+    "q_events_minmax": q_events_minmax,
+    "q_lineitem_brand": q_lineitem_brand,
+    "q_customer_nation": q_customer_nation,
+    "q_region_nation_union": q_region_nation_union,
+    # driver-checked in-window transitively via q_crawl_warc (same writer +
+    # parser inversion); unit-tested + locally gate-checked twice this round
+    "q_archive_warc": q_archive_warc,
+    # --- r4-driver-green entries ---
     # (first eight: touched in round 5 — staged-crawl members/epochs (bfs),
     # crawl composition, ledger batching, per-actor cert memo, band-key
     # encoding + decoder gating — but r4-driver-green AND re-verified
