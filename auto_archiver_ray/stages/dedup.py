@@ -497,11 +497,22 @@ def label_propagate(
     id_col_b: str = "id_b",
     max_iters: int = 10,
     num_buckets: int = 1024,
+    strategy: str = "auto",
+    driver_pair_limit: int = 2_000_000,
 ):
     """Distributed connected components over the pair graph: iterative
     min-label propagation with NO driver-side state — the 100 TB path for
     cluster assignment (:func:`cluster_pairs`'s union-find is preferred
     while the pair set fits one machine).
+
+    Size-aware (the host_pagerank / pointer_double_resolve contract):
+    ``strategy="auto"`` streams the pairs through :func:`cluster_pairs`'s
+    union-find on the driver while they fit (``driver_pair_limit`` rows)
+    — union-by-min-root makes every final root the component MINIMUM, so
+    the output is bit-identical to converged min-label propagation, and
+    it always fully converges where the exchange path is bounded by
+    ``max_iters`` rounds. ``strategy="exchange"`` forces the distributed
+    path below.
 
     Partitioning: every shuffle keys on a COARSE bucket (hash(node) %
     num_buckets), never one Ray group per graph node — all of a node's rows
@@ -520,6 +531,18 @@ def label_propagate(
     Returns a Dataset of (node, label) where label = min node id of the
     component.
     """
+    pairs_ds = pairs_ds.materialize()  # consumed twice either way
+
+    if strategy == "driver" or (strategy == "auto" and pairs_ds.count() <= driver_pair_limit):
+        import ray.data as rd
+
+        mapping = cluster_pairs(pairs_ds, id_col_a, id_col_b)
+        nodes = np.fromiter(mapping.keys(), dtype=np.int64, count=len(mapping))
+        labs = np.fromiter((mapping[int(n)] for n in nodes), dtype=np.int64, count=len(nodes))
+        order = np.argsort(nodes, kind="stable")
+        return rd.from_arrow(
+            pa.table({"node": pa.array(nodes[order]), "label": pa.array(labs[order])})
+        )
 
     def seed_edges(batch: pa.Table) -> pa.Table:
         a = batch.column(id_col_a).to_pylist()
@@ -634,7 +657,9 @@ def add_simhash(batch: pa.Table, text_col: str = "text", out_col: str = "simhash
     return batch.append_column(out_col, pa.array(hs))
 
 
-def _banded_hamming_pairs(bands, id_col, make_dist, tag, max_hamming, bucket_cap):
+def _banded_hamming_pairs(
+    bands, id_col, make_dist, tag, max_hamming, bucket_cap, driver_band_limit: int = 2_000_000
+):
     """The shared half of the pigeonhole-band pair search (SimHash 64-bit
     and PDQ 256-bit use IDENTICAL machinery; only the code width differs):
     coarse-bucket the band rows, per exact band sort/dedupe ids, cap the
@@ -642,7 +667,15 @@ def _banded_hamming_pairs(bands, id_col, make_dist, tag, max_hamming, bucket_cap
     id pairs whose code distance ≤ ``max_hamming``, and globally dedupe
     pairs found in several bands. ``make_dist(g)`` returns a callable
     ``(i, cap) -> distance vector of row i vs rows i+1..cap`` over one
-    band group's frame — the only code-width-specific piece."""
+    band group's frame — the only code-width-specific piece.
+
+    Size-aware (the host_pagerank contract): while the skinny band rows
+    fit one machine (``driver_band_limit``, ~50 B/row) the whole verify
+    runs as ONE local pandas pass — caps, duplicate handling and the
+    emitted pair set are byte-identical because the cap is per exact
+    band_key group, which never splits across coarse buckets; the two
+    all-to-all exchanges (band groupby + pair dedup) only pay for
+    themselves beyond that size."""
     counter = truncation_counter(tag)
 
     def coarse_bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -675,6 +708,14 @@ def _banded_hamming_pairs(bands, id_col, make_dist, tag, max_hamming, bucket_cap
         if not out_a:
             return _empty_pairs("hamming", "int64")
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": out_h})
+
+    bands = bands.materialize()  # count probe + one of the two paths
+    if bands.count() <= driver_band_limit:
+        import ray.data as rd
+
+        local = coarse_bucket_pairs(bands.to_pandas())
+        local = local.drop_duplicates(["id_a", "id_b"]).sort_values(["id_a", "id_b"])
+        return rd.from_pandas(local.reset_index(drop=True))
 
     bands = bands.add_column(
         "coarse", lambda df: (df["band_key"] % 2048).astype("int64"), batch_format="pandas"

@@ -146,8 +146,18 @@ def test_label_propagate_matches_union_find():
         }
     )
     ds = rd.from_pandas(pairs)
-    labels = label_propagate(ds).to_pandas().set_index("node")["label"].to_dict()
+    # exchange = the distributed min-label rounds; driver = union-find
+    labels = (
+        label_propagate(ds, strategy="exchange").to_pandas().set_index("node")["label"].to_dict()
+    )
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    drv = (
+        label_propagate(rd.from_pandas(pairs), strategy="driver")
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert drv == labels
     uf = cluster_pairs(rd.from_pandas(pairs))
     assert {n: uf[n] for n in labels} == labels
 
@@ -228,10 +238,23 @@ def test_label_propagate_larger_graph_equivalence():
             edges.append((base + j, base + j + 1))
     pairs = pd.DataFrame({"id_a": [a for a, _ in edges], "id_b": [b for _, b in edges]})
     ds = rd.from_pandas(pairs)
-    lp = label_propagate(ds, num_buckets=32).to_pandas().set_index("node")["label"].to_dict()
+    lp = (
+        label_propagate(ds, num_buckets=32, strategy="exchange")
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
     uf = cluster_pairs(rd.from_pandas(pairs))
     assert lp == {n: uf[n] for n in lp}
     assert len(lp) == 2400
+    # size-aware default takes the driver path here and must agree exactly
+    auto = (
+        label_propagate(rd.from_pandas(pairs), num_buckets=32)
+        .to_pandas()
+        .set_index("node")["label"]
+        .to_dict()
+    )
+    assert auto == lp
 
 
 @pytest.mark.usefixtures("ray_session")
