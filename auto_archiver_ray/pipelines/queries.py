@@ -4397,6 +4397,93 @@ def q_pages_hits(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+TRUST_SEEDS_K = 8  # q_pages_trustrank: seed-set size (top-outdegree hosts)
+
+
+def q_pages_trustrank(sf_dir: str):
+    """TrustRank over the stored-media host link graph (Gyöngyi et al.
+    VLDB 2004) — the FIFTH link-graph analytic: PageRank whose teleport
+    mass lands only on a trusted seed set, so trust decays with link
+    distance from the seeds (the spam-demotion / crawl-prioritization
+    signal uniform-teleport PageRank cannot express; the reference has no
+    link analytics at all, its frontier is a flat seed list,
+    ref:core/orchestrator.py:543-553). Seeds here are the TRUST_SEEDS_K
+    highest-outdegree hosts (ties by name) — a deterministic stand-in for
+    the human-curated seed list the paper assumes, derivable identically
+    in SQL. Integer fixed-point per :func:`..stages.graph.host_trustrank`;
+    driver and bucketed strategies are bit-identical.
+
+    Scale shape: the distinct host-edge list is sublinear in corpus size
+    (the _driver_pagerank contract) — the seed selection collects it once
+    behind the same ≤5e6-edge bound the rank iteration already documents;
+    past that, swap in grouped_topk over the bucketed distinct reduction."""
+    from ..stages.graph import host_trustrank
+
+    edges = _host_edges(sf_dir).materialize()  # consumed twice: seeds + rank
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = (
+        edges.map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["src", "dst"])
+    )
+    od = ded.groupby("src", as_index=False).size()
+    od = od.sort_values(["size", "src"], ascending=[False, True], kind="mergesort")
+    seeds = od["src"].head(TRUST_SEEDS_K).tolist()
+
+    out = host_trustrank(edges, seeds, iters=5).to_pandas().rename(columns={"node": "host"})
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_trustrank(golden_dir: str, iters: int = 5, scale: int = 10**12, k: int = 8) -> str:
+    """Independent SQL TrustRank iteration over the GOLDEN media-plan edge
+    set — spec shared verbatim with stages/graph.host_trustrank: seeds =
+    top-k src hosts by outdegree (ties by name); t0 = scale // |S| on
+    seeds else 0; per round t = seed-base + Σ (t*17)//(20*outdeg) over
+    in-edges, integer division throughout."""
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    parts = [
+        f"""e AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+seeds AS (SELECT src AS node FROM od ORDER BY outdeg DESC, src LIMIT {k}),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+t0 AS (
+  SELECT n.node,
+         CASE WHEN s.node IS NOT NULL THEN CAST({scale} // (SELECT n FROM ns) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS trust
+  FROM nodes n LEFT JOIN seeds s USING (node)
+)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, CAST(SUM((t.trust * 17) // (20 * od.outdeg)) AS BIGINT) AS contrib
+  FROM e JOIN t{i-1} t ON t.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst
+),
+t{i} AS (
+  SELECT n.node,
+         CAST(CASE WHEN s.node IS NOT NULL
+                   THEN (3 * {scale}) // (20 * (SELECT n FROM ns)) ELSE 0 END
+              + COALESCE(c.contrib, 0) AS BIGINT) AS trust
+  FROM nodes n LEFT JOIN seeds s USING (node) LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS host, trust FROM t{iters} ORDER BY host"
+    )
+
+
 def q_pages_components(sf_dir: str):
     """Weakly-connected components of the stored-media host link graph —
     the third link-graph analytic beside PageRank (q_pages_hostrank) and
@@ -6224,6 +6311,7 @@ QUERIES = {
     "q_crawl_recrawl": q_crawl_recrawl,
     "q_doc_bm25": q_doc_bm25,
     "q_pages_hits": q_pages_hits,
+    "q_pages_trustrank": q_pages_trustrank,
     "q_embed_rproj": q_embed_rproj,
     "q_crawl_sitemap": q_crawl_sitemap,
     "q_crawl_anchors": q_crawl_anchors,
@@ -6487,6 +6575,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "q_pages_hostrank": _sql_hostrank(g),
         "q_pages_hits": _sql_hits(g),
+        "q_pages_trustrank": _sql_trustrank(g),
         "q_pages_components": _sql_components(g),
         "q_archive_warc": _sql_pages(sf_dir, SQL_ARCHIVE_WARC),
         "q_crawl_warc": _sql_pages(sf_dir, _sql_crawl_warc()),

@@ -244,6 +244,223 @@ def _driver_pagerank(edges, iters: int, scale: int):
     )
 
 
+def host_trustrank(
+    edges_ds,
+    seed_hosts,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = 10**12,
+    num_buckets: int = 256,
+    strategy: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+):
+    """Integer fixed-point TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    VLDB 2004) over an edge Dataset: PageRank whose TELEPORT mass lands
+    only on a trusted seed set, so trust decays with link distance from
+    the seeds — the classic spam-demotion / crawl-prioritization signal
+    the uniform-teleport :func:`host_pagerank` cannot express. Returns a
+    Dataset of ``(node, trust)`` (int64 at ``scale`` fixed-point units).
+
+    Spec (shared verbatim with the SQL oracle, `queries._sql_trustrank`;
+    ``S`` = the seed set, ``|S|`` its size):
+
+      t_0(v)  = scale // |S|            if v ∈ S else 0
+      base(v) = (3*scale) // (20*|S|)   if v ∈ S else 0
+      t_i(v)  = base(v) + Σ_{(u,v) ∈ E} (t_{i-1}(u) * 17) // (20*outdeg(u))
+
+    Strategies mirror :func:`host_pagerank` (bit-identical — pure integer
+    arithmetic): ``"driver"`` is a vectorized numpy scatter-add while the
+    distinct edges fit one machine; ``"bucketed"`` is the same fused
+    one-exchange-per-iteration message loop as PageRank with ONE change —
+    the per-node teleport ``base`` rides the self-message (an int64
+    column; edges carry a -1 sentinel) instead of being a global constant.
+    Seeds are a small host list (trust seeds are human-curated and
+    sublinear by construction) broadcast in the closure."""
+    seeds = sorted(set(seed_hosts))
+    if not seeds:
+        raise ValueError("host_trustrank needs a non-empty seed set")
+    n_seeds = len(seeds)
+    t0 = scale // n_seeds
+    base_seed = (3 * scale) // (20 * n_seeds)
+    seed_arr = np.asarray(seeds, dtype=object)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(src_col).cast(pa.string()),
+                "peer": batch.column(dst_col).cast(pa.string()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node", "peer", "__cb"]].drop_duplicates(["node", "peer"])
+
+    edges = edges.groupby("__cb").map_groups(distinct_edges, batch_format="pandas").materialize()
+
+    if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_edge_limit):
+        return _driver_trustrank(edges, seed_arr, iters, t0, base_seed)
+
+    def is_seed(names: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(seed_arr, names)
+        pos_c = np.clip(pos, 0, len(seed_arr) - 1)
+        return seed_arr[pos_c] == names
+
+    # node table with outdeg (same reduction as host_pagerank)
+    def node_seed(g: pd.DataFrame) -> pd.DataFrame:
+        od = g.groupby("node", as_index=False).size().rename(columns={"size": "outdeg"})
+        dsts = pd.DataFrame({"node": g["peer"].unique()})
+        dsts["outdeg"] = 0
+        return pd.concat([od, dsts], ignore_index=True)[["node", "outdeg"]]
+
+    node_msgs = (
+        edges.groupby("__cb")
+        .map_groups(node_seed, batch_format="pandas")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+    )
+
+    def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False)["outdeg"].max()
+        r["__cb"] = g["__cb"].iloc[0]
+        return r
+
+    nodes = node_msgs.groupby("__cb").map_groups(node_reduce, batch_format="pandas").materialize()
+    if nodes.count() == 0:
+        return nodes.drop_columns(["outdeg", "__cb"])
+
+    # invariant between rounds: trust(v) = base(v) + sum(contribs to v);
+    # the self-message carries (outdeg, base) so every node survives and
+    # its teleport mass re-applies each round.
+    def init_msgs(batch: pa.Table) -> pa.Table:
+        names = np.asarray(batch.column("node").to_pylist(), dtype=object)
+        sd = is_seed(names)
+        base_v = np.where(sd, base_seed, 0).astype(np.int64)
+        init_contrib = np.where(sd, t0, 0).astype(np.int64) - base_v
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "contrib": pa.array(init_contrib),
+                "outdeg": batch.column("outdeg"),
+                "base": pa.array(base_v),
+                "__cb": batch.column("__cb"),
+            }
+        )
+
+    msgs = nodes.map_batches(init_msgs, batch_format="pyarrow").materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": batch.column("peer"),
+                "__cb": batch.column("__cb"),
+                "contrib": neg,
+                "outdeg": neg,
+                "base": neg,
+                "is_msg": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def tag_msgs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([""] * batch.num_rows, pa.string()),
+                "__cb": batch.column("__cb"),
+                "contrib": batch.column("contrib"),
+                "outdeg": batch.column("outdeg"),
+                "base": batch.column("base"),
+                "is_msg": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def reduce_and_emit(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["is_msg"].to_numpy() == 1
+        m = g.loc[tag]
+        rk = m.groupby("node", as_index=False).agg(
+            contrib=("contrib", "sum"), outdeg=("outdeg", "max"), base=("base", "max")
+        )
+        rk["trust"] = rk["base"].to_numpy(dtype=np.int64) + rk["contrib"].to_numpy(dtype=np.int64)
+        e = g.loc[~tag, ["node", "peer"]].merge(
+            rk[["node", "outdeg", "trust"]], on="node", how="left"
+        )
+        contrib = np.zeros(len(e), dtype=np.int64)
+        has = e["outdeg"].to_numpy() > 0
+        contrib[has] = (e.loc[has, "trust"].to_numpy(dtype=np.int64) * 17) // (
+            20 * e.loc[has, "outdeg"].to_numpy(dtype=np.int64)
+        )
+        return pd.DataFrame(
+            {
+                "node": pd.concat([rk["node"], e["peer"]], ignore_index=True),
+                "contrib": np.concatenate([np.zeros(len(rk), dtype=np.int64), contrib]),
+                "outdeg": np.concatenate(
+                    [rk["outdeg"].to_numpy(dtype=np.int64), np.full(len(e), -1, dtype=np.int64)]
+                ),
+                "base": np.concatenate(
+                    [rk["base"].to_numpy(dtype=np.int64), np.full(len(e), -1, dtype=np.int64)]
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        tagged = edges_tagged.union(msgs.map_batches(tag_msgs, batch_format="pyarrow"))
+        msgs = (
+            tagged.groupby("__cb")
+            .map_groups(reduce_and_emit, batch_format="pandas")
+            .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+            .materialize()
+        )
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False).agg(contrib=("contrib", "sum"), base=("base", "max"))
+        r["trust"] = r["base"].to_numpy(dtype=np.int64) + r["contrib"].to_numpy(dtype=np.int64)
+        return r[["node", "trust"]]
+
+    return msgs.groupby("__cb").map_groups(final_reduce, batch_format="pandas")
+
+
+def _driver_trustrank(edges, seed_arr: np.ndarray, iters: int, t0: int, base_seed: int):
+    """Vectorized driver iteration, same spec as the bucketed path:
+    factorize nodes, per-node teleport base, integer scatter-add rounds."""
+    import ray.data as rd
+
+    df = edges.to_pandas()
+    if not len(df):
+        return rd.from_arrow(
+            pa.table({"node": pa.array([], pa.string()), "trust": pa.array([], pa.int64())})
+        )
+    all_nodes, codes = np.unique(
+        np.concatenate([df["node"].to_numpy(dtype=object), df["peer"].to_numpy(dtype=object)]),
+        return_inverse=True,
+    )
+    m = len(df)
+    src_idx, dst_idx = codes[:m], codes[m:]
+    n = len(all_nodes)
+    outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    pos = np.searchsorted(seed_arr, all_nodes)
+    pos_c = np.clip(pos, 0, len(seed_arr) - 1)
+    sd = seed_arr[pos_c] == all_nodes
+    base = np.where(sd, base_seed, 0).astype(np.int64)
+    trust = np.where(sd, t0, 0).astype(np.int64)
+    for _ in range(iters):
+        contrib = (trust[src_idx] * 17) // (20 * outdeg[src_idx])
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst_idx, contrib)
+        trust = base + acc
+    return rd.from_arrow(
+        pa.table({"node": pa.array(list(all_nodes), pa.string()), "trust": pa.array(trust)})
+    )
+
+
 # ---------------------------------------------------------------------------
 # HITS hubs & authorities — the other classic crawl-priority signal
 # ---------------------------------------------------------------------------

@@ -421,3 +421,60 @@ def test_crawl_redirects_matches_recursive_sql():
         b[c] = b[c].astype(a[c].dtype)
     assert len(a) > 0
     assert a.equals(b)
+
+
+def serial_trustrank(edges, seeds, iters=5, scale=10**12):
+    """Naive dict replay of the host_trustrank integer spec."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    S = sorted(set(seeds))
+    t0, base = scale // len(S), (3 * scale) // (20 * len(S))
+    t = {n: (t0 if n in S else 0) for n in nodes}
+    for _ in range(iters):
+        acc = {n: 0 for n in nodes}
+        for s, d in e:
+            acc[d] += (t[s] * 17) // (20 * out[s])
+        t = {n: (base if n in S else 0) + acc[n] for n in nodes}
+    return t
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_trustrank_strategies_and_decay():
+    """Driver and bucketed TrustRank are bit-identical to each other and
+    to a naive serial replay of the integer spec; trust mass is zero on
+    hosts unreachable from the seed set and decays with distance."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_trustrank
+
+    # seed s links a chain s -> c1 -> c2 -> c3; a disconnected spam pair
+    edges = [
+        ("seed.org", "c1.com"),
+        ("c1.com", "c2.com"),
+        ("c2.com", "c3.com"),
+        ("spam-a.biz", "spam-b.biz"),
+        ("spam-b.biz", "spam-a.biz"),
+        ("seed.org", "c1.com"),  # duplicate edge must not double mass
+    ]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"]))
+    want = serial_trustrank(edges, ["seed.org"])
+    for strat in ("driver", "bucketed"):
+        got = (
+            host_trustrank(
+                rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+                ["seed.org"],
+                strategy=strat,
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        as_map = dict(zip(got["node"], got["trust"].astype(int)))
+        assert as_map == want, strat
+    # spam island gets ZERO trust (uniform PageRank would rank it)
+    assert want["spam-a.biz"] == 0 and want["spam-b.biz"] == 0
+    # trust decays monotonically along the chain from the seed
+    assert want["seed.org"] > want["c1.com"] > want["c2.com"] > want["c3.com"] > 0
