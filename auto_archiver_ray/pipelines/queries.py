@@ -4397,6 +4397,114 @@ def q_pages_hits(sf_dir: str):
     return out.sort_values("host").reset_index(drop=True)
 
 
+RANK_REFRESH_ITERS = 2  # q_pages_rank_refresh: warm-start rounds
+RANK_REFRESH_MOD = 4  # edge is recrawl-delta iff md5 % MOD == 0 (25%)
+
+
+def q_pages_rank_refresh(sf_dir: str):
+    """Warm-start PageRank refresh — the continuous-recrawl rank update:
+    rank the FIRST crawl's edge graph fully (5 iterations), then fold in
+    the recrawl's delta edges with only RANK_REFRESH_ITERS warm-started
+    rounds instead of a full recompute (rank_0 = previous rank where
+    known, uniform share for newly discovered hosts). The split is a
+    deterministic md5 predicate on the edge so both engines derive
+    identical old/delta sets. At web scale this is THE steady-state mode:
+    the full 5-round recompute runs rarely; every recrawl epoch runs the
+    cheap refresh (the reference re-archives from scratch each run,
+    ref:core/orchestrator.py:543-553 — no incremental rank state at all).
+    Integer fixed-point; the init table joins the node table through the
+    same coarse buckets (never broadcast, never driver-side in the
+    bucketed strategy). Oracle: both iteration chains in ONE SQL
+    statement."""
+    from ..stages.graph import host_pagerank
+    from ..stages.sample import md5_bucket
+
+    edges = _host_edges(sf_dir).materialize()  # consumed twice: old + all
+
+    def keep_old(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_pylist()
+        dst = batch.column("dst").to_pylist()
+        mask = [
+            md5_bucket(f"{s}:{d}", RANK_REFRESH_MOD) != 0 for s, d in zip(src, dst)
+        ]
+        return batch.filter(pa.array(mask))
+
+    old = edges.map_batches(keep_old, batch_format="pyarrow")
+    ranks_old = host_pagerank(old, iters=5).materialize()
+    out = (
+        host_pagerank(edges, iters=RANK_REFRESH_ITERS, init_ranks=ranks_old)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_rank_refresh(
+    golden_dir: str,
+    full_iters: int = 5,
+    refresh_iters: int = RANK_REFRESH_ITERS,
+    scale: int = 10**12,
+    mod: int = RANK_REFRESH_MOD,
+) -> str:
+    """Independent SQL twin of q_pages_rank_refresh: the old-graph chain
+    then the warm-started refresh chain over the union graph, in one
+    statement over the golden edge set."""
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    parts = [
+        f"""e_all AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+e_old AS (SELECT src, dst FROM e_all WHERE md5_number_lower(src || ':' || dst) % {mod} <> 0),
+nodes_o AS (SELECT src AS node FROM e_old UNION SELECT dst AS node FROM e_old),
+nn_o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes_o),
+od_o AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e_old GROUP BY src),
+r0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn_o) AS BIGINT) AS rank FROM nodes_o)"""
+    ]
+    for i in range(1, full_iters + 1):
+        parts.append(
+            f"""c{i} AS (
+  SELECT e.dst AS node, CAST(SUM((r.rank * 17) // (20 * od.outdeg)) AS BIGINT) AS contrib
+  FROM e_old e JOIN r{i-1} r ON r.node = e.src JOIN od_o od ON od.src = e.src
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT n.node,
+         CAST((3 * {scale}) // (20 * (SELECT n FROM nn_o)) + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+  FROM nodes_o n LEFT JOIN c{i} c USING (node)
+)"""
+        )
+    parts.append(
+        f"""nodes_a AS (SELECT src AS node FROM e_all UNION SELECT dst AS node FROM e_all),
+nn_a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes_a),
+od_a AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e_all GROUP BY src),
+s0 AS (
+  SELECT n.node,
+         CAST(COALESCE(r.rank, {scale} // (SELECT n FROM nn_a)) AS BIGINT) AS rank
+  FROM nodes_a n LEFT JOIN r{full_iters} r USING (node)
+)"""
+    )
+    for i in range(1, refresh_iters + 1):
+        parts.append(
+            f"""sc{i} AS (
+  SELECT e.dst AS node, CAST(SUM((s.rank * 17) // (20 * od.outdeg)) AS BIGINT) AS contrib
+  FROM e_all e JOIN s{i-1} s ON s.node = e.src JOIN od_a od ON od.src = e.src
+  GROUP BY e.dst
+),
+s{i} AS (
+  SELECT n.node,
+         CAST((3 * {scale}) // (20 * (SELECT n FROM nn_a)) + COALESCE(c.contrib, 0) AS BIGINT) AS rank
+  FROM nodes_a n LEFT JOIN sc{i} c USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node AS host, rank FROM s{refresh_iters} ORDER BY host"
+    )
+
+
 TRUST_SEEDS_K = 8  # q_pages_trustrank: seed-set size (top-outdegree hosts)
 
 
@@ -6312,6 +6420,7 @@ QUERIES = {
     "q_doc_bm25": q_doc_bm25,
     "q_pages_hits": q_pages_hits,
     "q_pages_trustrank": q_pages_trustrank,
+    "q_pages_rank_refresh": q_pages_rank_refresh,
     "q_embed_rproj": q_embed_rproj,
     "q_crawl_sitemap": q_crawl_sitemap,
     "q_crawl_anchors": q_crawl_anchors,
@@ -6576,6 +6685,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_hostrank": _sql_hostrank(g),
         "q_pages_hits": _sql_hits(g),
         "q_pages_trustrank": _sql_trustrank(g),
+        "q_pages_rank_refresh": _sql_rank_refresh(g),
         "q_pages_components": _sql_components(g),
         "q_archive_warc": _sql_pages(sf_dir, SQL_ARCHIVE_WARC),
         "q_crawl_warc": _sql_pages(sf_dir, _sql_crawl_warc()),

@@ -55,12 +55,21 @@ def host_pagerank(
     num_buckets: int = 256,
     strategy: str = "auto",
     driver_edge_limit: int = 5_000_000,
+    init_ranks=None,
 ):
     """Integer fixed-point PageRank over an edge Dataset. Returns a Dataset
     of ``(node, rank)`` (rank int64 at ``scale`` fixed-point units).
 
     Input edges need not be distinct: all rows of one ``src`` land in one
     coarse bucket, so the per-bucket drop_duplicates is globally exact.
+
+    ``init_ranks`` (a ``(node, rank)`` Dataset, e.g. a previous crawl's
+    output) WARM-STARTS the iteration: rank_0(v) = init(v) where present,
+    else the uniform ``scale // n`` — the continuous-recrawl refresh
+    (a few iterations over the grown graph instead of a full recompute;
+    nodes present only in ``init_ranks`` and not in the edge set are
+    ignored). The init table joins the node table through the same coarse
+    buckets — never broadcast, never driver-side.
 
     Strategy (the exact_dedup / plan_join size-aware pattern — both paths
     produce bit-identical ranks, the spec is pure integer arithmetic):
@@ -95,31 +104,53 @@ def host_pagerank(
     edges = edges.groupby("__cb").map_groups(distinct_and_outdeg, batch_format="pandas").materialize()
 
     if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_edge_limit):
-        return _driver_pagerank(edges, iters, scale)
+        init_df = init_ranks.to_pandas() if init_ranks is not None else None
+        return _driver_pagerank(edges, iters, scale, init_df)
 
     # node table: every src with its outdeg, every dst with outdeg 0;
-    # bucketed max-reduce by node makes it exact and distinct.
+    # bucketed max-reduce by node makes it exact and distinct. Warm-start
+    # rank rows (outdeg -1 sentinel) ride the same exchange; a node seen
+    # ONLY in init_ranks reduces to outdeg -1 and is dropped.
     def node_seed(g: pd.DataFrame) -> pd.DataFrame:
         od = g.groupby("node", as_index=False).size().rename(columns={"size": "outdeg"})
         dsts = pd.DataFrame({"node": g["peer"].unique()})
         dsts["outdeg"] = 0
-        return pd.concat([od, dsts], ignore_index=True)[["node", "outdeg"]]
+        out = pd.concat([od, dsts], ignore_index=True)[["node", "outdeg"]]
+        out["init"] = -1
+        return out
 
     node_msgs = (
         edges.groupby("__cb")
         .map_groups(node_seed, batch_format="pandas")
         .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
     )
+    if init_ranks is not None:
+
+        def init_rows(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": batch.column("node").cast(pa.string()),
+                    "outdeg": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                    "init": batch.column("rank").cast(pa.int64()),
+                }
+            )
+
+        node_msgs = node_msgs.union(
+            init_ranks.map_batches(init_rows, batch_format="pyarrow").map_batches(
+                _bucket_on("node", num_buckets), batch_format="pyarrow"
+            )
+        )
 
     def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
-        r = g.groupby("node", as_index=False)["outdeg"].max()
+        r = g.groupby("node", as_index=False).agg(outdeg=("outdeg", "max"), init=("init", "max"))
+        r = r.loc[r["outdeg"] >= 0]
         r["__cb"] = g["__cb"].iloc[0]
         return r
 
     nodes = node_msgs.groupby("__cb").map_groups(node_reduce, batch_format="pandas").materialize()
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.drop_columns(["outdeg", "__cb"])
+        return nodes.drop_columns(["outdeg", "init", "__cb"])
     r0 = scale // n_nodes
     base = (3 * scale) // (20 * n_nodes)
 
@@ -131,10 +162,12 @@ def host_pagerank(
     # (rank - base, outdeg) so every node survives each round.
 
     def init_msgs(batch: pa.Table) -> pa.Table:
+        iv = batch.column("init").to_numpy()
+        start = np.where(iv >= 0, iv, r0).astype(np.int64)
         return pa.table(
             {
                 "node": batch.column("node"),
-                "contrib": pa.array(np.full(batch.num_rows, r0 - base, dtype=np.int64)),
+                "contrib": pa.array(start - base),
                 "outdeg": batch.column("outdeg"),
                 "__cb": batch.column("__cb"),
             }
@@ -212,7 +245,7 @@ def host_pagerank(
     return msgs.groupby("__cb").map_groups(final_reduce, batch_format="pandas")
 
 
-def _driver_pagerank(edges, iters: int, scale: int):
+def _driver_pagerank(edges, iters: int, scale: int, init_df: pd.DataFrame | None = None):
     """Vectorized driver iteration over the (already-distinct) edge list:
     factorize nodes, integer scatter-add per round (np.add.at on int64 —
     exact, order-free). Same spec, bit-identical to the bucketed path."""
@@ -234,6 +267,11 @@ def _driver_pagerank(edges, iters: int, scale: int):
     r0 = scale // n
     base = (3 * scale) // (20 * n)
     rank = np.full(n, r0, dtype=np.int64)
+    if init_df is not None and len(init_df):
+        inits = init_df.drop_duplicates("node").set_index("node")["rank"]
+        known = inits.reindex(pd.Index(all_nodes))
+        has = known.notna().to_numpy()
+        rank[has] = known.to_numpy()[has].astype(np.int64)
     for _ in range(iters):
         contrib = (rank[src_idx] * 17) // (20 * outdeg[src_idx])
         acc = np.zeros(n, dtype=np.int64)

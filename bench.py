@@ -190,6 +190,9 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_pmi",
             "q_doc_cosine_pairs",
             "q_doc_containment",
+            "q_doc_snm",
+            "q_pages_trustrank",
+            "q_pages_rank_refresh",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

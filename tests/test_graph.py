@@ -478,3 +478,42 @@ def test_host_trustrank_strategies_and_decay():
     assert want["spam-a.biz"] == 0 and want["spam-b.biz"] == 0
     # trust decays monotonically along the chain from the seed
     assert want["seed.org"] > want["c1.com"] > want["c2.com"] > want["c3.com"] > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_pagerank_warm_start_refresh():
+    """init_ranks warm-start: (a) driver and bucketed paths bit-identical,
+    (b) warm-starting k rounds from a cold 5-round result over the SAME
+    graph equals a cold 5+k-round run (the continued-iteration identity),
+    (c) a node only in init_ranks and not in the edge set is ignored."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_pagerank
+
+    rng = np.random.default_rng(19)
+    df = pd.DataFrame(
+        {
+            "src": [f"h{i}.org" for i in rng.integers(0, 25, 300)],
+            "dst": [f"h{i}.org" for i in rng.integers(0, 25, 300)],
+        }
+    )
+    ds = rd.from_pandas(df)
+    r5 = host_pagerank(ds, iters=5).materialize()
+    # ghost node present only in init — must not appear in the output
+    ghost = rd.from_pandas(pd.DataFrame({"node": ["ghost.example"], "rank": [123]}))
+    init = r5.union(ghost).materialize()
+    for strat in ("driver", "bucketed"):
+        warm = (
+            host_pagerank(ds, iters=2, strategy=strat, num_buckets=8, init_ranks=init)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        cold7 = (
+            host_pagerank(ds, iters=7, strategy=strat, num_buckets=8)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(warm, cold7, check_dtype=False)
+        assert "ghost.example" not in set(warm["node"])
