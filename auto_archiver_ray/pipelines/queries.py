@@ -6387,6 +6387,129 @@ GROUP BY tri.doc_id ORDER BY doc_id
 """
 
 
+def q_doc_gopher_gate(sf_dir: str):
+    """Gopher-style quality-rule bundle (Rae et al. 2021 §A.1.1) with a
+    first-failing-rule label per document — the named multi-rule dual of
+    the single-score q_doc_quality. Four integer-exact rules in precedence
+    order: word-count band, mean-word-length band, distinct-token ratio,
+    most-common-token share (the repetition duals of Gopher's symbol/bullet
+    rules, which are vacuous on this symbol-free synthetic corpus — see
+    textstats.gopher_stats). One map_batches pass, no shuffle; ×100 floor
+    ratios make the result bit-identical to the SQL twin.
+
+    Reference analogue: the reference gates rows one at a time inside
+    feeder/extractor checks (ref:core/orchestrator.py archiving loop); this
+    is the corpus-scale quality gate a training-data pipeline needs."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = ds.map_batches(
+        textstats.gopher_stats, batch_format="pyarrow", batch_size=8192
+    ).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_GOPHER_GATE = f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), t AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2),
+s AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tok,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(max(c) AS BIGINT) AS max_tf,
+         CAST(sum(c * length(tok)) AS BIGINT) AS sum_len
+  FROM tf GROUP BY 1
+), g AS (
+  SELECT doc_id, n_tok,
+         (sum_len * 100) // n_tok AS mwl_x100,
+         (n_distinct * 100) // n_tok AS distinct_pct,
+         (max_tf * 100) // n_tok AS top_share_pct
+  FROM s
+)
+SELECT doc_id, n_tok, mwl_x100, distinct_pct, top_share_pct,
+       CASE
+         WHEN n_tok < {textstats.GOPHER_WC_MIN} OR n_tok > {textstats.GOPHER_WC_MAX}
+           THEN 'word_count'
+         WHEN mwl_x100 < {textstats.GOPHER_MWL_MIN} OR mwl_x100 > {textstats.GOPHER_MWL_MAX}
+           THEN 'mean_word_len'
+         WHEN distinct_pct < {textstats.GOPHER_DISTINCT_MIN} THEN 'distinct_ratio'
+         WHEN top_share_pct > {textstats.GOPHER_TOPSHARE_MAX} THEN 'top_token_share'
+         ELSE 'keep'
+       END AS gate
+FROM g ORDER BY doc_id
+"""
+
+
+# q_crawl_schedule: change-rate-aware recrawl scheduling (Cho &
+# Garcia-Molina 2003 frequency policy, integer-rational form). Observation
+# history is synthesized deterministically from the page itself — k_obs
+# from the URL, observed changes from the content length — so both engines
+# derive the identical history without external state.
+SCHED_BASE = 4  # interval units per (stable obs)/(change) ratio step
+SCHED_MIN, SCHED_MAX = 1, 64  # clamp band for the next-fetch interval
+
+
+def q_crawl_schedule(sf_dir: str):
+    """Per-host recrawl workload curve: every valid URL gets an integer
+    next-fetch interval from its synthetic (k_obs, changes) history —
+    interval = clamp(BASE·(k_obs−changes+1)//(changes+1), MIN, MAX), the
+    Cho/Garcia-Molina "crawl frequently what changes frequently" policy in
+    exact integer form — then counts roll up per (canonical host,
+    next_epoch). Vectorized Arrow/numpy pass; bounded key set (hosts ×
+    interval values) → partial per-batch groupby + driver reduce, the
+    politeness-plan shape (state/frontier.assign_crawl_epochs consumes the
+    same host keys downstream)."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "text"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        url_len = pc.binary_length(batch["url"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        txt_len = pc.binary_length(batch["text"]).to_numpy(zero_copy_only=False).astype(np.int64)
+        k_obs = 1 + (url_len % 8)
+        changes = txt_len % (k_obs + 1)
+        interval = SCHED_BASE * (k_obs - changes + 1) // (changes + 1)
+        interval = np.clip(interval, SCHED_MIN, SCHED_MAX)
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "next_epoch": pa.array(interval),
+                "n": pa.array(np.ones(len(interval), dtype=np.int64)),
+            }
+        )
+        return _ren(
+            t.group_by(["host", "next_epoch"]).aggregate([("n", "sum")]), {"n_sum": "n_urls"}
+        )
+
+    out = driver_reduce(ds.map_batches(partial, batch_format="pyarrow"), ["host", "next_epoch"], {"n_urls": "sum"})
+    out["n_urls"] = out["n_urls"].astype("int64")
+    out["next_epoch"] = out["next_epoch"].astype("int64")
+    return out.sort_values(["host", "next_epoch"]).reset_index(drop=True)
+
+
+def _sql_crawl_schedule() -> str:
+    return f"""
+WITH v AS (
+  SELECT {_sql_canon_host('url')} AS host,
+         CAST(strlen(url) AS BIGINT) AS ul,
+         CAST(strlen(text) AS BIGINT) AS tl
+  FROM __PAGES__ WHERE {_VALID_SQL}
+), h AS (
+  SELECT host, 1 + (ul % 8) AS k_obs, tl % (1 + (ul % 8) + 1) AS changes FROM v
+), i AS (
+  SELECT host,
+         least({SCHED_MAX}, greatest({SCHED_MIN},
+           ({SCHED_BASE} * (k_obs - changes + 1)) // (changes + 1))) AS next_epoch
+  FROM h
+)
+SELECT host, next_epoch, CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM i GROUP BY 1, 2 ORDER BY host, next_epoch
+"""
+
+
 # Ordering matters: the driver's correctness gate checks the FIRST 50 entries
 # (dict order).  The riskiest queries — the near-dup family, the webtext
 # flagship, the byte-identical extract-text invariant, kNN/IVF, and every
@@ -6448,6 +6571,8 @@ QUERIES = {
     "q_doc_cosine_pairs": q_doc_cosine_pairs,
     "q_doc_containment": q_doc_containment,
     "q_doc_snm": q_doc_snm,
+    "q_doc_gopher_gate": q_doc_gopher_gate,
+    "q_crawl_schedule": q_crawl_schedule,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -6736,6 +6861,8 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_urlfilter": _sql_pages(sf_dir, _sql_pages_urlfilter()),
         "q_crawl_incremental": _sql_pages(sf_dir, SQL_CRAWL_INCREMENTAL),
         "q_crawl_recrawl": _sql_pages(sf_dir, _sql_crawl_recrawl()),
+        "q_doc_gopher_gate": SQL_DOC_GOPHER_GATE,
+        "q_crawl_schedule": _sql_pages(sf_dir, _sql_crawl_schedule()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

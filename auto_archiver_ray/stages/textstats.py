@@ -1043,3 +1043,60 @@ def bpe_encode(docs_ds, merges, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return docs_ds.map_batches(fn, batch_format="pyarrow", batch_size=4096)
+
+
+# Gopher-style quality-rule bundle (Rae et al. 2021 "Scaling Language
+# Models: ... Gopher" §A.1.1 doc-filter heuristics, re-expressed as
+# integer-exact rationals so a DuckDB oracle compares value-exact).
+# Thresholds are corpus-adaptive to the synthetic generator's distribution
+# (its texts carry no symbols/bullets/ellipses, so the symbol-ratio rules
+# are replaced by their repetition duals — distinct-ratio and
+# top-token-share — which the generator DOES vary):
+GOPHER_WC_MIN, GOPHER_WC_MAX = 20, 90  # word-count band
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 400, 500  # mean word length ×100 band
+GOPHER_DISTINCT_MIN = 30  # distinct-token ratio ×100 lower bound
+GOPHER_TOPSHARE_MAX = 12  # most-common-token share ×100 upper bound
+
+
+def gopher_stats(batch: pa.Table, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc integer Gopher ingredients + first-failing-rule label.
+
+    All four statistics are exact integers (×100 ratios use floor
+    division), so the distributed result is bit-identical to the SQL
+    twin regardless of batch composition. One pass, no shuffle.
+    """
+    from collections import Counter
+
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    n = len(ids)
+    n_tok = np.zeros(n, dtype=np.int64)
+    mwl = np.zeros(n, dtype=np.int64)
+    dr = np.zeros(n, dtype=np.int64)
+    ts = np.zeros(n, dtype=np.int64)
+    for i, t in enumerate(texts):
+        words = (t or "").split()
+        if not words:
+            continue
+        c = Counter(words)
+        k = len(words)
+        n_tok[i] = k
+        mwl[i] = sum(len(w) for w in words) * 100 // k
+        dr[i] = len(c) * 100 // k
+        ts[i] = max(c.values()) * 100 // k
+    gate = np.full(n, "keep", dtype=object)
+    gate[(dr < GOPHER_DISTINCT_MIN)] = "distinct_ratio"
+    gate[(ts > GOPHER_TOPSHARE_MAX) & (dr >= GOPHER_DISTINCT_MIN)] = "top_token_share"
+    bad_mwl = (mwl < GOPHER_MWL_MIN) | (mwl > GOPHER_MWL_MAX)
+    gate[bad_mwl] = "mean_word_len"
+    gate[(n_tok < GOPHER_WC_MIN) | (n_tok > GOPHER_WC_MAX)] = "word_count"
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tok": pa.array(n_tok),
+            "mwl_x100": pa.array(mwl),
+            "distinct_pct": pa.array(dr),
+            "top_share_pct": pa.array(ts),
+            "gate": pa.array([str(g) for g in gate], pa.string()),
+        }
+    )

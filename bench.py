@@ -193,6 +193,8 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_snm",
             "q_pages_trustrank",
             "q_pages_rank_refresh",
+            "q_doc_gopher_gate",
+            "q_crawl_schedule",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1468,3 +1468,69 @@ def test_snm_matches_sql_and_is_partitioning_invariant():
         )
         pd.testing.assert_frame_equal(alt, got, check_dtype=False, check_exact=True)
 
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gopher_gate_matches_sql_and_batch_invariant():
+    """q_doc_gopher_gate on sf0.001: value-exact vs the DuckDB oracle, the
+    bundle discriminates (keep + at least two distinct failing rules), and
+    the kernel is batch-composition invariant."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_GOPHER_GATE, q_doc_gopher_gate
+    from auto_archiver_ray.stages import textstats
+
+    got = q_doc_gopher_gate(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_GOPHER_GATE).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    labels = set(got["gate"])
+    assert "keep" in labels and len(labels) >= 3, f"bundle does not discriminate: {labels}"
+
+    # batch invariance: one whole-table call == concatenated 7-row slices
+    tbl = pq.read_table(f"{SF_SMALL}/documents.parquet", columns=["doc_id", "text"])
+    whole = textstats.gopher_stats(tbl).to_pandas()
+    parts = pd.concat(
+        [textstats.gopher_stats(tbl.slice(i, 7)).to_pandas() for i in range(0, tbl.num_rows, 7)],
+        ignore_index=True,
+    )
+    pd.testing.assert_frame_equal(
+        whole.sort_values("doc_id").reset_index(drop=True),
+        parts.sort_values("doc_id").reset_index(drop=True),
+        check_exact=True,
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_schedule_matches_sql_and_spreads_epochs():
+    """q_crawl_schedule on sf0.001: value-exact vs the DuckDB oracle, every
+    interval inside the clamp band, and the policy actually spreads hosts
+    over multiple next-fetch epochs."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SCHED_MAX,
+        SCHED_MIN,
+        _sql_crawl_schedule,
+        _sql_pages,
+        q_crawl_schedule,
+    )
+
+    got = q_crawl_schedule(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_schedule())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert got["next_epoch"].between(SCHED_MIN, SCHED_MAX).all()
+    assert got["next_epoch"].nunique() >= 3, "policy collapsed to a constant interval"
