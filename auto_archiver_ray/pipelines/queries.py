@@ -6510,6 +6510,91 @@ FROM i GROUP BY 1, 2 ORDER BY host, next_epoch
 """
 
 
+SEED_DIST_K = 8  # q_pages_seed_distance: seed-set size (top-outdegree hosts)
+SEED_DIST_HOPS = 16  # walk bound — part of the spec, shared with the oracle
+
+
+def q_pages_seed_distance(sf_dir: str):
+    """Multi-source BFS hop distance from the top-outdegree seed hosts over
+    the PAGE-LINK host graph — the SIXTH link-graph analytic and the only
+    min-plus one (crawl depth: how many politeness epochs of link expansion
+    a frontier needs before it can discover a host; the sum-semiring loops
+    — PageRank/TrustRank/HITS — weight hosts, this one layers them).
+    Edges come from the REAL anchor parse over the linked corpus
+    (textkit.extract_anchor_texts, the q_crawl_anchors kernel) keyed by
+    canonical host; the oracle re-derives the edge set by pure rank math
+    (the linked corpus is a deterministic binary tree over distinct valid
+    urls) and walks it with a recursive CTE — parse, canonicalization and
+    BFS must all invert exactly.
+
+    Seed selection collects the distinct host-edge list once behind the
+    same ≤5e6-edge bound the rank analytics document (grouped_topk past
+    it); the BFS itself is size-aware (driver numpy / bucketed sparse
+    frontier exchange, bit-identical — stages/graph.host_seed_distance)."""
+    from ..functions.textkit import extract_anchor_texts
+    from ..functions.urlkit import canonical_host
+    from ..sources.pages import ensure_linked_pages
+    from ..stages.graph import host_seed_distance
+
+    rd = _rd()
+    linked_dir, _seeds = ensure_linked_pages(sf_dir)
+    ds = rd.read_parquet(linked_dir, columns=["url", "html"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        srcs: list[str] = []
+        dsts: list[str] = []
+        for u, h in zip(batch.column("url").to_pylist(), batch.column("html").to_pylist()):
+            ch = canonical_host(u)
+            for href, _label in extract_anchor_texts(h):
+                srcs.append(ch)
+                dsts.append(canonical_host(href))
+        return pa.table(
+            {"src": pa.array(srcs, pa.string()), "dst": pa.array(dsts, pa.string())}
+        )
+
+    e = ds.map_batches(edges, batch_format="pyarrow", batch_size=1024).materialize()
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = (
+        e.map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["src", "dst"])
+    )
+    od = ded.groupby("src", as_index=False).size()
+    od = od.sort_values(["size", "src"], ascending=[False, True], kind="mergesort")
+    seeds = od["src"].head(SEED_DIST_K).tolist()
+
+    out = (
+        host_seed_distance(e, seeds, max_hops=SEED_DIST_HOPS)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    out["hops"] = out["hops"].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+SQL_PAGES_SEED_DISTANCE = f"""
+WITH RECURSIVE v AS (SELECT DISTINCT url FROM __PAGES__ WHERE {_VALID_SQL}),
+r AS (SELECT url, CAST(row_number() OVER (ORDER BY url) - 1 AS BIGINT) AS rk FROM v),
+e AS (
+  SELECT DISTINCT {_sql_canon_host('p.url')} AS src, {_sql_canon_host('c.url')} AS dst
+  FROM r c JOIN r p ON p.rk = (c.rk - 1) // 2 WHERE c.rk >= 1
+),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+seeds AS (SELECT src AS node FROM od ORDER BY outdeg DESC, src LIMIT {SEED_DIST_K}),
+walk AS (
+  SELECT node, CAST(0 AS BIGINT) AS d FROM seeds
+  UNION
+  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.node
+  WHERE walk.d < {SEED_DIST_HOPS}
+)
+SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER BY 1
+"""
+
+
 # Ordering matters: the driver's correctness gate checks the FIRST 50 entries
 # (dict order).  The riskiest queries — the near-dup family, the webtext
 # flagship, the byte-identical extract-text invariant, kNN/IVF, and every
@@ -6573,6 +6658,7 @@ QUERIES = {
     "q_doc_snm": q_doc_snm,
     "q_doc_gopher_gate": q_doc_gopher_gate,
     "q_crawl_schedule": q_crawl_schedule,
+    "q_pages_seed_distance": q_pages_seed_distance,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -6863,6 +6949,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_recrawl": _sql_pages(sf_dir, _sql_crawl_recrawl()),
         "q_doc_gopher_gate": SQL_DOC_GOPHER_GATE,
         "q_crawl_schedule": _sql_pages(sf_dir, _sql_crawl_schedule()),
+        "q_pages_seed_distance": _sql_pages(sf_dir, SQL_PAGES_SEED_DISTANCE),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

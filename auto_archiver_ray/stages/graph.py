@@ -29,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .dedup import _coarse_u64
 
@@ -1129,3 +1130,170 @@ def pointer_double_resolve(
         )
         cur = joined.map_batches(emit, batch_format="pyarrow")
     return cur
+
+
+def host_seed_distance(
+    edges_ds,
+    seed_hosts,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 16,
+    num_buckets: int = 256,
+    strategy: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+):
+    """Multi-source BFS hop distance from a seed host set over the DIRECTED
+    host link graph — the min-plus dual of the sum-semiring rank loops
+    (crawl depth / seed proximity: how many link hops a frontier must
+    expand before it reaches a host; TrustRank's decay uses the same
+    distance implicitly, this makes it explicit). Returns a Dataset of
+    ``(node, hops)`` holding ONLY hosts reachable within ``max_hops``
+    (``max_hops`` is part of the spec — both strategies and the SQL oracle
+    bound the walk identically, so a >diameter cap never changes results).
+
+    Size-aware (the host_pagerank contract): ``"driver"`` is a factorized
+    numpy BFS while the distinct edges fit one machine; ``"exchange"`` is
+    a coarse-bucketed sparse frontier loop — the dist table starts at the
+    seeds only and grows monotonically, each round is two bucketed
+    exchanges (dists∪edges by node → min-candidate messages by dst), with
+    an early stop when the (count, sum) scalar pair is stable (rows only
+    get added and per-node dists only decrease, so a stable pair is a
+    fixpoint). Bit-identical by construction (pure integer mins).
+    """
+    import ray.data as rd
+
+    seeds = sorted(set(seed_hosts))
+    if not seeds:
+        raise ValueError("host_seed_distance needs a non-empty seed set")
+    seed_arr = np.asarray(seeds, dtype=object)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(src_col).cast(pa.string()),
+                "peer": batch.column(dst_col).cast(pa.string()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node", "peer", "__cb"]].drop_duplicates(["node", "peer"])
+
+    edges = edges.groupby("__cb").map_groups(distinct_edges, batch_format="pandas").materialize()
+
+    if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_edge_limit):
+        df = edges.to_pandas()
+        if not len(df):
+            return rd.from_arrow(
+                pa.table({"node": pa.array([], pa.string()), "hops": pa.array([], pa.int64())})
+            )
+        all_nodes, codes = np.unique(
+            np.concatenate(
+                [df["node"].to_numpy(dtype=object), df["peer"].to_numpy(dtype=object)]
+            ),
+            return_inverse=True,
+        )
+        m = len(df)
+        src_idx, dst_idx = codes[:m], codes[m:]
+        n = len(all_nodes)
+        dist = np.full(n, -1, dtype=np.int64)
+        pos = np.searchsorted(all_nodes, seed_arr)
+        pos_c = np.clip(pos, 0, n - 1)
+        in_graph = all_nodes[pos_c] == seed_arr
+        dist[pos_c[in_graph]] = 0
+        frontier = np.zeros(n, dtype=bool)
+        frontier[pos_c[in_graph]] = True
+        for d in range(1, max_hops + 1):
+            cand = dst_idx[frontier[src_idx]]
+            new = cand[dist[cand] == -1]
+            if not len(new):
+                break
+            dist[new] = d
+            frontier[:] = False
+            frontier[new] = True
+        keep = dist >= 0
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(list(all_nodes[keep]), pa.string()),
+                    "hops": pa.array(dist[keep]),
+                }
+            )
+        )
+
+    # --- exchange strategy: sparse frontier, coarse buckets ---
+    def tag_edges(t: pa.Table) -> pa.Table:
+        return t.append_column("dist", pa.array([-1] * t.num_rows, pa.int64())).append_column(
+            "is_msg", pa.array([0] * t.num_rows, pa.int8())
+        )
+
+    seed_cb = _coarse_u64(list(seed_arr), num_buckets)
+    dists = rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(seed_arr), pa.string()),
+                "peer": pa.array([""] * len(seed_arr), pa.string()),
+                "__cb": pa.array(seed_cb),
+                "dist": pa.array(np.zeros(len(seed_arr), dtype=np.int64)),
+                "is_msg": pa.array(np.ones(len(seed_arr), dtype=np.int8)),
+            }
+        )
+    ).materialize()
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    prev = None
+    for _ in range(max_hops):
+
+        def emit(g: pd.DataFrame) -> pd.DataFrame:
+            cur = (
+                g.loc[g["is_msg"] == 1]
+                .groupby("node", as_index=False)["dist"]
+                .min()
+            )
+            e = g.loc[g["is_msg"] == 0, ["node", "peer"]].merge(cur, on="node", how="inner")
+            dst = pd.concat([cur["node"], e["peer"]], ignore_index=True)
+            cand = pd.concat([cur["dist"], e["dist"] + 1], ignore_index=True)
+            return pd.DataFrame({"dst": dst.astype(str), "cand": cand.astype("int64")})
+
+        msgs = (
+            dists.union(edges_tagged)
+            .groupby("__cb")
+            .map_groups(emit, batch_format="pandas")
+            .map_batches(_bucket_on("dst", num_buckets), batch_format="pyarrow")
+        )
+
+        def reduce_min(g: pd.DataFrame) -> pa.Table:
+            # return Arrow so dist blocks share one block type with the
+            # edge blocks they union against next round (the init_labels
+            # lesson in dedup.label_propagate)
+            m = g.groupby("dst", as_index=False)["cand"].min()
+            k = len(m)
+            return pa.table(
+                {
+                    "node": pa.array(m["dst"].astype(str).tolist(), pa.string()),
+                    "peer": pa.array([""] * k, pa.string()),
+                    "__cb": pa.array(np.full(k, int(g["__cb"].iloc[0]), dtype=np.int64)),
+                    "dist": pa.array(m["cand"].to_numpy(dtype=np.int64)),
+                    "is_msg": pa.array(np.ones(k, dtype=np.int8)),
+                }
+            )
+
+        dists = msgs.groupby("__cb").map_groups(reduce_min, batch_format="pandas").materialize()
+        from ray.data.aggregate import Count, Sum
+
+        stats = dists.aggregate(Count(alias_name="n"), Sum("dist", alias_name="s"))
+        cur_pair = (stats["n"], stats["s"])
+        if cur_pair == prev:
+            break
+        prev = cur_pair
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.less_equal(batch["dist"], pa.scalar(max_hops, pa.int64())))
+        return pa.table({"node": t["node"], "hops": t["dist"]})
+
+    return dists.map_batches(finalize, batch_format="pyarrow")

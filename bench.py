@@ -195,6 +195,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_pages_rank_refresh",
             "q_doc_gopher_gate",
             "q_crawl_schedule",
+            "q_pages_seed_distance",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

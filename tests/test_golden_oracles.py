@@ -1534,3 +1534,27 @@ def test_crawl_schedule_matches_sql_and_spreads_epochs():
 
     assert got["next_epoch"].between(SCHED_MIN, SCHED_MAX).all()
     assert got["next_epoch"].nunique() >= 3, "policy collapsed to a constant interval"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_seed_distance_matches_recursive_sql():
+    """q_pages_seed_distance on sf0.001: the real anchor parse + canonical
+    hosts + BFS must invert the rank-math edge derivation exactly (the
+    oracle re-derives edges by row_number math and walks them with a
+    recursive CTE)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_PAGES_SEED_DISTANCE,
+        _sql_pages,
+        q_pages_seed_distance,
+    )
+
+    got = q_pages_seed_distance(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, SQL_PAGES_SEED_DISTANCE)).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    assert (got["hops"] == 0).sum() >= 1, "no seed at distance zero"

@@ -517,3 +517,50 @@ def test_host_pagerank_warm_start_refresh():
         )
         pd.testing.assert_frame_equal(warm, cold7, check_dtype=False)
         assert "ghost.example" not in set(warm["node"])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_seed_distance_strategies_toy_and_cap():
+    """Multi-source BFS: known hop distances on a toy graph; driver and
+    exchange strategies bit-identical; the max_hops cap is part of the
+    spec (both strategies truncate identically); random-graph parity."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_seed_distance
+
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": ["a", "b", "c", "e", "a"],  # a->b duplicated: distinct-edge reduce
+                "dst": ["b", "c", "d", "f", "b"],
+            }
+        )
+    )
+    want = [("a", 0), ("b", 1), ("c", 2), ("d", 3)]  # e/f unreachable, excluded
+    for strat in ("driver", "exchange"):
+        out = host_seed_distance(edges, ["a"], max_hops=16, strategy=strat, num_buckets=8)
+        got = sorted(map(tuple, out.to_pandas()[["node", "hops"]].values.tolist()))
+        assert got == want, (strat, got)
+        capped = host_seed_distance(edges, ["a"], max_hops=2, strategy=strat, num_buckets=8)
+        gotc = sorted(map(tuple, capped.to_pandas()[["node", "hops"]].values.tolist()))
+        assert gotc == want[:3], (strat, gotc)
+
+    rng = np.random.default_rng(23)
+    big = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "src": [f"h{i}.org" for i in rng.integers(0, 30, 400)],
+                "dst": [f"h{i}.org" for i in rng.integers(0, 30, 400)],
+            }
+        )
+    )
+    seeds = ["h0.org", "h1.org"]
+    frames = [
+        host_seed_distance(big, seeds, max_hops=16, strategy=s, num_buckets=8)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+        for s in ("driver", "exchange")
+    ]
+    pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
+    assert (frames[0].loc[frames[0]["node"].isin(seeds), "hops"] == 0).all()
