@@ -243,3 +243,45 @@ def heavy_hitters(
         ["est_count", "term"], ascending=[False, True], kind="mergesort"
     )
     return out.reset_index(drop=True), threshold, total_tokens
+
+
+# --- KMV (k minimum values / bottom-k) sketch -------------------------------
+#
+# Bar-Yossef et al. 2002: the k smallest 64-bit hash values of a key set are
+# a mergeable, ORDER-INDEPENDENT summary — merge = union → keep k smallest —
+# and yield the distinct-count estimate (k-1)·2^64 // v_k (exact integer
+# rational, so a DuckDB oracle compares value-exact; when fewer than k
+# distinct hashes exist the sketch IS the set and the count is exact).
+# The hash is DuckDB's md5_number_lower (last 8 md5 digest bytes,
+# little-endian — the repo-wide 64-bit convention, stages/sample.py).
+
+KMV_K = 64
+
+
+def md5_u64(value: str) -> int:
+    """Lower 64 bits of md5 — bit-identical to DuckDB ``md5_number_lower``."""
+    d = hashlib.md5(str(value).encode("utf-8")).digest()
+    return int.from_bytes(d[8:16], "little")
+
+
+def kmv_bottomk(values, k: int = KMV_K) -> np.ndarray:
+    """Bottom-k distinct u64 hashes of ``values`` (sorted ascending)."""
+    hs = np.unique(np.asarray([md5_u64(v) for v in values], dtype=np.uint64))
+    return hs[:k]
+
+
+def kmv_merge(parts: list[np.ndarray], k: int = KMV_K) -> np.ndarray:
+    """Union of bottom-k parts → global bottom-k (associative+commutative:
+    min-k of a union is a pure function of the input SET, so any merge tree
+    over any block layout produces the identical array)."""
+    if not parts:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(parts))[:k]
+
+
+def kmv_estimate(bottomk: np.ndarray, k: int = KMV_K) -> int:
+    """Distinct-count estimate; exact when the sketch holds < k hashes."""
+    if len(bottomk) < k:
+        return int(len(bottomk))
+    vk = int(bottomk[k - 1])
+    return ((k - 1) * (1 << 64)) // vk

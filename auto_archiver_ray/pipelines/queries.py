@@ -6510,6 +6510,68 @@ FROM i GROUP BY 1, 2 ORDER BY host, next_epoch
 """
 
 
+def q_doc_kmv_sketch(sf_dir: str):
+    """Per-lang distinct-CONTENT cardinality via the KMV bottom-k sketch
+    (Bar-Yossef et al. 2002) — the third member of the sketch plane beside
+    HyperLogLog (register-max) and Count-Min (counter-add): the k smallest
+    md5-lower-64 hash values per group, merged by union→min-k. Unlike HLL
+    this sketch's merge is a pure SET function, so the distributed estimate
+    is BIT-identical to the SQL oracle computing the same bottom-k with a
+    window function — (k−1)·2^64 // v_k in exact integer arithmetic, and
+    exact counting below k. Each batch contributes ≤ k×langs rows of
+    (lang, u64); the full distinct shuffle never happens — the dedup-
+    cardinality planning signal at 100 TB for ~free.
+
+    Reference analogue: the reference counts per-status totals one row at
+    a time (ref:modules/console_db); sketching is the engine-scale
+    replacement."""
+    from ..functions.sketch import KMV_K, kmv_bottomk, kmv_estimate, kmv_merge
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        by_lang: dict[str, list[str]] = {}
+        for lg, t in zip(langs, texts):
+            by_lang.setdefault(lg, []).append(t or "")
+        out_l: list[str] = []
+        out_h: list[int] = []
+        for lg, vs in by_lang.items():
+            bk = kmv_bottomk(vs)
+            out_l.extend([lg] * len(bk))
+            out_h.extend(int(x) for x in bk)
+        return pa.table(
+            {"lang": pa.array(out_l, pa.string()), "hv": pa.array(out_h, pa.uint64())}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    rows = []
+    for lg, g in parts.groupby("lang"):
+        bk = kmv_merge([g["hv"].to_numpy(dtype=np.uint64)])
+        rows.append((lg, KMV_K, kmv_estimate(bk)))
+    out = pd.DataFrame(rows, columns=["lang", "k", "est_distinct"])
+    out["k"] = out["k"].astype("int64")
+    out["est_distinct"] = out["est_distinct"].astype("int64")
+    return out.sort_values("lang").reset_index(drop=True)
+
+
+SQL_DOC_KMV_SKETCH = """
+WITH h AS (SELECT lang, md5_number_lower(text) AS hv FROM documents GROUP BY lang, hv),
+r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS kf, max(hv) AS vk
+  FROM r WHERE rn <= 64 GROUP BY lang
+)
+SELECT lang, CAST(64 AS BIGINT) AS k,
+       CASE WHEN kf < 64 THEN kf
+            ELSE CAST((CAST(63 AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT))
+                      // CAST(vk AS HUGEINT) AS BIGINT) END AS est_distinct
+FROM agg ORDER BY lang
+"""
+
+
 SEED_DIST_K = 8  # q_pages_seed_distance: seed-set size (top-outdegree hosts)
 SEED_DIST_HOPS = 16  # walk bound — part of the spec, shared with the oracle
 
@@ -6659,6 +6721,7 @@ QUERIES = {
     "q_doc_gopher_gate": q_doc_gopher_gate,
     "q_crawl_schedule": q_crawl_schedule,
     "q_pages_seed_distance": q_pages_seed_distance,
+    "q_doc_kmv_sketch": q_doc_kmv_sketch,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -6950,6 +7013,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_gopher_gate": SQL_DOC_GOPHER_GATE,
         "q_crawl_schedule": _sql_pages(sf_dir, _sql_crawl_schedule()),
         "q_pages_seed_distance": _sql_pages(sf_dir, SQL_PAGES_SEED_DISTANCE),
+        "q_doc_kmv_sketch": SQL_DOC_KMV_SKETCH,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

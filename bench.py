@@ -196,6 +196,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_gopher_gate",
             "q_crawl_schedule",
             "q_pages_seed_distance",
+            "q_doc_kmv_sketch",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

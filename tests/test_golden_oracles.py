@@ -1558,3 +1558,36 @@ def test_seed_distance_matches_recursive_sql():
     assert list(got.columns) == list(want.columns)
     pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
     assert (got["hops"] == 0).sum() >= 1, "no seed at distance zero"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_kmv_sketch_matches_sql_and_tracks_exact():
+    """q_doc_kmv_sketch on sf0.001: bit-identical to the SQL bottom-k twin,
+    and each per-lang estimate within the 4/sqrt(k) band of the exact
+    distinct-content count (exact when the group holds < k texts)."""
+    import duckdb
+    import numpy as np
+
+    from auto_archiver_ray.functions.sketch import KMV_K
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_KMV_SKETCH, q_doc_kmv_sketch
+
+    got = q_doc_kmv_sketch(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_KMV_SKETCH).df()
+    exact = con.execute(
+        "SELECT lang, CAST(COUNT(DISTINCT text) AS BIGINT) AS n FROM documents GROUP BY lang ORDER BY lang"
+    ).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    j = got.merge(exact, on="lang")
+    for _, row in j.iterrows():
+        if row["n"] < KMV_K:
+            assert row["est_distinct"] == row["n"]
+        else:
+            assert abs(row["est_distinct"] - row["n"]) / row["n"] <= 4 / np.sqrt(KMV_K)

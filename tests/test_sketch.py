@@ -44,3 +44,31 @@ def test_approx_distinct_dataset():
     exact = len(set(ds.to_pandas()["user_id"]))
     est = approx_distinct(ds, "user_id")
     assert abs(est - exact) / exact < 0.05
+
+
+def test_kmv_merge_commutes_and_estimates_within_band():
+    """KMV laws: merge is a pure set function (any split == global build);
+    estimate within 4/sqrt(k) of truth at 1e3 distinct; exact below k."""
+    import numpy as np
+
+    from auto_archiver_ray.functions.sketch import (
+        KMV_K,
+        kmv_bottomk,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    vals = [f"item-{i}" for i in range(1000)] * 3  # duplicates must not matter
+    whole = kmv_bottomk(vals)
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(len(vals))
+    shuffled = [vals[i] for i in perm]
+    parts = [kmv_bottomk(shuffled[i : i + 157]) for i in range(0, len(shuffled), 157)]
+    merged = kmv_merge(parts)
+    assert np.array_equal(whole, merged)
+
+    est = kmv_estimate(merged)
+    assert abs(est - 1000) / 1000 <= 4 / np.sqrt(KMV_K)
+
+    small = kmv_bottomk([f"x{i}" for i in range(KMV_K - 5)])
+    assert kmv_estimate(small) == KMV_K - 5  # exact below k
