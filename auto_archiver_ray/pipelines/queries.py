@@ -6572,6 +6572,106 @@ FROM agg ORDER BY lang
 """
 
 
+# q_crawl_adaptive_delay: AIMD politeness constants (ms). Latency per fetch
+# is synthesized deterministically from the url hash so both engines replay
+# the identical history with no external state.
+AIMD_D0 = 1000  # starting per-host delay
+AIMD_MIN, AIMD_MAX = 250, 8000  # clamp band
+AIMD_ADD = 250  # additive increase on a slow fetch
+AIMD_SLOW = 300  # latency threshold (ms) that counts as "slow"
+
+
+def _aimd_step(delay: int, lat: int) -> int:
+    if lat > AIMD_SLOW:
+        return min(AIMD_MAX, delay + AIMD_ADD)
+    return max(AIMD_MIN, delay // 2)
+
+
+def q_crawl_adaptive_delay(sf_dir: str):
+    """Per-host ADAPTIVE crawl delay via AIMD (the TCP congestion rule
+    applied to politeness, as production crawlers do): fold over each
+    host's fetches in deterministic url order — slow fetch → delay+ADD
+    (capped), fast fetch → delay//2 (floored). A sequential per-host
+    recurrence is exactly what the frontier's host-affine shards own at
+    scale, so the distributed shape is hash(host) coarse buckets with the
+    vectorized-per-host fold inside map_groups — hosts never split across
+    buckets, nothing else shuffles. Output: final delay + slow/fast counts
+    per host. Oracle: the IDENTICAL fold as a recursive CTE over
+    row_number()-indexed fetches — integer arithmetic only, value-exact."""
+    from ..functions.sketch import md5_u64
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+    slim = ds.select_columns(["host", "url"])
+
+    from ..stages.dedup import _coarse_u64
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__cb", pa.array(_coarse_u64(batch.column("host").to_pylist(), 64))
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for host, grp in g.groupby("host"):
+            urls = grp["url"].sort_values(kind="mergesort").tolist()
+            lats = [50 + (md5_u64(u) % 400) for u in urls]
+            delay = AIMD_D0
+            n_slow = 0
+            for lat in lats:
+                if lat > AIMD_SLOW:
+                    n_slow += 1
+                delay = _aimd_step(delay, lat)
+            rows.append((host, delay, n_slow, len(lats) - n_slow))
+        return pd.DataFrame(rows, columns=["host", "final_delay_ms", "n_slow", "n_fast"])
+
+    out = (
+        slim.map_batches(bucket, batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    for c in ("final_delay_ms", "n_slow", "n_fast"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_adaptive_delay() -> str:
+    step = (
+        f"CASE WHEN lat > {AIMD_SLOW} THEN least({AIMD_MAX}, {{d}} + {AIMD_ADD}) "
+        f"ELSE greatest({AIMD_MIN}, {{d}} // 2) END"
+    )
+    return f"""
+WITH RECURSIVE v AS (
+  SELECT {_sql_canon_host('url')} AS host, url,
+         CAST(50 + (md5_number_lower(url) % 400) AS BIGINT) AS lat
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+s AS (
+  SELECT host, lat,
+         CAST(row_number() OVER (PARTITION BY host ORDER BY url) AS BIGINT) AS i,
+         CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n
+  FROM v
+),
+f AS (
+  SELECT host, i, n, {step.format(d=f"CAST({AIMD_D0} AS BIGINT)")} AS delay
+  FROM s WHERE i = 1
+  UNION ALL
+  SELECT s.host, s.i, s.n, {step.format(d="f.delay")}
+  FROM f JOIN s ON s.host = f.host AND s.i = f.i + 1
+)
+SELECT v.host,
+       CAST(max(f.delay) AS BIGINT) AS final_delay_ms,
+       CAST(count(*) FILTER (v.lat > {AIMD_SLOW}) AS BIGINT) AS n_slow,
+       CAST(count(*) FILTER (v.lat <= {AIMD_SLOW}) AS BIGINT) AS n_fast
+FROM v
+JOIN (SELECT host, delay FROM f WHERE i = n) f USING (host)
+GROUP BY v.host, f.delay ORDER BY v.host
+"""
+
+
 SEED_DIST_K = 8  # q_pages_seed_distance: seed-set size (top-outdegree hosts)
 SEED_DIST_HOPS = 16  # walk bound — part of the spec, shared with the oracle
 
@@ -6722,6 +6822,7 @@ QUERIES = {
     "q_crawl_schedule": q_crawl_schedule,
     "q_pages_seed_distance": q_pages_seed_distance,
     "q_doc_kmv_sketch": q_doc_kmv_sketch,
+    "q_crawl_adaptive_delay": q_crawl_adaptive_delay,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7014,6 +7115,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_schedule": _sql_pages(sf_dir, _sql_crawl_schedule()),
         "q_pages_seed_distance": _sql_pages(sf_dir, SQL_PAGES_SEED_DISTANCE),
         "q_doc_kmv_sketch": SQL_DOC_KMV_SKETCH,
+        "q_crawl_adaptive_delay": _sql_pages(sf_dir, _sql_crawl_adaptive_delay()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -1591,3 +1591,31 @@ def test_kmv_sketch_matches_sql_and_tracks_exact():
             assert row["est_distinct"] == row["n"]
         else:
             assert abs(row["est_distinct"] - row["n"]) / row["n"] <= 4 / np.sqrt(KMV_K)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_adaptive_delay_matches_recursive_sql_and_adapts():
+    """q_crawl_adaptive_delay on sf0.001: value-exact vs the recursive-CTE
+    fold; delays stay in the clamp band; both fast and slow fetches occur
+    (the AIMD fold actually adapts)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        AIMD_MAX,
+        AIMD_MIN,
+        _sql_crawl_adaptive_delay,
+        _sql_pages,
+        q_crawl_adaptive_delay,
+    )
+
+    got = q_crawl_adaptive_delay(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_adaptive_delay())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert got["final_delay_ms"].between(AIMD_MIN, AIMD_MAX).all()
+    assert got["n_slow"].sum() > 0 and got["n_fast"].sum() > 0
+    assert got["final_delay_ms"].nunique() >= 2, "fold collapsed to a constant"
