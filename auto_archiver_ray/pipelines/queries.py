@@ -6572,6 +6572,56 @@ FROM agg ORDER BY lang
 """
 
 
+def q_doc_jsonl_export(sf_dir: str):
+    """Distributed JSONL export + independent READBACK — the
+    training-data delivery surface (every LLM loader ingests JSONL
+    shards), completing the sink family beside partitioned parquet and
+    the WARC sink. Shards are content-addressed (retry-idempotent,
+    tmp+rename atomic; stages/storage.store_jsonl); the QUERY returns the
+    readback's rows hashed per doc, so writer escaping, gzip framing and
+    the independent line parser must all invert for the oracle
+    (source-side sha256 per doc in SQL) to match — the q_archive_warc
+    contract applied to JSONL."""
+    import hashlib
+    import shutil
+    import uuid
+
+    from ..stages.storage import read_jsonl_shards, store_jsonl
+
+    rd = _rd()
+    root = f"/tmp/aar_jsonl_{uuid.uuid4().hex[:8]}"
+    try:
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+        manifest = store_jsonl(ds, root, ["doc_id", "lang", "text"]).to_pandas()
+        assert int(manifest["n_rows"].sum()) > 0
+
+        back = read_jsonl_shards(root)
+
+        def digest(batch: pa.Table) -> pa.Table:
+            shas = [
+                hashlib.sha256((t or "").encode("utf-8")).hexdigest()
+                for t in batch.column("text").to_pylist()
+            ]
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").cast(pa.int64()),
+                    "lang": batch.column("lang").cast(pa.string()),
+                    "text_sha256": pa.array(shas, pa.string()),
+                }
+            )
+
+        out = back.map_batches(digest, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_JSONL_EXPORT = """
+SELECT doc_id, lang, sha256(text) AS text_sha256
+FROM documents ORDER BY doc_id
+"""
+
+
 # q_crawl_adaptive_delay: AIMD politeness constants (ms). Latency per fetch
 # is synthesized deterministically from the url hash so both engines replay
 # the identical history with no external state.
@@ -6823,6 +6873,7 @@ QUERIES = {
     "q_pages_seed_distance": q_pages_seed_distance,
     "q_doc_kmv_sketch": q_doc_kmv_sketch,
     "q_crawl_adaptive_delay": q_crawl_adaptive_delay,
+    "q_doc_jsonl_export": q_doc_jsonl_export,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7116,6 +7167,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_seed_distance": _sql_pages(sf_dir, SQL_PAGES_SEED_DISTANCE),
         "q_doc_kmv_sketch": SQL_DOC_KMV_SKETCH,
         "q_crawl_adaptive_delay": _sql_pages(sf_dir, _sql_crawl_adaptive_delay()),
+        "q_doc_jsonl_export": SQL_DOC_JSONL_EXPORT,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -175,3 +175,96 @@ def write_warc_shard(
             "payload_len": pa.array(lens, pa.int64()),
         }
     )
+
+
+def store_jsonl(ds, root: str, cols: list[str], batch_size: int = 1024, gz: bool = True):
+    """Distributed JSONL shard sink — the training-data delivery format
+    (one JSON object per line, the layout every LLM data loader ingests),
+    completing the sink family beside partitioned parquet and
+    :func:`store_warc`. Same resumable-output contract: each batch
+    serializes its rows (keys in ``cols`` order, ``sort_keys`` off so the
+    column contract is explicit, compact separators, ``ensure_ascii=False``
+    so multibyte text stays readable) into ONE content-addressed shard —
+    name = blake2b of the bytes, tmp+rename atomic, so task retries
+    re-write the identical file instead of duplicating rows. Returns the
+    manifest Dataset ``(jsonl_file, n_rows, bytes)``, one row per shard.
+
+    Roundtrip contract (oracle-checked by q_doc_jsonl_export):
+    ``json.loads`` per line recovers every value exactly — writer
+    escaping and reader parsing must invert."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return write_jsonl_shard(batch, root, cols, gz=gz)
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+
+
+def write_jsonl_shard(batch: pa.Table, root: str, cols: list[str], gz: bool = True) -> pa.Table:
+    """Serialize one Arrow batch as a content-addressed ``.jsonl[.gz]``
+    shard and return its one-row manifest (the :func:`store_jsonl`
+    kernel)."""
+    import gzip
+    import hashlib
+    import io
+    import json
+
+    col_lists = [batch.column(c).to_pylist() for c in cols]
+    lines = []
+    for vals in zip(*col_lists):
+        obj = dict(zip(cols, vals))
+        lines.append(json.dumps(obj, ensure_ascii=False, separators=(",", ":")))
+    blob = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    if gz:
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+            g.write(blob)
+        out = buf.getvalue()
+    else:
+        out = blob
+    name = hashlib.blake2b(out, digest_size=16).hexdigest() + (".jsonl.gz" if gz else ".jsonl")
+    os.makedirs(root, exist_ok=True)
+    dest = os.path.join(root, name)
+    if not os.path.exists(dest):  # content-addressed: retry writes same file
+        tmp = dest + f".tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(out)
+        os.replace(tmp, dest)
+    return pa.table(
+        {
+            "jsonl_file": pa.array([name], pa.string()),
+            "n_rows": pa.array([batch.num_rows], pa.int64()),
+            "bytes": pa.array([len(out)], pa.int64()),
+        }
+    )
+
+
+def read_jsonl_shards(root: str):
+    """Independent reader for :func:`store_jsonl` output: a Dataset over
+    the shard FILES (parallel read — one task per shard), each task
+    parsing its lines back to rows. The q_doc_jsonl_export oracle compares
+    this READBACK against the source, so the writer cannot self-verify."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = sorted(_glob.glob(os.path.join(root, "*.jsonl*")))
+
+    def parse(batch: pa.Table) -> pa.Table:
+        import gzip
+        import json
+
+        rows: list[dict] = []
+        for path in batch.column("path").to_pylist():
+            op = gzip.open if path.endswith(".gz") else open
+            with op(path, "rt", encoding="utf-8") as f:
+                for line in f:
+                    if line.strip():
+                        rows.append(json.loads(line))
+        if not rows:
+            return pa.table({})
+        keys = list(rows[0].keys())
+        return pa.table({k: pa.array([r[k] for r in rows]) for k in keys})
+
+    return rd.from_items([{"path": p} for p in files]).map_batches(
+        parse, batch_format="pyarrow", batch_size=1
+    )

@@ -198,6 +198,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_pages_seed_distance",
             "q_doc_kmv_sketch",
             "q_crawl_adaptive_delay",
+            "q_doc_jsonl_export",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

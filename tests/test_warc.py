@@ -232,3 +232,41 @@ def test_store_warc_dates_from_ts_column():
         recs = list(warckit.parse_warc_bytes(raw))
         assert len(recs) == 1
         assert recs[0].headers["WARC-Date"] == "2023-05-06T07:08:09Z"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_store_jsonl_roundtrip_and_idempotence(tmp_path):
+    """JSONL sink: independent readback recovers every value exactly
+    (multibyte text, quotes, newline-free framing), a second write adds NO
+    files (content addressing), and the manifest row counts sum to the
+    input."""
+    import os
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.storage import read_jsonl_shards, store_jsonl
+
+    root = str(tmp_path / "jsonl")
+    src = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "lang": pa.array(["ru", "es", "en"], pa.string()),
+            "text": pa.array(['Ее "вот" если', "línea\ttab", ""], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(src)
+    man1 = store_jsonl(ds, root, ["doc_id", "lang", "text"], batch_size=2).to_pandas()
+    assert int(man1["n_rows"].sum()) == 3
+    files1 = sorted(os.listdir(root))
+
+    back = (
+        read_jsonl_shards(root)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(back, src.to_pandas(), check_dtype=False)
+
+    store_jsonl(ds, root, ["doc_id", "lang", "text"], batch_size=2).to_pandas()
+    assert sorted(os.listdir(root)) == files1  # retry/idempotence: same shard set
