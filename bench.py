@@ -199,6 +199,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_kmv_sketch",
             "q_crawl_adaptive_delay",
             "q_doc_jsonl_export",
+            "q_crawl_hrw_shards",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1619,3 +1619,37 @@ def test_adaptive_delay_matches_recursive_sql_and_adapts():
     assert got["final_delay_ms"].between(AIMD_MIN, AIMD_MAX).all()
     assert got["n_slow"].sum() > 0 and got["n_fast"].sum() > 0
     assert got["final_delay_ms"].nunique() >= 2, "fold collapsed to a constant"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hrw_shards_match_sql_and_minimal_disruption():
+    """q_crawl_hrw_shards on sf0.001: value-exact vs the SQL rendezvous
+    twin; the HRW minimal-disruption theorem holds (every migrated host
+    lands on the NEW shard, none shuffles between surviving shards); the
+    K=8 placement actually spreads hosts over multiple shards."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        HRW_K1,
+        HRW_K2,
+        _sql_crawl_hrw_shards,
+        _sql_pages,
+        q_crawl_hrw_shards,
+    )
+
+    got = q_crawl_hrw_shards(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_hrw_shards())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert got["shard_k8"].between(0, HRW_K1 - 1).all()
+    assert got["shard_k9"].between(0, HRW_K2 - 1).all()
+    mig = got[got["migrated"] == 1]
+    assert len(mig) > 0, "no host migrated — resize ledger vacuous on this corpus"
+    assert (mig["shard_k9"] == HRW_K2 - 1).all(), "HRW minimal disruption violated"
+    stay = got[got["migrated"] == 0]
+    assert (stay["shard_k8"] == stay["shard_k9"]).all()
+    assert got["shard_k8"].nunique() >= 2, "placement collapsed to one shard"
