@@ -6807,6 +6807,71 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+WSAMPLE_K = 100  # q_doc_weighted_sample: sample size
+
+
+def q_doc_weighted_sample(sf_dir: str, _batch_size: int = 4096):
+    """Deterministic WEIGHTED sample without replacement — the
+    Efraimidis–Spirakis priority-sampling shape (one priority per item,
+    global bottom-k) with integer-rational priorities so both engines
+    agree bit-for-bit: priority = md5_lower64(doc_id) // (n_tokens + 1),
+    sample = the k smallest (priority, doc_id). Heavier documents draw
+    proportionally smaller priorities, so the sample is token-mass-biased
+    — the curriculum/mixture sampling primitive (uniform hash sampling
+    q_pages_sample and per-stratum q_doc_stratified_sample cover the
+    unweighted cases; this is the size-weighted third).
+
+    Scale shape: the weight, hash and priority are computed inside one
+    map_batches pass; each batch keeps only its LOCAL bottom-k (a doc
+    lives wholly in one batch, so batch-local pruning is lossless) and
+    the driver merges ≤ batches×k skinny rows — no shuffle, no global
+    sort. Priorities live in uint64 (h ≤ 2^64−1, divisor ≥ 1) and never
+    appear in the output schema."""
+    from ..functions.sketch import md5_u64
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        w = np.asarray([textkit.ws_token_count(t or "") for t in texts], dtype=np.uint64)
+        h = np.asarray([md5_u64(str(i)) for i in ids], dtype=np.uint64)
+        pr = h // (w + np.uint64(1))
+        ids_a = np.asarray(ids, dtype=np.int64)
+        order = np.lexsort((ids_a, pr))[:WSAMPLE_K]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids_a[order]),
+                "n_tokens": pa.array(w[order].astype(np.int64)),
+                "__pr": pa.array(pr[order], pa.uint64()),
+            }
+        )
+
+    parts = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=_batch_size).to_pandas()
+    parts = parts.sort_values(["__pr", "doc_id"], kind="mergesort").head(WSAMPLE_K)
+    out = parts.drop(columns="__pr").reset_index(drop=True)
+    out.insert(0, "sample_rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out
+
+
+SQL_DOC_WEIGHTED_SAMPLE = rf"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tokens,
+         md5_number_lower(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+),
+p AS (
+  SELECT doc_id, n_tokens, CAST(h AS HUGEINT) // (n_tokens + 1) AS pr FROM t
+)
+SELECT CAST(row_number() OVER (ORDER BY pr, doc_id) AS BIGINT) AS sample_rank,
+       doc_id, n_tokens
+FROM p ORDER BY pr, doc_id LIMIT {WSAMPLE_K}
+"""
+
+
 HRW_K1 = 8  # q_crawl_hrw_shards: frontier fleet size before the resize
 HRW_K2 = 9  # fleet size after adding one crawler shard
 
@@ -6963,6 +7028,7 @@ QUERIES = {
     "q_crawl_adaptive_delay": q_crawl_adaptive_delay,
     "q_doc_jsonl_export": q_doc_jsonl_export,
     "q_crawl_hrw_shards": q_crawl_hrw_shards,
+    "q_doc_weighted_sample": q_doc_weighted_sample,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7260,6 +7326,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_adaptive_delay": _sql_pages(sf_dir, _sql_crawl_adaptive_delay()),
         "q_doc_jsonl_export": SQL_DOC_JSONL_EXPORT,
         "q_crawl_hrw_shards": _sql_pages(sf_dir, _sql_crawl_hrw_shards()),
+        "q_doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -200,6 +200,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_adaptive_delay",
             "q_doc_jsonl_export",
             "q_crawl_hrw_shards",
+            "q_doc_weighted_sample",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1653,3 +1653,40 @@ def test_hrw_shards_match_sql_and_minimal_disruption():
     stay = got[got["migrated"] == 0]
     assert (stay["shard_k8"] == stay["shard_k9"]).all()
     assert got["shard_k8"].nunique() >= 2, "placement collapsed to one shard"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_weighted_sample_matches_sql_biased_and_batch_invariant():
+    """q_doc_weighted_sample on sf0.001: value-exact vs the SQL
+    priority-sampling twin; the sample is token-mass-biased (heavier docs
+    overrepresented — mean sampled n_tokens above the corpus mean); and a
+    tiny batch size (forcing real local-bottom-k pruning + driver merge)
+    yields the identical sample — the batch-local pruning is lossless."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_DOC_WEIGHTED_SAMPLE,
+        WSAMPLE_K,
+        q_doc_weighted_sample,
+    )
+
+    got = q_doc_weighted_sample(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_WEIGHTED_SAMPLE).df()
+    corpus_mean = con.execute(
+        r"SELECT avg(len(list_filter(string_split_regex(text,'\s+'), x -> x <> '')))"
+        " FROM documents"
+    ).fetchone()[0]
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert len(got) == WSAMPLE_K
+    assert got["n_tokens"].mean() > corpus_mean, "weighted sample shows no size bias"
+
+    small = q_doc_weighted_sample(SF_SMALL, _batch_size=32).reset_index(drop=True)
+    pd.testing.assert_frame_equal(small, got, check_dtype=False, check_exact=True)
