@@ -6807,6 +6807,75 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+OPIC_ITERS = 4  # q_crawl_opic: distribution rounds (any count is valid — online)
+OPIC_SCALE = 10**12  # fixed-point cash unit
+
+
+def q_crawl_opic(sf_dir: str):
+    """OPIC crawl ordering (Abiteboul, Preda & Cobena, WWW 2003) over the
+    stored-media host link graph — the SEVENTH link-graph analytic and the
+    one built FOR frontiers: no damping, no convergence requirement; each
+    host banks its cash into history and splits it along out-edges every
+    round, and ``importance = hist + cash`` is a valid fetch priority
+    after ANY number of rounds (the online property a live crawl needs —
+    PageRank must re-converge, OPIC just keeps absorbing fetches).
+    Integer fixed-point: cash_0 = scale//n, per round hist += cash then
+    cash'(v) = Σ cash(u)//outdeg(u) over in-edges; floor losses and
+    dangling cash go to OPIC's virtual page (dropped identically by both
+    engines). Scale shape: :func:`..stages.graph.host_opic` — size-aware
+    driver scatter-add / fused one-exchange-per-round bucketed loop,
+    bit-identical by test."""
+    from ..stages.graph import host_opic
+
+    out = (
+        host_opic(_host_edges(sf_dir), iters=OPIC_ITERS, scale=OPIC_SCALE)
+        .to_pandas()
+        .rename(columns={"node": "host"})
+    )
+    for c in ("cash", "hist", "importance"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_opic(golden_dir: str, iters: int = OPIC_ITERS, scale: int = OPIC_SCALE) -> str:
+    """Independent SQL OPIC iteration over the GOLDEN media-plan edge set
+    (the hostrank/HITS contract: edges are serial-golden-checked, the
+    iteration chain is DuckDB's own)."""
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    parts = [
+        f"""e AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM e GROUP BY src),
+c0 AS (SELECT node, CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS hist FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""m{i} AS (
+  SELECT e.dst AS node, CAST(SUM(c.cash // od.outdeg) AS BIGINT) AS cash
+  FROM e JOIN c{i-1} c ON c.node = e.src JOIN od ON od.src = e.src
+  GROUP BY e.dst
+),
+c{i} AS (
+  SELECT c.node, CAST(COALESCE(m.cash, 0) AS BIGINT) AS cash,
+         CAST(c.hist + c.cash AS BIGINT) AS hist
+  FROM c{i-1} c LEFT JOIN m{i} m USING (node)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT node AS host, cash, hist, CAST(cash + hist AS BIGINT) AS importance
+FROM c{iters} ORDER BY host"""
+    )
+
+
 WSAMPLE_K = 100  # q_doc_weighted_sample: sample size
 
 
@@ -7029,6 +7098,7 @@ QUERIES = {
     "q_doc_jsonl_export": q_doc_jsonl_export,
     "q_crawl_hrw_shards": q_crawl_hrw_shards,
     "q_doc_weighted_sample": q_doc_weighted_sample,
+    "q_crawl_opic": q_crawl_opic,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7327,6 +7397,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_jsonl_export": SQL_DOC_JSONL_EXPORT,
         "q_crawl_hrw_shards": _sql_pages(sf_dir, _sql_crawl_hrw_shards()),
         "q_doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
+        "q_crawl_opic": _sql_crawl_opic(g),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

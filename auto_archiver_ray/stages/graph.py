@@ -283,6 +283,227 @@ def _driver_pagerank(edges, iters: int, scale: int, init_df: pd.DataFrame | None
     )
 
 
+def host_opic(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 4,
+    scale: int = 10**12,
+    num_buckets: int = 256,
+    strategy: str = "auto",
+    driver_edge_limit: int = 5_000_000,
+):
+    """OPIC — On-line Page Importance Computation (Abiteboul, Preda &
+    Cobena, WWW 2003) in integer fixed-point over an edge Dataset. Returns
+    a Dataset of ``(node, cash, hist, importance)`` (all int64).
+
+    The crawl-ordering algorithm the frontier actually wants: unlike
+    PageRank there is no damping and no convergence requirement — each
+    node holds CASH (current attention) and HISTORY (accumulated
+    attention); every round a node banks its cash into history and
+    distributes it equally along its out-edges, and ``importance =
+    hist + cash`` is a usable fetch priority after ANY number of rounds
+    (the online property — a real frontier updates it per fetch).
+    Exact integer spec shared with the SQL twin: cash_0 = scale // n on
+    every node, hist_0 = 0; per round hist += cash then
+    cash'(v) = Σ_{(u,v)∈E} cash(u) // outdeg(u). Floor losses and
+    dangling-node cash are absorbed by OPIC's virtual page (simply
+    dropped — both engines drop them identically).
+
+    Strategies mirror :func:`host_pagerank` (bit-identical by test):
+
+    - ``"driver"``: vectorized numpy scatter-add per round over the
+      distinct edge list; right while distinct host edges fit one machine.
+    - ``"bucketed"``: the fused reduce-into-emit message loop — ONE
+      coarse-bucketed exchange per round; self-messages carry each node's
+      history and outdeg so no driver state exists at all.
+    - ``"auto"`` (default): driver iff distinct edges ≤ the limit."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column(src_col).cast(pa.string()),
+                "peer": batch.column(dst_col).cast(pa.string()),
+            }
+        )
+
+    edges = (
+        edges_ds.map_batches(project, batch_format="pyarrow")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .materialize()
+    )
+
+    def distinct_edges(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["node", "peer", "__cb"]].drop_duplicates(["node", "peer"])
+
+    edges = edges.groupby("__cb").map_groups(distinct_edges, batch_format="pandas").materialize()
+
+    if strategy == "driver" or (strategy == "auto" and edges.count() <= driver_edge_limit):
+        return _driver_opic(edges, iters, scale)
+    return _bucketed_opic(edges, iters, scale, num_buckets)
+
+
+def _driver_opic(edges, iters: int, scale: int):
+    """Vectorized driver OPIC: factorize nodes once, one integer
+    scatter-add per round. Same spec, bit-identical to the bucketed path."""
+    import ray.data as rd
+
+    empty = pa.table(
+        {
+            "node": pa.array([], pa.string()),
+            "cash": pa.array([], pa.int64()),
+            "hist": pa.array([], pa.int64()),
+            "importance": pa.array([], pa.int64()),
+        }
+    )
+    df = edges.to_pandas()
+    if not len(df):
+        return rd.from_arrow(empty)
+    all_nodes, codes = np.unique(
+        np.concatenate([df["node"].to_numpy(dtype=object), df["peer"].to_numpy(dtype=object)]),
+        return_inverse=True,
+    )
+    m = len(df)
+    src_idx, dst_idx = codes[:m], codes[m:]
+    n = len(all_nodes)
+    outdeg = np.bincount(src_idx, minlength=n).astype(np.int64)
+    cash = np.full(n, scale // n, dtype=np.int64)
+    hist = np.zeros(n, dtype=np.int64)
+    for _ in range(iters):
+        hist = hist + cash
+        share = cash[src_idx] // outdeg[src_idx]
+        acc = np.zeros(n, dtype=np.int64)
+        np.add.at(acc, dst_idx, share)
+        cash = acc
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(list(all_nodes), pa.string()),
+                "cash": pa.array(cash),
+                "hist": pa.array(hist),
+                "importance": pa.array(cash + hist),
+            }
+        )
+    )
+
+
+def _bucketed_opic(edges, iters: int, scale: int, num_buckets: int):
+    """Fused message-passing OPIC: one coarse-bucketed exchange per round.
+    Invariant between rounds: cash(v) = Σ cash-contribs addressed to v;
+    the self-message (contrib 0) carries v's history and outdeg, so every
+    node survives every round and no driver state exists."""
+
+    def node_seed(g: pd.DataFrame) -> pd.DataFrame:
+        od = g.groupby("node", as_index=False).size().rename(columns={"size": "outdeg"})
+        dsts = pd.DataFrame({"node": g["peer"].unique()})
+        dsts["outdeg"] = 0
+        return pd.concat([od, dsts], ignore_index=True)[["node", "outdeg"]]
+
+    def node_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False).agg(outdeg=("outdeg", "max"))
+        r["__cb"] = g["__cb"].iloc[0]
+        return r
+
+    nodes = (
+        edges.groupby("__cb")
+        .map_groups(node_seed, batch_format="pandas")
+        .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+        .groupby("__cb")
+        .map_groups(node_reduce, batch_format="pandas")
+        .materialize()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.drop_columns(["outdeg", "__cb"])
+    c0 = scale // n_nodes
+
+    def init_msgs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "contrib": pa.array(np.full(batch.num_rows, c0, dtype=np.int64)),
+                "hist": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+                "outdeg": batch.column("outdeg").cast(pa.int64()),
+                "__cb": batch.column("__cb"),
+            }
+        )
+
+    msgs = nodes.map_batches(init_msgs, batch_format="pyarrow").materialize()
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        neg = pa.array(np.full(batch.num_rows, -1, dtype=np.int64))
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": batch.column("peer"),
+                "__cb": batch.column("__cb"),
+                "contrib": neg,
+                "hist": neg,
+                "outdeg": neg,
+                "is_msg": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    edges_tagged = edges.map_batches(tag_edges, batch_format="pyarrow").materialize()
+
+    def tag_msgs(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("node"),
+                "peer": pa.array([""] * batch.num_rows, pa.string()),
+                "__cb": batch.column("__cb"),
+                "contrib": batch.column("contrib"),
+                "hist": batch.column("hist"),
+                "outdeg": batch.column("outdeg"),
+                "is_msg": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def reduce_and_emit(g: pd.DataFrame) -> pd.DataFrame:
+        tag = g["is_msg"].to_numpy() == 1
+        m = g.loc[tag]
+        rk = m.groupby("node", as_index=False).agg(
+            cash=("contrib", "sum"), hist=("hist", "max"), outdeg=("outdeg", "max")
+        )
+        new_hist = rk["hist"].to_numpy(dtype=np.int64) + rk["cash"].to_numpy(dtype=np.int64)
+        e = g.loc[~tag, ["node", "peer"]].merge(
+            rk[["node", "outdeg", "cash"]], on="node", how="left"
+        )
+        share = np.zeros(len(e), dtype=np.int64)
+        has = e["outdeg"].to_numpy() > 0
+        share[has] = e.loc[has, "cash"].to_numpy(dtype=np.int64) // e.loc[
+            has, "outdeg"
+        ].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "node": pd.concat([rk["node"], e["peer"]], ignore_index=True),
+                # self contrib is ZERO: next round's cash = edge contribs
+                # only; the self row carries history + outdeg forward
+                "contrib": np.concatenate([np.zeros(len(rk), dtype=np.int64), share]),
+                "hist": np.concatenate([new_hist, np.full(len(e), -1, dtype=np.int64)]),
+                "outdeg": np.concatenate(
+                    [rk["outdeg"].to_numpy(dtype=np.int64), np.full(len(e), -1, dtype=np.int64)]
+                ),
+            }
+        )
+
+    for _ in range(iters):
+        tagged = edges_tagged.union(msgs.map_batches(tag_msgs, batch_format="pyarrow"))
+        msgs = (
+            tagged.groupby("__cb")
+            .map_groups(reduce_and_emit, batch_format="pandas")
+            .map_batches(_bucket_on("node", num_buckets), batch_format="pyarrow")
+            .materialize()
+        )
+
+    def final_reduce(g: pd.DataFrame) -> pd.DataFrame:
+        r = g.groupby("node", as_index=False).agg(cash=("contrib", "sum"), hist=("hist", "max"))
+        r["importance"] = r["cash"].to_numpy(dtype=np.int64) + r["hist"].to_numpy(dtype=np.int64)
+        return r[["node", "cash", "hist", "importance"]]
+
+    return msgs.groupby("__cb").map_groups(final_reduce, batch_format="pandas")
+
+
 def host_trustrank(
     edges_ds,
     seed_hosts,

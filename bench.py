@@ -201,6 +201,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_jsonl_export",
             "q_crawl_hrw_shards",
             "q_doc_weighted_sample",
+            "q_crawl_opic",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

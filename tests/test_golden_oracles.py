@@ -1690,3 +1690,30 @@ def test_weighted_sample_matches_sql_biased_and_batch_invariant():
 
     small = q_doc_weighted_sample(SF_SMALL, _batch_size=32).reset_index(drop=True)
     pd.testing.assert_frame_equal(small, got, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_opic_matches_sql_iteration():
+    """q_crawl_opic on sf0.001: the whole chain (extract → media plan →
+    host edges → integer OPIC rounds) is value-exact vs the independent
+    DuckDB iteration over the golden edge set; importances are positive
+    and non-constant (the cash flow actually discriminates hosts)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_crawl_opic,
+        q_crawl_opic,
+    )
+
+    got = q_crawl_opic(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_crawl_opic(_golden_dir(SF_SMALL))).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert (got["importance"] > 0).all()
+    assert got["importance"].nunique() >= 2, "cash flow collapsed to a constant"
+    assert (got["hist"] > 0).all(), "some host never banked cash"

@@ -564,3 +564,75 @@ def test_host_seed_distance_strategies_toy_and_cap():
     ]
     pd.testing.assert_frame_equal(frames[0], frames[1], check_dtype=False)
     assert (frames[0].loc[frames[0]["node"].isin(seeds), "hops"] == 0).all()
+
+
+def serial_opic(edges, iters=4, scale=10**12):
+    """Naive dict replay of the host_opic integer spec."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    out = {}
+    for s, _ in e:
+        out[s] = out.get(s, 0) + 1
+    cash = {n: scale // len(nodes) for n in nodes}
+    hist = {n: 0 for n in nodes}
+    for _ in range(iters):
+        for n in nodes:
+            hist[n] += cash[n]
+        acc = {n: 0 for n in nodes}
+        for s, d in e:
+            acc[d] += cash[s] // out[s]
+        cash = acc
+    return {n: (cash[n], hist[n], cash[n] + hist[n]) for n in nodes}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_opic_strategies_and_online_property():
+    """Driver and bucketed OPIC are bit-identical to each other and to a
+    naive serial replay; a hub that everything links to accumulates more
+    importance than leaves; dangling-node cash is absorbed (not
+    redistributed); duplicate edges do not double cash flow."""
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_opic
+
+    edges = [
+        ("a.org", "hub.com"),
+        ("b.org", "hub.com"),
+        ("c.org", "hub.com"),
+        ("hub.com", "leaf.net"),  # leaf.net is dangling: cash vanishes
+        ("a.org", "b.org"),
+        ("a.org", "hub.com"),  # duplicate edge must not double cash
+    ]
+    want = serial_opic(edges)
+    for strat in ("driver", "bucketed"):
+        got = (
+            host_opic(
+                rd.from_pandas(pd.DataFrame(edges, columns=["src", "dst"])),
+                strategy=strat,
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("node")
+        )
+        as_map = {
+            n: (int(c), int(h), int(i))
+            for n, c, h, i in zip(got["node"], got["cash"], got["hist"], got["importance"])
+        }
+        assert as_map == want, strat
+    imp = {n: v[2] for n, v in want.items()}
+    assert imp["hub.com"] > imp["a.org"], "hub did not accumulate importance"
+    # total system cash can only shrink (virtual-page absorption + floors)
+    scale = 10**12
+    assert sum(v[0] for v in want.values()) <= scale
+    # every node banked at least its initial cash into history
+    assert all(v[1] >= scale // len(want) for v in want.values())
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_opic_empty_edges():
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.graph import host_opic
+
+    empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []}).astype(str))
+    assert host_opic(empty).count() == 0
