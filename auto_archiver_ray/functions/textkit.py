@@ -560,3 +560,29 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
         return 1.0
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter)
+
+
+def levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Unit-cost edit distance over raw BYTES — the exact twin of DuckDB's
+    ``levenshtein()`` (which operates on the utf-8 byte sequence, not code
+    points; verified property-style in tests/test_textkit.py). Vectorized
+    Wagner–Fischer: one numpy row per outer character, with the sequential
+    insertion chain closed in O(n) via the running-minimum identity
+    ``cur[j] = j + min_{k<=j}(x[k] - k)``."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    if lb > la:  # iterate over the longer side, keep the row short
+        a, b, la, lb = b, a, lb, la
+    bb = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
+    for i in range(1, la + 1):
+        tmp = np.minimum(prev[1:] + 1, prev[:-1] + (bb != a[i - 1]))
+        x = np.concatenate(([np.int64(i)], tmp))
+        prev = np.minimum.accumulate(x - idx) + idx
+    return int(prev[-1])

@@ -6807,6 +6807,74 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_doc_editdist(sf_dir: str):
+    """Exact EDIT-DISTANCE verification of the MinHash candidate pairs —
+    the standard two-phase near-dup verify (cheap hash candidates, exact
+    metric on the survivors) with a metric the oracle recomputes natively:
+    byte-level Levenshtein, the exact twin of DuckDB ``levenshtein()``
+    (byte semantics pinned by a 300-case random property test). Output per
+    candidate pair: the distance, the longer side's byte length, and the
+    integer edit percentage ``100·lev // max_len`` — the thresholdable
+    near-dup verdict signal.
+
+    Scale shape: :func:`..stages.dedup.editdist_verify_pairs` — candidate
+    ids through the sharded semi-join, utf-8 payloads hash-joined back per
+    pair, each O(m·n) DP inside coarse-bucketed map_groups; the quadratic
+    work touches only candidate pairs, never the corpus."""
+    from ..stages.dedup import editdist_verify_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    scored = editdist_verify_pairs(ds, cand_threshold=0.7).to_pandas()
+
+    # byte lengths for CANDIDATE ids only: skinny (doc_id, n_bytes) rows
+    # leave the scan after a sharded semi-join — the corpus never does.
+    from ..stages.join import semi_join
+
+    ids = sorted(set(scored["id_a"]) | set(scored["id_b"]))
+    ids_ds = _rd().from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64())}))
+    lens = (
+        semi_join(ds, ids_ds, on="doc_id", strategy="sharded")
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "doc_id": b.column("doc_id").cast(pa.int64()),
+                    "n_bytes": pc.cast(pc.binary_length(b.column("text")), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    out = (
+        scored.merge(lens.rename(columns={"doc_id": "id_a", "n_bytes": "la"}), on="id_a")
+        .merge(lens.rename(columns={"doc_id": "id_b", "n_bytes": "lb"}), on="id_b")
+    )
+    out["lev"] = out["lev"].astype("int64")
+    out["max_len"] = out[["la", "lb"]].max(axis=1).astype("int64")
+    out["edit_pct"] = (100 * out["lev"]) // np.maximum(out["max_len"].to_numpy(), 1)
+    out = out[["id_a", "id_b", "lev", "max_len", "edit_pct"]]
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+def _sql_doc_editdist(golden_dir: str) -> str:
+    """Full-chain SQL twin over the GOLDEN minhash pair set (the
+    q_doc_clusters contract: the candidate edges are serial-golden-checked;
+    the Levenshtein + ratio math is DuckDB's own)."""
+    g = f"{golden_dir}/q_doc_minhash_pairs.parquet"
+    return f"""
+SELECT p.id_a, p.id_b,
+       CAST(levenshtein(a.text, b.text) AS BIGINT) AS lev,
+       CAST(greatest(strlen(a.text), strlen(b.text)) AS BIGINT) AS max_len,
+       CAST((100 * levenshtein(a.text, b.text))
+            // greatest(strlen(a.text), strlen(b.text), 1) AS BIGINT) AS edit_pct
+FROM read_parquet('{g}') p
+JOIN documents a ON a.doc_id = p.id_a
+JOIN documents b ON b.doc_id = p.id_b
+ORDER BY p.id_a, p.id_b
+"""
+
+
 OPIC_ITERS = 4  # q_crawl_opic: distribution rounds (any count is valid — online)
 OPIC_SCALE = 10**12  # fixed-point cash unit
 
@@ -7099,6 +7167,7 @@ QUERIES = {
     "q_crawl_hrw_shards": q_crawl_hrw_shards,
     "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_crawl_opic": q_crawl_opic,
+    "q_doc_editdist": q_doc_editdist,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7398,6 +7467,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_hrw_shards": _sql_pages(sf_dir, _sql_crawl_hrw_shards()),
         "q_doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "q_crawl_opic": _sql_crawl_opic(g),
+        "q_doc_editdist": _sql_doc_editdist(g),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -911,6 +911,65 @@ def ngram_jaccard_pairs(
     return scored.filter(expr=f"jaccard >= {threshold}")
 
 
+def editdist_verify_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    cand_threshold: float = 0.7,
+    num_perm: int = 128,
+    num_bands: int = 16,
+):
+    """EXACT edit-distance verification of MinHash-LSH candidate pairs —
+    the classic two-phase near-dup verify (hash-based candidates, exact
+    distance on the survivors) with the exact metric the oracle can
+    recompute: byte-level Levenshtein (:func:`..functions.textkit.
+    levenshtein_bytes`, the twin of DuckDB ``levenshtein()``). Returns a
+    Dataset of ``(id_a, id_b, lev)`` for every candidate pair.
+
+    Scale shape: identical to :func:`ngram_jaccard_pairs` — candidate ids
+    flow through the sharded semi-join, the raw utf-8 payloads hash-join
+    back per pair, and each O(len_a·len_b) DP runs inside coarse-bucketed
+    map_groups. Neither the corpus nor the pair set lands on the driver;
+    the quadratic DP touches only candidate pairs (a vanishing fraction of
+    the corpus), never all pairs."""
+    from .join import semi_join
+
+    cand = (
+        minhash_candidate_pairs(
+            ds, id_col, text_col, num_perm=num_perm, num_bands=num_bands,
+            threshold=cand_threshold,
+        )
+        .drop_columns(["est_jaccard"])
+        .materialize()
+    )
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
+        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
+        return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
+
+    cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+    needed = semi_join(ds.select_columns([id_col, text_col]), cand_ids, on=id_col, strategy="sharded")
+
+    def payload(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "raw": pa.array(
+                    [(t or "").encode("utf-8") for t in batch.column(text_col).to_pylist()],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    payloads = needed.map_batches(payload, batch_format="pyarrow", batch_size=2048)
+
+    def lev(a: bytes, b: bytes) -> float:
+        return float(textkit.levenshtein_bytes(a, b))
+
+    return pair_scores(cand, payloads, id_col, "raw", lev, "lev")
+
+
 def winnow_candidate_pairs(
     ds,
     id_col: str = "doc_id",

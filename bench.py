@@ -202,6 +202,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_hrw_shards",
             "q_doc_weighted_sample",
             "q_crawl_opic",
+            "q_doc_editdist",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1717,3 +1717,35 @@ def test_opic_matches_sql_iteration():
     assert (got["importance"] > 0).all()
     assert got["importance"].nunique() >= 2, "cash flow collapsed to a constant"
     assert (got["hist"] > 0).all(), "some host never banked cash"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_editdist_matches_sql_and_discriminates():
+    """q_doc_editdist on sf0.001: the whole chain (minhash candidates →
+    sharded payload join → per-pair byte-Levenshtein DP → integer edit
+    percentage) is value-exact vs DuckDB's native levenshtein() over the
+    golden pair set; the verify stage actually discriminates (near-dup
+    candidates score low but not all zero)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_doc_editdist,
+        q_doc_editdist,
+    )
+
+    got = q_doc_editdist(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(_sql_doc_editdist(_golden_dir(SF_SMALL))).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert len(got) > 0
+    assert (got["lev"] <= got["max_len"]).all()
+    assert got["lev"].max() > 0, "every candidate pair is an exact dup — verify vacuous"
+    assert (got["edit_pct"] <= 50).any(), "no near-dup survived its own candidate gate"

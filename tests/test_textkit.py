@@ -170,3 +170,28 @@ def test_extract_anchor_texts_empty_and_str_input():
 
     assert extract_anchor_texts(b"<p>no links</p>") == []
     assert extract_anchor_texts('<a href="https://x.io/">t</a>') == [("https://x.io/", "t")]
+
+
+def test_levenshtein_bytes_matches_duckdb_property():
+    """levenshtein_bytes is the exact twin of DuckDB levenshtein() —
+    300 random cases across ASCII + multibyte alphabets (DuckDB's function
+    is BYTE-level: 'é' counts as two edits against 'e'), plus the textbook
+    cases and both degenerate empties."""
+    import random
+
+    import duckdb
+
+    from auto_archiver_ray.functions.textkit import levenshtein_bytes
+
+    con = duckdb.connect()
+    assert levenshtein_bytes(b"kitten", b"sitting") == 3
+    assert levenshtein_bytes(b"", b"abc") == 3 and levenshtein_bytes(b"abc", b"") == 3
+    assert levenshtein_bytes(b"", b"") == 0
+    rng = random.Random(7)
+    for _ in range(300):
+        a = "".join(rng.choice("abcde é漢") for _ in range(rng.randint(0, 40)))
+        b = "".join(rng.choice("abcde é漢") for _ in range(rng.randint(0, 40)))
+        want = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        got = levenshtein_bytes(a.encode("utf-8"), b.encode("utf-8"))
+        assert got == want, (a, b, got, want)
+    con.close()
