@@ -6807,6 +6807,135 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+FAIRSHARE_DIV = 3  # q_crawl_fairshare: budget = total demand // 3 (binding)
+
+
+def q_crawl_fairshare(sf_dir: str):
+    """Max-min FAIR crawl-budget allocation (water-filling — the classic
+    scheduler allocator, progressive filling à la Bertsekas–Gallager
+    §6.5.2): a global fetch budget B = total_urls // 3 is split across
+    hosts so every host gets min(demand, t) at the unique water level t,
+    and the integer remainder goes +1 each to the first capped hosts in
+    host order. No host can gain without a smaller allocation losing —
+    the fairness property a shared politeness budget wants (q_crawl_plan's
+    per-host caps are flat; this derives the caps from demand). Fully
+    integer: the water level is found by the sorted-prefix-sum
+    characterization (k satisfied hosts ⇔ t = (B−s_k)//(n−k) with
+    d_k ≤ t < d_{k+1}), identical in both engines.
+
+    Scale shape: per-host demand via per-batch partials + driver reduce
+    (hosts bounded — the authority-table contract); the water-level solve
+    is O(hosts log hosts) on the skinny demand table, never touching
+    urls."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "d": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _ren(t.group_by("host").aggregate([("d", "sum")]), {"d_sum": "d"})
+
+    dem = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"d": "sum"},
+    ).sort_values(["d", "host"], kind="mergesort").reset_index(drop=True)
+    d = dem["d"].to_numpy(dtype=np.int64)
+    n = len(d)
+    total = int(d.sum())
+    budget = total // FAIRSHARE_DIV
+    ps = np.concatenate(([0], np.cumsum(d)))
+    alloc = d.copy()
+    if total > budget:
+        t = None
+        for k in range(n):  # hosts are bounded; the solve is O(n) anyway
+            if n - k == 0:
+                continue
+            tk = (budget - int(ps[k])) // (n - k)
+            lo = int(d[k - 1]) if k > 0 else 0
+            hi = int(d[k]) if k < n else None
+            if tk >= lo and (hi is None or tk < hi):
+                t = tk
+                n_sat = k
+                break
+        assert t is not None, "water level not found — spec violated"
+        alloc = np.minimum(d, t)
+        r = budget - int(alloc.sum())
+        capped = np.flatnonzero(d > t)
+        # remainder: +1 to the first r capped hosts in HOST order
+        order = np.argsort(dem["host"].to_numpy()[capped], kind="mergesort")
+        alloc[capped[order[:r]]] += 1
+    out = pd.DataFrame(
+        {
+            "host": dem["host"],
+            "demand": d,
+            "alloc": alloc.astype(np.int64),
+            "capped": (alloc < d).astype(np.int64),
+        }
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_fairshare() -> str:
+    return f"""
+WITH c AS (
+  SELECT {_sql_canon_host('url')} AS host, CAST(COUNT(*) AS BIGINT) AS d
+  FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(d) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n FROM c),
+b AS (SELECT total // {FAIRSHARE_DIV} AS budget, total, n FROM tot),
+s AS (
+  SELECT host, d,
+         CAST(row_number() OVER (ORDER BY d, host) AS BIGINT) AS i,
+         CAST(COALESCE(sum(d) OVER (ORDER BY d, host
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS ps,
+         lag(d) OVER (ORDER BY d, host) AS d_prev
+  FROM c
+),
+lvl AS (
+  SELECT (b.budget - s.ps) // (b.n - s.i + 1) AS t
+  FROM s, b
+  WHERE b.total > b.budget
+    AND (b.budget - s.ps) // (b.n - s.i + 1) >= COALESCE(s.d_prev, 0)
+    AND (b.budget - s.ps) // (b.n - s.i + 1) < s.d
+),
+t AS (SELECT CASE WHEN (SELECT total FROM b) <= (SELECT budget FROM b)
+             THEN NULL ELSE (SELECT MIN(t) FROM lvl) END AS t),
+base AS (
+  SELECT c.host, c.d,
+         CASE WHEN (SELECT t FROM t) IS NULL THEN c.d
+              ELSE least(c.d, (SELECT t FROM t)) END AS a0
+  FROM c
+),
+rem AS (
+  SELECT (SELECT budget FROM b) - SUM(a0) AS r FROM base
+  WHERE (SELECT t FROM t) IS NOT NULL
+),
+ranked AS (
+  SELECT host, d, a0,
+         CASE WHEN (SELECT t FROM t) IS NOT NULL AND d > (SELECT t FROM t)
+              THEN row_number() OVER (PARTITION BY (d > COALESCE((SELECT t FROM t), d))
+                                      ORDER BY host)
+              ELSE NULL END AS cap_rank
+  FROM base
+)
+SELECT host, d AS demand,
+       CAST(a0 + CASE WHEN cap_rank IS NOT NULL
+                       AND cap_rank <= COALESCE((SELECT r FROM rem), 0)
+                      THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       CAST((a0 + CASE WHEN cap_rank IS NOT NULL
+                        AND cap_rank <= COALESCE((SELECT r FROM rem), 0)
+                       THEN 1 ELSE 0 END) < d AS BIGINT) AS capped
+FROM ranked ORDER BY host
+"""
+
+
 def q_doc_editdist(sf_dir: str):
     """Exact EDIT-DISTANCE verification of the MinHash candidate pairs —
     the standard two-phase near-dup verify (cheap hash candidates, exact
@@ -7168,6 +7297,7 @@ QUERIES = {
     "q_doc_weighted_sample": q_doc_weighted_sample,
     "q_crawl_opic": q_crawl_opic,
     "q_doc_editdist": q_doc_editdist,
+    "q_crawl_fairshare": q_crawl_fairshare,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7468,6 +7598,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_weighted_sample": SQL_DOC_WEIGHTED_SAMPLE,
         "q_crawl_opic": _sql_crawl_opic(g),
         "q_doc_editdist": _sql_doc_editdist(g),
+        "q_crawl_fairshare": _sql_pages(sf_dir, _sql_crawl_fairshare()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

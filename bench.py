@@ -203,6 +203,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_weighted_sample",
             "q_crawl_opic",
             "q_doc_editdist",
+            "q_crawl_fairshare",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1749,3 +1749,40 @@ def test_editdist_matches_sql_and_discriminates():
     assert (got["lev"] <= got["max_len"]).all()
     assert got["lev"].max() > 0, "every candidate pair is an exact dup — verify vacuous"
     assert (got["edit_pct"] <= 50).any(), "no near-dup survived its own candidate gate"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fairshare_matches_sql_and_is_maxmin_fair():
+    """q_crawl_fairshare on sf0.001: value-exact vs the SQL water-filling
+    twin; the allocation exhausts the budget exactly, never exceeds
+    demand, and is max-min fair (every capped host's allocation is ≥ every
+    satisfied host's demand — no host could gain without a smaller
+    allocation losing)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        FAIRSHARE_DIV,
+        _sql_crawl_fairshare,
+        _sql_pages,
+        q_crawl_fairshare,
+    )
+
+    got = q_crawl_fairshare(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_fairshare())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    budget = int(got["demand"].sum()) // FAIRSHARE_DIV
+    assert int(got["alloc"].sum()) == budget, "budget not exhausted exactly"
+    assert (got["alloc"] <= got["demand"]).all()
+    assert (got["capped"] == (got["alloc"] < got["demand"]).astype(int)).all()
+    capped = got[got["capped"] == 1]
+    sat = got[got["capped"] == 0]
+    assert len(capped) > 0, "budget did not bind — fairness vacuous on this corpus"
+    if len(sat):
+        assert capped["alloc"].min() >= sat["demand"].max(), "max-min fairness violated"
+    # water level: capped allocations differ by at most the +1 remainder
+    assert capped["alloc"].max() - capped["alloc"].min() <= 1
