@@ -6807,6 +6807,94 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_doc_novelty(sf_dir: str):
+    """Per-document n-gram NOVELTY — the inverse signal of the dedup
+    plane: the fraction of a doc's distinct word trigrams that occur in NO
+    other document (``100·n_novel // n_tri``). High-novelty docs carry
+    unique content worth keeping; low-novelty docs are recombinations of
+    corpus boilerplate even when no single near-dup pair fires — the
+    complement to q_doc_dupspans (which finds repeated spans) and
+    q_doc_repetition (within-doc repeats).
+
+    Scale shape: two skinny exchanges. (1) distinct (shingle-u64, doc_id)
+    rows shuffle to hash(shingle) coarse buckets, where document frequency
+    is exact (a shingle lives wholly in one bucket); each bucket emits
+    per-doc partials (n_tri, n_novel) counted over ITS shingles. (2) the
+    partials re-aggregate keyed by doc through bucketed_group_agg. No
+    vocabulary table, no driver state; same blake2b-shingle ≡ SQL-string
+    equivalence contract as q_doc_ngram_jaccard (counts match absent
+    2^-64 collisions)."""
+    from ..stages.agg import _add_key_bucket_fn, bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        hs: list[np.ndarray] = []
+        ds_: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            sh = np.unique(textkit.word_shingles(t or "", 3))
+            if len(sh):
+                hs.append(sh)
+                ds_.append(np.full(len(sh), i, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"h": pa.array(np.concatenate(hs), pa.uint64()), "doc_id": pa.array(np.concatenate(ds_))}
+        )
+
+    rows = ds.map_batches(explode, batch_format="pyarrow", batch_size=2048).map_batches(
+        _add_key_bucket_fn(["h"], 256), batch_format="pyarrow"
+    )
+
+    def df_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        df = g.groupby("h")["doc_id"].transform("size")
+        alln = g.groupby("doc_id", as_index=False).size().rename(columns={"size": "n_tri"})
+        nov = (
+            g[df.to_numpy() == 1]
+            .groupby("doc_id", as_index=False)
+            .size()
+            .rename(columns={"size": "n_novel"})
+        )
+        out = alln.merge(nov, on="doc_id", how="left").fillna({"n_novel": 0})
+        return out.astype({"n_tri": "int64", "n_novel": "int64"})
+
+    partials = rows.groupby("__tb").map_groups(df_bucket, batch_format="pandas")
+    agg = bucketed_group_agg(partials, ["doc_id"], {"n_tri": "sum", "n_novel": "sum"}, num_buckets=64)
+    out = agg.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    out["n_tri"] = out["n_tri"].astype("int64")
+    out["n_novel"] = out["n_novel"].astype("int64")
+    out["novelty_pct"] = (100 * out["n_novel"]) // out["n_tri"]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_NOVELTY = r"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS shingles
+  FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+), df AS (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
+SELECT e.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tri,
+       CAST(COUNT(*) FILTER (df.df = 1) AS BIGINT) AS n_novel,
+       CAST((100 * COUNT(*) FILTER (df.df = 1)) // COUNT(*) AS BIGINT) AS novelty_pct
+FROM e JOIN df USING (s) GROUP BY e.doc_id ORDER BY e.doc_id
+"""
+
+
 FAIRSHARE_DIV = 3  # q_crawl_fairshare: budget = total demand // 3 (binding)
 
 
@@ -7298,6 +7386,7 @@ QUERIES = {
     "q_crawl_opic": q_crawl_opic,
     "q_doc_editdist": q_doc_editdist,
     "q_crawl_fairshare": q_crawl_fairshare,
+    "q_doc_novelty": q_doc_novelty,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7599,6 +7688,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_opic": _sql_crawl_opic(g),
         "q_doc_editdist": _sql_doc_editdist(g),
         "q_crawl_fairshare": _sql_pages(sf_dir, _sql_crawl_fairshare()),
+        "q_doc_novelty": SQL_DOC_NOVELTY,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -204,6 +204,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_opic",
             "q_doc_editdist",
             "q_crawl_fairshare",
+            "q_doc_novelty",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1786,3 +1786,35 @@ def test_fairshare_matches_sql_and_is_maxmin_fair():
         assert capped["alloc"].min() >= sat["demand"].max(), "max-min fairness violated"
     # water level: capped allocations differ by at most the +1 remainder
     assert capped["alloc"].max() - capped["alloc"].min() <= 1
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_novelty_matches_sql_and_discriminates():
+    """q_doc_novelty on sf0.001: value-exact vs the SQL df-over-shingles
+    twin; the signal discriminates (spread of novelty percentages) and
+    respects its own invariants (n_novel ≤ n_tri; exact-dup docs score 0
+    novelty — every shingle they have occurs elsewhere)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_NOVELTY, q_doc_novelty
+
+    got = q_doc_novelty(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_NOVELTY).df()
+    dup_ids = con.execute(
+        "SELECT doc_id FROM documents WHERE text IN ("
+        "SELECT text FROM documents GROUP BY text HAVING COUNT(*) > 1)"
+    ).df()["doc_id"]
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert (got["n_novel"] <= got["n_tri"]).all()
+    assert got["novelty_pct"].nunique() >= 3, "novelty collapsed"
+    dups = got[got["doc_id"].isin(set(dup_ids))]
+    if len(dups):
+        assert (dups["novelty_pct"] == 0).all(), "exact-dup doc scored novel shingles"
