@@ -6807,6 +6807,129 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+MIRROR_PCT = 5  # q_crawl_mirrors: containment threshold (integer percent)
+
+
+def q_crawl_mirrors(sf_dir: str):
+    """Mirror-host detection (Bharat & Broder, WWW 1999 "mirrored hosts"):
+    host pairs whose page-content overlap is a large fraction of the
+    smaller host — containment ``100·|A∩B| // min(|A|,|B|)`` over the
+    per-host sets of distinct payload sha256 digests. A crawler that
+    detects mirrors reclaims their whole politeness budget (fetch one of
+    the pair); content dedup alone can't see it because it fires per page,
+    not per host.
+
+    Scale shape: distinct (sha, host) rows shuffle once to hash(sha)
+    coarse buckets, where bucket-level drop_duplicates is globally exact
+    (a sha lives in one bucket) and each multi-host sha emits its host
+    pairs locally; pair partials re-aggregate keyed by the pair, host set
+    sizes fall out of the same bucketed rows with a driver reduce (hosts
+    bounded). Only digests and host names ever move — payloads stay in
+    the scan."""
+    import hashlib
+
+    from ..stages.agg import _add_key_bucket_fn, bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+
+    def sha_host(batch: pa.Table) -> pa.Table:
+        hosts = batch.column("host").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        shas = [hashlib.sha256(h if h is not None else b"").hexdigest() for h in htmls]
+        df = pd.DataFrame({"sha": shas, "host": hosts}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = (
+        ds.select_columns(["host", "html"])
+        .map_batches(sha_host, batch_format="pyarrow", batch_size=1024)
+        .map_batches(_add_key_bucket_fn(["sha"], 256), batch_format="pyarrow")
+        .materialize()  # consumed twice: pair search + host set sizes
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"]).drop_duplicates(["sha", "host"])
+        sizes = g.groupby("sha")["host"].transform("size")
+        g2 = g[sizes >= 2]
+        if g2.empty:
+            return pd.DataFrame(
+                {
+                    "host_a": pd.Series(dtype="object"),
+                    "host_b": pd.Series(dtype="object"),
+                    "n_shared": pd.Series(dtype="int64"),
+                }
+            )
+        m = g2.merge(g2, on="sha")
+        m = m[m["host_x"] < m["host_y"]]
+        out = m.groupby(["host_x", "host_y"], as_index=False).size()
+        return out.rename(
+            columns={"host_x": "host_a", "host_y": "host_b", "size": "n_shared"}
+        ).astype({"n_shared": "int64"})
+
+    pairs = (
+        bucketed_group_agg(
+            rows.groupby("__tb").map_groups(bucket_pairs, batch_format="pandas"),
+            ["host_a", "host_b"],
+            {"n_shared": "sum"},
+            num_buckets=64,
+        )
+        .to_pandas()
+    )
+
+    def host_sizes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"]).drop_duplicates(["sha", "host"])
+        return g.groupby("host", as_index=False).size().rename(columns={"size": "n"})
+
+    sizes = (
+        rows.groupby("__tb")
+        .map_groups(host_sizes, batch_format="pandas")
+        .to_pandas()
+        .groupby("host", as_index=False)["n"]
+        .sum()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "host_a": pd.Series(dtype="object"),
+                "host_b": pd.Series(dtype="object"),
+                "n_shared": pd.Series(dtype="int64"),
+                "containment_pct": pd.Series(dtype="int64"),
+            }
+        )
+    out = (
+        pairs.merge(sizes.rename(columns={"host": "host_a", "n": "na"}), on="host_a")
+        .merge(sizes.rename(columns={"host": "host_b", "n": "nb"}), on="host_b")
+    )
+    out["n_shared"] = out["n_shared"].astype("int64")
+    out["containment_pct"] = (100 * out["n_shared"]) // out[["na", "nb"]].min(axis=1)
+    out = out[out["containment_pct"] >= MIRROR_PCT]
+    out = out[["host_a", "host_b", "n_shared", "containment_pct"]]
+    out["containment_pct"] = out["containment_pct"].astype("int64")
+    return out.sort_values(["host_a", "host_b"]).reset_index(drop=True)
+
+
+def _sql_crawl_mirrors() -> str:
+    return f"""
+WITH v AS (
+  SELECT DISTINCT {_sql_canon_host('url')} AS host, sha256(decode(html)) AS sha
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+sz AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM v a JOIN v b ON a.sha = b.sha AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, n_shared,
+       CAST((100 * n_shared) // least(sa.n, sb.n) AS BIGINT) AS containment_pct
+FROM inter JOIN sz sa ON sa.host = host_a JOIN sz sb ON sb.host = host_b
+WHERE (100 * n_shared) // least(sa.n, sb.n) >= {MIRROR_PCT}
+ORDER BY host_a, host_b
+"""
+
+
 def q_doc_novelty(sf_dir: str):
     """Per-document n-gram NOVELTY — the inverse signal of the dedup
     plane: the fraction of a doc's distinct word trigrams that occur in NO
@@ -7387,6 +7510,7 @@ QUERIES = {
     "q_doc_editdist": q_doc_editdist,
     "q_crawl_fairshare": q_crawl_fairshare,
     "q_doc_novelty": q_doc_novelty,
+    "q_crawl_mirrors": q_crawl_mirrors,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7689,6 +7813,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_editdist": _sql_doc_editdist(g),
         "q_crawl_fairshare": _sql_pages(sf_dir, _sql_crawl_fairshare()),
         "q_doc_novelty": SQL_DOC_NOVELTY,
+        "q_crawl_mirrors": _sql_pages(sf_dir, _sql_crawl_mirrors()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -205,6 +205,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_editdist",
             "q_crawl_fairshare",
             "q_doc_novelty",
+            "q_crawl_mirrors",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1818,3 +1818,34 @@ def test_novelty_matches_sql_and_discriminates():
     dups = got[got["doc_id"].isin(set(dup_ids))]
     if len(dups):
         assert (dups["novelty_pct"] == 0).all(), "exact-dup doc scored novel shingles"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mirrors_match_sql_and_containment_sound():
+    """q_crawl_mirrors on sf0.001: value-exact vs the SQL containment
+    twin; pairs are canonically ordered, shared counts never exceed either
+    host's set size, and at least one genuine mirror pair exists on this
+    corpus (the synthetic generator plants cross-host duplicate
+    payloads)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        MIRROR_PCT,
+        _sql_crawl_mirrors,
+        _sql_pages,
+        q_crawl_mirrors,
+    )
+
+    got = q_crawl_mirrors(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_mirrors())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert len(got) > 0, "no mirror pair on this corpus — detection vacuous"
+    assert (got["host_a"] < got["host_b"]).all()
+    assert (got["containment_pct"] >= MIRROR_PCT).all()
+    assert (got["containment_pct"] <= 100).all()
+    assert got["containment_pct"].max() >= 50, "no strong mirror found"
