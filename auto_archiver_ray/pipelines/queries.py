@@ -6807,6 +6807,105 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")  # q_events_funnel: ordered chain
+FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # each step must land within 1 day
+
+
+def q_events_funnel(sf_dir: str):
+    """Time-bounded ordered FUNNEL analysis over the events stream — the
+    classic product-analytics window query the events plane still lacked
+    beside sessions/sliding/as-of: how many users progressed view → click
+    → purchase where each stage's earliest qualifying occurrence is
+    strictly AFTER the previous stage's and within a 1-day window of it
+    (the unbounded funnel is vacuous on any long-lived user — everyone
+    eventually does everything). Output: one row per stage with the
+    surviving user count and the integer conversion percentage against
+    stage 1.
+
+    Scale shape: only (user_id, ts, stage) rows for funnel event types
+    leave the scan; they shuffle once to hash(user) coarse buckets where
+    the per-user min-chain is a vectorized three-step merge (a user lives
+    wholly in one bucket); each bucket emits THREE counters and the driver
+    adds them — no per-user rows ever reach the driver."""
+    from ..stages.agg import _add_key_bucket_fn
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    stage_idx = {s: i for i, s in enumerate(FUNNEL_STAGES)}
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        keep = [i for i, e in enumerate(et) if e in stage_idx]
+        sub = batch.take(pa.array(keep, pa.int64()))
+        return pa.table(
+            {
+                "user_id": sub.column("user_id").cast(pa.int64()),
+                "ts": sub.column("ts").cast(pa.timestamp("us")).cast(pa.int64()),
+                "st": pa.array(
+                    [stage_idx[e] for e in sub.column("event_type").to_pylist()], pa.int8()
+                ),
+            }
+        )
+
+    rows = ds.map_batches(skinny, batch_format="pyarrow", batch_size=8192).map_batches(
+        _add_key_bucket_fn(["user_id"], 128), batch_format="pyarrow"
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        w = FUNNEL_WINDOW_US
+        t1 = g[g["st"] == 0].groupby("user_id")["ts"].min().rename("t_prev")
+        c = g[g["st"] == 1].merge(t1, on="user_id")
+        c = c[(c["ts"] > c["t_prev"]) & (c["ts"] <= c["t_prev"] + w)]
+        t2 = c.groupby("user_id")["ts"].min().rename("t_prev")
+        p = g[g["st"] == 2].merge(t2, on="user_id")
+        p = p[(p["ts"] > p["t_prev"]) & (p["ts"] <= p["t_prev"] + w)]
+        t3 = p.groupby("user_id")["ts"].min()
+        return pd.DataFrame({"n1": [len(t1)], "n2": [len(t2)], "n3": [len(t3)]})
+
+    parts = rows.groupby("__tb").map_groups(fold, batch_format="pandas").to_pandas()
+    n = [int(parts["n1"].sum()), int(parts["n2"].sum()), int(parts["n3"].sum())]
+    base = max(n[0], 1)
+    return pd.DataFrame(
+        {
+            "stage_idx": pd.Series([1, 2, 3], dtype="int64"),
+            "stage": list(FUNNEL_STAGES),
+            "n_users": pd.Series(n, dtype="int64"),
+            "conv_pct": pd.Series([(100 * x) // base for x in n], dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON t1.user_id = e.user_id
+       AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL '1 day'
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON t2.user_id = e.user_id
+       AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL '1 day'
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+),
+c AS (
+  SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+         CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, 'click', CAST((SELECT COUNT(*) FROM t2) AS BIGINT)
+  UNION ALL
+  SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM t3) AS BIGINT)
+)
+SELECT stage_idx, stage, n_users,
+       CAST((100 * n_users) //
+            greatest((SELECT n_users FROM c WHERE stage_idx = 1), 1) AS BIGINT) AS conv_pct
+FROM c ORDER BY stage_idx
+"""
+
+
 MIRROR_PCT = 5  # q_crawl_mirrors: containment threshold (integer percent)
 
 
@@ -7511,6 +7610,7 @@ QUERIES = {
     "q_crawl_fairshare": q_crawl_fairshare,
     "q_doc_novelty": q_doc_novelty,
     "q_crawl_mirrors": q_crawl_mirrors,
+    "q_events_funnel": q_events_funnel,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7814,6 +7914,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_fairshare": _sql_pages(sf_dir, _sql_crawl_fairshare()),
         "q_doc_novelty": SQL_DOC_NOVELTY,
         "q_crawl_mirrors": _sql_pages(sf_dir, _sql_crawl_mirrors()),
+        "q_events_funnel": SQL_EVENTS_FUNNEL,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -206,6 +206,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_fairshare",
             "q_doc_novelty",
             "q_crawl_mirrors",
+            "q_events_funnel",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

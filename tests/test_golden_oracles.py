@@ -1849,3 +1849,29 @@ def test_mirrors_match_sql_and_containment_sound():
     assert (got["containment_pct"] >= MIRROR_PCT).all()
     assert (got["containment_pct"] <= 100).all()
     assert got["containment_pct"].max() >= 50, "no strong mirror found"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_matches_sql_and_narrows():
+    """q_events_funnel on sf0.001: value-exact vs the SQL min-chain twin;
+    the funnel is monotone non-increasing and actually narrows (the 1-day
+    window binds — the unbounded funnel converts 100% on this corpus)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_EVENTS_FUNNEL, q_events_funnel
+
+    got = q_events_funnel(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    want = con.execute(SQL_EVENTS_FUNNEL).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    n = got["n_users"].tolist()
+    assert n[0] >= n[1] >= n[2], "funnel not monotone"
+    assert n[0] > n[2], "funnel never narrows — window not binding"
+    assert got["conv_pct"].iloc[0] == 100
