@@ -6807,6 +6807,96 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+RETENTION_DAYS = 8  # q_events_retention: day-0 cohort followed 8 days
+RETENTION_EVENT = "purchase"  # the action that defines activity
+_DAY_US = 86_400_000_000
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort RETENTION curve — the other classic product-analytics window
+    query beside the funnel: users who purchased on day 0 (days measured
+    from the corpus's first event), and for each day 0..7 how many of that
+    cohort purchased again (``retention_pct`` vs day 0). Days with no
+    activity appear as explicit zeros, so the curve has a fixed 8-row
+    shape. The activity event is 'purchase' — the all-events variant is
+    vacuous on this corpus (every user is active every week).
+
+    Scale shape: the global t0 is one streaming min; only DISTINCT
+    (user_id, day) rows for the activity event leave the scan, shuffle
+    once to hash(user) buckets (a user's cohort membership and activity
+    fold locally), and each bucket ships ≤ RETENTION_DAYS counters to the
+    driver."""
+    from ..stages.agg import _add_key_bucket_fn
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+    t0 = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"t": pa.array([pc.min(b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).min("t")
+    )
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        mask = pc.equal(batch.column("event_type"), pa.scalar(RETENTION_EVENT))
+        sub = batch.filter(mask)
+        day = pc.divide(
+            pc.subtract(sub.column("ts").cast(pa.timestamp("us")).cast(pa.int64()), pa.scalar(t0)),
+            pa.scalar(_DAY_US),
+        )
+        t = pa.table(
+            {"user_id": sub.column("user_id").cast(pa.int64()), "d": day.cast(pa.int64())}
+        )
+        df = t.to_pandas().drop_duplicates()
+        df = df[df["d"] < RETENTION_DAYS]
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    rows = ds.map_batches(skinny, batch_format="pyarrow", batch_size=8192).map_batches(
+        _add_key_bucket_fn(["user_id"], 128), batch_format="pyarrow"
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"]).drop_duplicates(["user_id", "d"])
+        cohort = set(g.loc[g["d"] == 0, "user_id"])
+        act = g[g["user_id"].isin(cohort)].groupby("d", as_index=False).size()
+        return act.rename(columns={"size": "n"}).astype({"d": "int64", "n": "int64"})
+
+    parts = rows.groupby("__tb").map_groups(fold, batch_format="pandas").to_pandas()
+    counts = parts.groupby("d")["n"].sum() if len(parts) else pd.Series(dtype="int64")
+    n = [int(counts.get(d, 0)) for d in range(RETENTION_DAYS)]
+    base = max(n[0], 1)
+    return pd.DataFrame(
+        {
+            "day": pd.Series(range(RETENTION_DAYS), dtype="int64"),
+            "n_active": pd.Series(n, dtype="int64"),
+            "retention_pct": pd.Series([(100 * x) // base for x in n], dtype="int64"),
+        }
+    )
+
+
+SQL_EVENTS_RETENTION = f"""
+WITH m AS (SELECT MIN(ts) AS t0 FROM events),
+w AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - (SELECT epoch_us(t0) FROM m)) // CAST({_DAY_US} AS BIGINT) AS d
+  FROM events WHERE event_type = '{RETENTION_EVENT}'
+),
+cohort AS (SELECT user_id FROM w WHERE d = 0),
+act AS (
+  SELECT w.d, CAST(COUNT(*) AS BIGINT) AS n
+  FROM w JOIN cohort USING (user_id) WHERE w.d BETWEEN 0 AND {RETENTION_DAYS - 1}
+  GROUP BY w.d
+),
+days AS (SELECT CAST(s AS BIGINT) AS day FROM range({RETENTION_DAYS}) t(s))
+SELECT day, CAST(COALESCE(act.n, 0) AS BIGINT) AS n_active,
+       CAST((100 * COALESCE(act.n, 0)) //
+            greatest((SELECT n FROM act WHERE d = 0), 1) AS BIGINT) AS retention_pct
+FROM days LEFT JOIN act ON act.d = days.day ORDER BY day
+"""
+
+
 FUNNEL_STAGES = ("view", "click", "purchase")  # q_events_funnel: ordered chain
 FUNNEL_WINDOW_US = 24 * 3600 * 1_000_000  # each step must land within 1 day
 
@@ -7611,6 +7701,7 @@ QUERIES = {
     "q_doc_novelty": q_doc_novelty,
     "q_crawl_mirrors": q_crawl_mirrors,
     "q_events_funnel": q_events_funnel,
+    "q_events_retention": q_events_retention,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -7915,6 +8006,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_novelty": SQL_DOC_NOVELTY,
         "q_crawl_mirrors": _sql_pages(sf_dir, _sql_crawl_mirrors()),
         "q_events_funnel": SQL_EVENTS_FUNNEL,
+        "q_events_retention": SQL_EVENTS_RETENTION,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

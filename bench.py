@@ -207,6 +207,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_novelty",
             "q_crawl_mirrors",
             "q_events_funnel",
+            "q_events_retention",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

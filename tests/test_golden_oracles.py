@@ -1875,3 +1875,33 @@ def test_funnel_matches_sql_and_narrows():
     assert n[0] >= n[1] >= n[2], "funnel not monotone"
     assert n[0] > n[2], "funnel never narrows — window not binding"
     assert got["conv_pct"].iloc[0] == 100
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_retention_matches_sql_and_decays():
+    """q_events_retention on sf0.001: value-exact vs the SQL cohort twin;
+    fixed 8-row curve, day 0 at 100%, and the curve actually decays below
+    100 (the purchase filter binds — the all-events variant is vacuous)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        RETENTION_DAYS,
+        SQL_EVENTS_RETENTION,
+        q_events_retention,
+    )
+
+    got = q_events_retention(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    want = con.execute(SQL_EVENTS_RETENTION).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert len(got) == RETENTION_DAYS
+    assert got["retention_pct"].iloc[0] == 100 and got["n_active"].iloc[0] > 0
+    assert (got["retention_pct"].iloc[1:] < 100).any(), "retention never decays"
+    assert (got["n_active"] <= got["n_active"].iloc[0]).all(), "cohort grew"
