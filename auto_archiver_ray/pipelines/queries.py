@@ -6807,6 +6807,111 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_archive_warc_revisit(sf_dir: str):
+    """Dedup-aware WARC sink with REVISIT records (WARC/1.1
+    identical-payload-digest profile — the Common Crawl / IIPC convention):
+    the first URL per payload sha256 (min url, the q_pages_dedup winner
+    rule) is written as a full ``response`` record; every other URL with
+    that payload becomes a ``revisit`` record carrying the digest and
+    ``WARC-Refers-To-Target-URI`` — the archive stays complete (every
+    fetch is attested) while duplicate bytes are stored ONCE. The query
+    returns the READBACK through the independent parser, so writer
+    framing, the revisit headers, gzip members and parsing must all
+    invert for the oracle (winner rule + digests recomputed in SQL) to
+    match.
+
+    Scale shape: winner selection is :func:`..stages.dedup.exact_dedup`
+    (only (sha, url) cross the shuffle); the winner table joins back via
+    the explicit bucketed hash join; shards are content-addressed and
+    retry-idempotent (stages/storage.store_warc)."""
+    import os as _os
+    import shutil
+    import uuid
+
+    from ..stages.dedup import exact_dedup
+    from ..stages.join import bucketed_hash_join
+    from ..sources.warc import read_warc_records
+    from ..stages.storage import store_warc
+
+    rd = _rd()
+    root = f"/tmp/aar_warc_rv_{uuid.uuid4().hex[:8]}"
+    try:
+        ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "warc_ts", "html"])
+        ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=1024)
+        ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=1024)
+        ds = ds.map_batches(enrich.hash_enrich, batch_format="pyarrow", batch_size=1024)
+        ds = ds.select_columns(["url", "warc_ts", "html", "sha256"]).materialize()
+
+        winners = exact_dedup(ds.select_columns(["sha256", "url"]), "sha256", "url").map_batches(
+            lambda t: t.rename_columns(["sha256", "winner"]), batch_format="pyarrow"
+        )
+        joined = bucketed_hash_join(ds, winners, on="sha256")
+
+        def add_refers(batch: pa.Table) -> pa.Table:
+            urls = np.asarray(batch.column("url").to_pylist(), dtype=object)
+            win = np.asarray(batch.column("winner").to_pylist(), dtype=object)
+            refers = np.where(urls == win, "", win)
+            return batch.append_column("refers", pa.array(list(refers), pa.string()))
+
+        tagged = joined.map_batches(add_refers, batch_format="pyarrow", batch_size=1024)
+        manifest = store_warc(tagged, root, revisit_col="refers")
+
+        files = (
+            manifest.map_batches(
+                lambda t: pa.table(
+                    {
+                        "warc_file": pa.array(
+                            sorted(set(t.column("warc_file").to_pylist())), pa.string()
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["warc_file"]
+            .unique()
+        )
+        back = read_warc_records([_os.path.join(root, f) for f in sorted(files)])
+
+        def digest(batch: pa.Table) -> pa.Table:
+            import hashlib
+
+            rts = batch.column("rec_type").to_pylist()
+            payloads = batch.column("payload").to_pylist()
+            digs = batch.column("payload_digest").to_pylist()
+            shas = [
+                (d or "").removeprefix("sha256:")
+                if rt == "revisit"
+                else hashlib.sha256(p or b"").hexdigest()
+                for rt, p, d in zip(rts, payloads, digs)
+            ]
+            return pa.table(
+                {
+                    "url": batch.column("target_uri"),
+                    "rec_type": batch.column("rec_type"),
+                    "refers_to": batch.column("refers_to"),
+                    "payload_sha256": pa.array(shas, pa.string()),
+                }
+            )
+
+        out = back.map_batches(digest, batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+SQL_ARCHIVE_WARC_REVISIT = f"""
+WITH v AS (
+  SELECT url, sha256(decode(html)) AS sha FROM __PAGES__ WHERE {_VALID_SQL}
+),
+w AS (SELECT sha, MIN(url) AS winner FROM v GROUP BY sha)
+SELECT v.url,
+       CASE WHEN v.url = w.winner THEN 'response' ELSE 'revisit' END AS rec_type,
+       CASE WHEN v.url = w.winner THEN '' ELSE w.winner END AS refers_to,
+       v.sha AS payload_sha256
+FROM v JOIN w USING (sha) ORDER BY v.url
+"""
+
+
 RETENTION_DAYS = 8  # q_events_retention: day-0 cohort followed 8 days
 RETENTION_EVENT = "purchase"  # the action that defines activity
 _DAY_US = 86_400_000_000
@@ -7702,6 +7807,7 @@ QUERIES = {
     "q_crawl_mirrors": q_crawl_mirrors,
     "q_events_funnel": q_events_funnel,
     "q_events_retention": q_events_retention,
+    "q_archive_warc_revisit": q_archive_warc_revisit,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8007,6 +8113,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_mirrors": _sql_pages(sf_dir, _sql_crawl_mirrors()),
         "q_events_funnel": SQL_EVENTS_FUNNEL,
         "q_events_retention": SQL_EVENTS_RETENTION,
+        "q_archive_warc_revisit": _sql_pages(sf_dir, SQL_ARCHIVE_WARC_REVISIT),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -27,6 +27,7 @@ from ..functions import warckit
 
 def _records_table(path: str, data: bytes, with_payload: bool) -> pa.Table:
     f, off, rt, uri, wct, hs, hct, pl, pln = [], [], [], [], [], [], [], [], []
+    ref, dig = [], []
     base = os.path.basename(path)
     for rec in warckit.parse_warc_bytes(data):
         f.append(base)
@@ -38,6 +39,8 @@ def _records_table(path: str, data: bytes, with_payload: bool) -> pa.Table:
         hct.append(rec.http_headers.get("Content-Type", ""))
         pl.append(rec.payload if with_payload else b"")
         pln.append(len(rec.payload))
+        ref.append(rec.headers.get("WARC-Refers-To-Target-URI", ""))
+        dig.append(rec.headers.get("WARC-Payload-Digest", ""))
     return pa.table(
         {
             "warc_file": pa.array(f, pa.string()),
@@ -49,6 +52,8 @@ def _records_table(path: str, data: bytes, with_payload: bool) -> pa.Table:
             "http_content_type": pa.array(hct, pa.string()),
             "payload": pa.array(pl, pa.binary()),
             "payload_len": pa.array(pln, pa.int64()),
+            "refers_to": pa.array(ref, pa.string()),
+            "payload_digest": pa.array(dig, pa.string()),
         }
     )
 

@@ -74,6 +74,7 @@ def store_warc(
     content_type: str = "text/html",
     batch_size: int = 256,
     gz: bool = True,
+    revisit_col: str | None = None,
 ):
     """Distributed WARC sink — the archive-output surface the reference
     reaches through browsertrix WACZ (one archive per URL,
@@ -104,6 +105,7 @@ def store_warc(
             ts_col=ts_col,
             content_type=content_type,
             gz=gz,
+            revisit_col=revisit_col,
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
@@ -117,6 +119,7 @@ def write_warc_shard(
     ts_col: str = "warc_ts",
     content_type: str = "text/html",
     gz: bool = True,
+    revisit_col: str | None = None,
 ) -> pa.Table:
     """Serialize one Arrow batch as a content-addressed WARC shard file and
     return its manifest table (the :func:`store_warc` kernel, also used as
@@ -131,6 +134,11 @@ def write_warc_shard(
 
     urls = batch.column(url_col).to_pylist()
     payloads = batch.column(payload_col).to_pylist()
+    refers = (
+        batch.column(revisit_col).to_pylist()
+        if revisit_col and revisit_col in batch.column_names
+        else [""] * len(urls)
+    )
     dates = None
     if ts_col and ts_col in batch.column_names:
         dates = [
@@ -140,20 +148,37 @@ def write_warc_shard(
     members, shas, lens = [], [], []
     for i, (u, p) in enumerate(zip(urls, payloads)):
         p = p or b""
-        body = warckit.build_http_response(p, content_type)
-        rec = warckit.build_record(
-            "response",
-            u,
-            body,
-            warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
-        )
+        sha_hex = hashlib.sha256(p).hexdigest()
+        if refers[i]:
+            # WARC/1.1 revisit (identical-payload-digest profile): the
+            # duplicate payload is NOT stored again — the record carries the
+            # digest and points at the record that holds the bytes.
+            rec = warckit.build_record(
+                "revisit",
+                u,
+                b"",
+                warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
+                extra_headers={
+                    "WARC-Refers-To-Target-URI": str(refers[i]),
+                    "WARC-Payload-Digest": f"sha256:{sha_hex}",
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                },
+            )
+        else:
+            body = warckit.build_http_response(p, content_type)
+            rec = warckit.build_record(
+                "response",
+                u,
+                body,
+                warc_date=dates[i] if dates else "2024-01-01T00:00:00Z",
+            )
         if gz:
             buf = io.BytesIO()
             with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
                 g.write(rec)
             rec = buf.getvalue()
         members.append(rec)
-        shas.append(hashlib.sha256(p).hexdigest())
+        shas.append(sha_hex)
         lens.append(len(p))
     blob = b"".join(members)
     name = (

@@ -208,6 +208,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_mirrors",
             "q_events_funnel",
             "q_events_retention",
+            "q_archive_warc_revisit",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1905,3 +1905,46 @@ def test_retention_matches_sql_and_decays():
     assert got["retention_pct"].iloc[0] == 100 and got["n_active"].iloc[0] > 0
     assert (got["retention_pct"].iloc[1:] < 100).any(), "retention never decays"
     assert (got["n_active"] <= got["n_active"].iloc[0]).all(), "cohort grew"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_revisit_matches_sql_and_saves_bytes():
+    """q_archive_warc_revisit on sf0.001: the whole chain (winner
+    selection → revisit tagging → WARC write → independent readback) is
+    value-exact vs the SQL winner/digest twin; revisit records exist,
+    every revisit refers to a RESPONSE record whose payload digest
+    matches, and revisit bodies are empty (the dedup actually saves
+    bytes)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_ARCHIVE_WARC_REVISIT,
+        _sql_pages,
+        q_archive_warc_revisit,
+    )
+
+    got = q_archive_warc_revisit(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, SQL_ARCHIVE_WARC_REVISIT)).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    rv = got[got["rec_type"] == "revisit"]
+    rs = got[got["rec_type"] == "response"]
+    assert len(rv) > 0, "no duplicate payload on this corpus — revisit vacuous"
+    # every revisit points at a response with the IDENTICAL digest
+    m = rv.merge(
+        rs[["url", "payload_sha256"]].rename(
+            columns={"url": "refers_to", "payload_sha256": "winner_sha"}
+        ),
+        on="refers_to",
+    )
+    assert len(m) == len(rv), "revisit refers to a missing response record"
+    assert (m["payload_sha256"] == m["winner_sha"]).all()
+    # exactly one response per digest, and it is the min url per digest
+    assert rs["payload_sha256"].is_unique
+    winners = rs.set_index("payload_sha256")["url"].sort_index()
+    min_urls = got.groupby("payload_sha256")["url"].min().sort_index()
+    assert winners.equals(min_urls)
