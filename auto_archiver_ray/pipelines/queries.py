@@ -7751,15 +7751,8 @@ QUERIES = {
     # displaced query keeps an external verification record no older
     # than one round. ---
     "q_doc_substring_dedup": q_doc_substring_dedup,
-    "q_image_knn": q_image_knn,
     "q_archive_media_dedup": q_archive_media_dedup,
-    "q_image_semdedup": q_image_semdedup,
-    "q_embed_kcenter": q_embed_kcenter,
     "q_embed_kmeans": q_embed_kmeans,
-    "q_embed_pq": q_embed_pq,
-    "q_embed_cluster_sample": q_embed_cluster_sample,
-    "q_doc_heavy_terms": q_doc_heavy_terms,
-    "q_embed_ivfpq": q_embed_ivfpq,
     "q_crawl_recrawl": q_crawl_recrawl,
     "q_doc_bm25": q_doc_bm25,
     "q_pages_hits": q_pages_hits,
@@ -7820,6 +7813,17 @@ QUERIES = {
     "q_pages_sample": q_pages_sample,
     "q_part_topk": q_part_topk,
     # --- beyond the driver's 50-query window ---
+    # (golden-read-oracle queries displaced by the session-5 never-checked
+    # SQL-twin ops: their driver row compares the query against its own
+    # checked-in golden, which the pytest staleness+serial-equivalence
+    # guards already pin — a driver row adds least here)
+    "q_image_knn": q_image_knn,
+    "q_image_semdedup": q_image_semdedup,
+    "q_embed_kcenter": q_embed_kcenter,
+    "q_embed_pq": q_embed_pq,
+    "q_embed_cluster_sample": q_embed_cluster_sample,
+    "q_embed_ivfpq": q_embed_ivfpq,
+    "q_doc_heavy_terms": q_doc_heavy_terms,
     # (q_top_customers ceded its slot to q_crawl_hrw_shards — driver-green
     # in r1/r3, the lowest-risk single-exchange aggregate in the registry)
     "q_top_customers": q_top_customers,
