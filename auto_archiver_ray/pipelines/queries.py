@@ -6807,6 +6807,98 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+DEDUP_EVAL_THRESHOLD = 0.8  # q_doc_dedup_eval: exact-Jaccard truth cutoff
+
+
+def q_doc_dedup_eval(sf_dir: str):
+    """Dedup-quality EVALUATION — the meta-operator a training-data team
+    runs before trusting a dedup plane: MinHash-LSH candidate pairs
+    (threshold 0.7, the production setting) scored as a detector against
+    the EXACT n-gram-Jaccard ≥ 0.8 truth set, reporting (tp, fp, fn) and
+    integer precision/recall percentages. A recall below 100 would mean
+    the LSH banding misses true near-dups (the silent failure mode of
+    every sketch-based dedup); precision quantifies wasted verify work.
+
+    Scale shape: both sides are existing distributed operators (the
+    candidate generator and the exact verifier share one corpus scan
+    lineage); the confusion counts are a driver set-compare over two
+    SKINNY pair tables (near-dup pairs are a vanishing fraction of the
+    corpus — the ngram_jaccard contract)."""
+    from ..stages.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    cand = (
+        minhash_candidate_pairs(ds, threshold=0.7)
+        .to_pandas()[["id_a", "id_b"]]
+        .astype("int64")
+    )
+    truth = (
+        ngram_jaccard_pairs(
+            rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
+            threshold=DEDUP_EVAL_THRESHOLD,
+        )
+        .to_pandas()[["id_a", "id_b"]]
+        .astype("int64")
+    )
+    cset = set(map(tuple, cand.to_numpy()))
+    tset = set(map(tuple, truth.to_numpy()))
+    tp = len(cset & tset)
+    fp = len(cset - tset)
+    fn = len(tset - cset)
+    return pd.DataFrame(
+        {
+            "tp": pd.Series([tp], dtype="int64"),
+            "fp": pd.Series([fp], dtype="int64"),
+            "fn": pd.Series([fn], dtype="int64"),
+            "precision_pct": pd.Series([(100 * tp) // max(tp + fp, 1)], dtype="int64"),
+            "recall_pct": pd.Series([(100 * tp) // max(tp + fn, 1)], dtype="int64"),
+        }
+    )
+
+
+def _sql_doc_dedup_eval(golden_dir: str) -> str:
+    """Truth set re-derived ENTIRELY in SQL (the q_doc_ngram_jaccard
+    shingle self-join); the candidate set from the serial-golden-checked
+    minhash pair parquet."""
+    g = f"{golden_dir}/q_doc_minhash_pairs.parquet"
+    return rf"""
+WITH t AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
+         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+    END AS shingles
+  FROM t
+), e AS (
+  SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
+), sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {DEDUP_EVAL_THRESHOLD}
+),
+cand AS (SELECT id_a, id_b FROM read_parquet('{g}')),
+cnt AS (
+  SELECT CAST((SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b)) AS BIGINT) AS tp,
+         CAST((SELECT COUNT(*) FROM cand ANTI JOIN truth USING (id_a, id_b)) AS BIGINT) AS fp,
+         CAST((SELECT COUNT(*) FROM truth ANTI JOIN cand USING (id_a, id_b)) AS BIGINT) AS fn
+)
+SELECT tp, fp, fn,
+       CAST((100 * tp) // greatest(tp + fp, 1) AS BIGINT) AS precision_pct,
+       CAST((100 * tp) // greatest(tp + fn, 1) AS BIGINT) AS recall_pct
+FROM cnt
+"""
+
+
 def q_archive_warc_revisit(sf_dir: str):
     """Dedup-aware WARC sink with REVISIT records (WARC/1.1
     identical-payload-digest profile — the Common Crawl / IIPC convention):
@@ -7801,6 +7893,7 @@ QUERIES = {
     "q_events_funnel": q_events_funnel,
     "q_events_retention": q_events_retention,
     "q_archive_warc_revisit": q_archive_warc_revisit,
+    "q_doc_dedup_eval": q_doc_dedup_eval,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8118,6 +8211,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_events_funnel": SQL_EVENTS_FUNNEL,
         "q_events_retention": SQL_EVENTS_RETENTION,
         "q_archive_warc_revisit": _sql_pages(sf_dir, SQL_ARCHIVE_WARC_REVISIT),
+        "q_doc_dedup_eval": _sql_doc_dedup_eval(g),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

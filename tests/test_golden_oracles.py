@@ -1948,3 +1948,48 @@ def test_warc_revisit_matches_sql_and_saves_bytes():
     winners = rs.set_index("payload_sha256")["url"].sort_index()
     min_urls = got.groupby("payload_sha256")["url"].min().sort_index()
     assert winners.equals(min_urls)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dedup_eval_matches_sql_and_score_is_explained():
+    """q_doc_dedup_eval on sf0.001: value-exact vs the SQL
+    confusion-matrix twin. The detector scores perfectly on this corpus —
+    the test verifies that is the EXPECTED outcome, not a vacuous one:
+    the exact-Jaccard distribution is bimodal (no co-shingle pair falls
+    between 0.3 and 0.7), so a banded-LSH candidate set at 0.7 must
+    coincide with the ≥0.8 truth set."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_doc_dedup_eval,
+        q_doc_dedup_eval,
+    )
+
+    got = q_doc_dedup_eval(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(_sql_doc_dedup_eval(_golden_dir(SF_SMALL))).df()
+    gap = con.execute(
+        r"""
+    WITH t AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws FROM documents),
+    sh AS (SELECT doc_id, CASE WHEN len(ws)=0 THEN CAST([] AS VARCHAR[]) WHEN len(ws)<3 THEN [array_to_string(ws,' ')]
+        ELSE list_transform(range(1,len(ws)-1), i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) END AS shingles FROM t),
+    e AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+    sizes AS (SELECT doc_id, COUNT(*) n FROM e GROUP BY doc_id),
+    inter AS (SELECT a.doc_id id_a, b.doc_id id_b, COUNT(*) i FROM e a JOIN e b ON a.s=b.s AND a.doc_id<b.doc_id GROUP BY 1,2)
+    SELECT COUNT(*) FROM inter JOIN sizes sa ON sa.doc_id=id_a JOIN sizes sb ON sb.doc_id=id_b
+    WHERE CAST(i AS DOUBLE)/(sa.n+sb.n-i) BETWEEN 0.3 AND 0.7
+    """
+    ).fetchone()[0]
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    row = got.iloc[0]
+    assert row["tp"] > 0, "no true near-dup pair — eval vacuous"
+    assert gap == 0, "corpus has mid-Jaccard pairs; a perfect score would be suspicious"
+    assert row["recall_pct"] == 100, "LSH banding missed a true near-dup"
