@@ -6807,6 +6807,67 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_embed_ann_recall(sf_dir: str):
+    """ANN-quality EVALUATION — recall@10 of the IVF index against exact
+    brute-force cosine, per query: the second meta-operator beside
+    q_doc_dedup_eval (that one gates the dedup sketches, this one gates
+    the similarity index — nprobe/nlist tuning at 100 TB is driven by
+    exactly this curve). Both sides are the existing distributed
+    operators (q_knn's brute-force scan, q_knn_ivf's probed-cell search);
+    the intersection is a driver merge of two ≤ queries×k skinny tables.
+
+    Output: (query_id, n_hits, recall_pct) with recall_pct =
+    100·|IVF∩exact| // 10."""
+    from ..stages.similarity import knn_brute_force, knn_ivf, train_ivf_centroids
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = knn_brute_force(ds, _load_queries(sf_dir), k=10)[["query_id", "vec_id"]]
+    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    cent = train_ivf_centroids(ds2, nlist=16)
+    ivf = knn_ivf(ds2, _load_queries(sf_dir), cent, k=10, nprobe=4)[["query_id", "vec_id"]]
+    hits = exact.merge(ivf, on=["query_id", "vec_id"]).groupby("query_id").size()
+    qids = sorted(exact["query_id"].unique())
+    n = [int(hits.get(q, 0)) for q in qids]
+    return pd.DataFrame(
+        {
+            "query_id": pd.Series(qids, dtype="int64"),
+            "n_hits": pd.Series(n, dtype="int64"),
+            "recall_pct": pd.Series([(100 * x) // 10 for x in n], dtype="int64"),
+        }
+    )
+
+
+def _sql_embed_ann_recall(golden_dir: str) -> str:
+    """Exact side re-derived ENTIRELY in SQL (the SQL_KNN ranking); the
+    IVF side from the serial-golden-checked parquet."""
+    g = f"{golden_dir}/q_knn_ivf.parquet"
+    return f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 3),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM q CROSS JOIN embeddings e
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rk
+    FROM s
+  ) WHERE rk <= 10
+),
+ivf AS (SELECT query_id, vec_id FROM read_parquet('{g}')),
+hits AS (
+  SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+  FROM ivf JOIN exact e USING (query_id, vec_id) GROUP BY e.query_id
+)
+SELECT qq.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((100 * COALESCE(h.n_hits, 0)) // 10 AS BIGINT) AS recall_pct
+FROM (SELECT DISTINCT query_id FROM exact) qq
+LEFT JOIN hits h USING (query_id) ORDER BY qq.query_id
+"""
+
+
 DEDUP_EVAL_THRESHOLD = 0.8  # q_doc_dedup_eval: exact-Jaccard truth cutoff
 
 
@@ -7894,6 +7955,7 @@ QUERIES = {
     "q_events_retention": q_events_retention,
     "q_archive_warc_revisit": q_archive_warc_revisit,
     "q_doc_dedup_eval": q_doc_dedup_eval,
+    "q_embed_ann_recall": q_embed_ann_recall,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8212,6 +8274,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_events_retention": SQL_EVENTS_RETENTION,
         "q_archive_warc_revisit": _sql_pages(sf_dir, SQL_ARCHIVE_WARC_REVISIT),
         "q_doc_dedup_eval": _sql_doc_dedup_eval(g),
+        "q_embed_ann_recall": _sql_embed_ann_recall(g),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -1993,3 +1993,33 @@ def test_dedup_eval_matches_sql_and_score_is_explained():
     assert row["tp"] > 0, "no true near-dup pair — eval vacuous"
     assert gap == 0, "corpus has mid-Jaccard pairs; a perfect score would be suspicious"
     assert row["recall_pct"] == 100, "LSH banding missed a true near-dup"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_recall_matches_sql_and_tradeoff_visible():
+    """q_embed_ann_recall on sf0.001: value-exact vs the SQL twin (exact
+    side re-ranked in SQL, IVF side from the serial golden); recall is
+    below 100 for at least one query (nprobe=4 of nlist=16 actually
+    prunes) but at least 50 everywhere (the index is not broken)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_embed_ann_recall,
+        q_embed_ann_recall,
+    )
+
+    got = q_embed_ann_recall(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    want = con.execute(_sql_embed_ann_recall(_golden_dir(SF_SMALL))).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert (got["recall_pct"] < 100).any(), "IVF pruning invisible — eval vacuous"
+    assert (got["recall_pct"] >= 50).all(), "IVF index broken"
+    assert (got["n_hits"] * 10 == got["recall_pct"]).all()
