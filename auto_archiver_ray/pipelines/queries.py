@@ -7377,6 +7377,98 @@ ORDER BY host_a, host_b
 """
 
 
+FAIR_PLAN_EPOCH_BUDGET = 10  # q_crawl_fair_plan: flat per-epoch politeness
+
+
+def q_crawl_fair_plan(sf_dir: str):
+    """Fairshare → scheduler COMPOSITION (the crawl×webtext pattern):
+    the water-filling allocation (:func:`q_crawl_fairshare`) actually
+    FEEDS the epoch planner — each host admits only its first ``alloc``
+    URLs (url order), the admitted set is scheduled at the flat per-epoch
+    politeness budget, and the rollup reports per host (demand, alloc,
+    last_epoch). The oracle re-derives the whole chain: the water level,
+    the admission count, and last_epoch = (alloc−1)//budget as a closed
+    form — so the distributed admission mask and epoch assignment must
+    agree with the allocator exactly.
+
+    Scale shape: the (host, alloc) table is tiny (bounded hosts) and
+    broadcast via ray.put as sorted parallel arrays; admission + epoch
+    ranking run inside hash(host) coarse buckets (one exchange, the
+    assign_crawl_epochs shape); the rollup ships one row per host."""
+    import ray
+
+    fair = q_crawl_fairshare(sf_dir)
+    hosts_arr = np.asarray(fair["host"].to_numpy(), dtype=object)
+    alloc_arr = fair["alloc"].to_numpy().astype(np.int64)
+    hosts_ref, alloc_ref = ray.put(hosts_arr), ray.put(alloc_arr)
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(hosts) % np.uint64(128)).astype(np.int64)
+        return pa.table(
+            {"host": batch["host"], "url": batch["url"], "__cb": pa.array(hb)}
+        )
+
+    def plan(g: pd.DataFrame) -> pd.DataFrame:
+        hv, av = ray.get(hosts_ref), ray.get(alloc_ref)
+        g = g.sort_values(["host", "url"], kind="mergesort")
+        rank = g.groupby("host").cumcount().to_numpy()
+        hosts = np.asarray(g["host"].to_numpy(), dtype=object)
+        pos = np.searchsorted(hv, hosts)
+        pos_c = np.clip(pos, 0, max(len(hv) - 1, 0))
+        alloc = np.where(
+            (len(hv) > 0) & (hv[pos_c] == hosts), av[pos_c], 0
+        ).astype(np.int64)
+        adm = g[rank < alloc].copy()
+        adm["epoch"] = (
+            adm.groupby("host").cumcount().to_numpy() // FAIR_PLAN_EPOCH_BUDGET
+        )
+        if adm.empty:
+            return pd.DataFrame(
+                {
+                    "host": pd.Series(dtype="object"),
+                    "n_admitted": pd.Series(dtype="int64"),
+                    "last_epoch": pd.Series(dtype="int64"),
+                }
+            )
+        out = adm.groupby("host", as_index=False).agg(
+            n_admitted=("url", "size"), last_epoch=("epoch", "max")
+        )
+        return out.astype({"n_admitted": "int64", "last_epoch": "int64"})
+
+    rolled = (
+        ds.select_columns(["host", "url"])
+        .map_batches(bucket, batch_format="pyarrow", batch_size=4096)
+        .groupby("__cb")
+        .map_groups(plan, batch_format="pandas")
+        .to_pandas()
+    )
+    out = fair[fair["alloc"] > 0].merge(rolled, on="host", how="left")
+    out = out[["host", "demand", "alloc", "n_admitted", "last_epoch"]]
+    out["n_admitted"] = out["n_admitted"].fillna(0).astype("int64")
+    out["last_epoch"] = out["last_epoch"].fillna(0).astype("int64")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_fair_plan() -> str:
+    """The fairshare chain (shared CTE text) extended with the closed-form
+    plan: n_admitted = alloc, last_epoch = (alloc-1) // epoch budget."""
+    inner = _sql_crawl_fairshare().strip().rstrip()
+    # reuse the fairshare statement as a subquery — the alloc column is the
+    # single point of truth for both queries
+    return f"""
+WITH fair AS ({inner})
+SELECT host, demand, alloc, alloc AS n_admitted,
+       CAST((alloc - 1) // {FAIR_PLAN_EPOCH_BUDGET} AS BIGINT) AS last_epoch
+FROM fair WHERE alloc > 0 ORDER BY host
+"""
+
+
 def q_doc_novelty(sf_dir: str):
     """Per-document n-gram NOVELTY — the inverse signal of the dedup
     plane: the fraction of a doc's distinct word trigrams that occur in NO
@@ -7956,6 +8048,7 @@ QUERIES = {
     "q_archive_warc_revisit": q_archive_warc_revisit,
     "q_doc_dedup_eval": q_doc_dedup_eval,
     "q_embed_ann_recall": q_embed_ann_recall,
+    "q_crawl_fair_plan": q_crawl_fair_plan,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8275,6 +8368,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_archive_warc_revisit": _sql_pages(sf_dir, SQL_ARCHIVE_WARC_REVISIT),
         "q_doc_dedup_eval": _sql_doc_dedup_eval(g),
         "q_embed_ann_recall": _sql_embed_ann_recall(g),
+        "q_crawl_fair_plan": _sql_pages(sf_dir, _sql_crawl_fair_plan()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -211,6 +211,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_archive_warc_revisit",
             "q_doc_dedup_eval",
             "q_embed_ann_recall",
+            "q_crawl_fair_plan",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2023,3 +2023,32 @@ def test_ann_recall_matches_sql_and_tradeoff_visible():
     assert (got["recall_pct"] < 100).any(), "IVF pruning invisible — eval vacuous"
     assert (got["recall_pct"] >= 50).all(), "IVF index broken"
     assert (got["n_hits"] * 10 == got["recall_pct"]).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_fair_plan_matches_sql_and_composes():
+    """q_crawl_fair_plan on sf0.01 (sf0.001's allocations are all below
+    one epoch budget): the distributed admission mask + epoch assignment
+    agree exactly with the closed-form SQL chain; every host admits
+    exactly its fair allocation and multi-epoch hosts exist (the
+    politeness budget binds)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        FAIR_PLAN_EPOCH_BUDGET,
+        _sql_crawl_fair_plan,
+        _sql_pages,
+        q_crawl_fair_plan,
+    )
+
+    got = q_crawl_fair_plan(SF_ORACLE).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_ORACLE, _sql_crawl_fair_plan())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert (got["n_admitted"] == got["alloc"]).all(), "admission missed the allocation"
+    assert (got["last_epoch"] == (got["alloc"] - 1) // FAIR_PLAN_EPOCH_BUDGET).all()
+    assert got["last_epoch"].max() > 0, "politeness budget never binds — plan vacuous"
