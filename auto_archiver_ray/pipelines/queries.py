@@ -3277,8 +3277,11 @@ def q_doc_cosine_pairs(sf_dir: str):
     return out.sort_values(["id_a", "id_b"], kind="mergesort").reset_index(drop=True)
 
 
-SQL_DOC_COSINE_PAIRS = rf"""
-WITH t AS (
+# The word-trigram shingle derivation — the Python/SQL equivalence contract
+# shared by every shingle-based oracle (cosine, containment, novelty,
+# dedup-eval truth, ngram-jaccard). ONE copy: a change to the shingling
+# convention lands everywhere or nowhere.
+_SQL_SHINGLES_CTE = r"""t AS (
   SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
   FROM documents
 ), sh AS (
@@ -3288,7 +3291,11 @@ WITH t AS (
          ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
     END AS shingles
   FROM t
-), e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+)"""
+
+
+SQL_DOC_COSINE_PAIRS = rf"""
+WITH {_SQL_SHINGLES_CTE}, e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
 tf AS (SELECT doc_id, s, CAST(COUNT(*) AS BIGINT) AS tf FROM e GROUP BY doc_id, s),
 dfs AS (SELECT s, COUNT(*) AS df FROM tf GROUP BY s),
 v AS (SELECT tf.doc_id, tf.s, tf.tf FROM tf JOIN dfs USING (s) WHERE dfs.df <= {COS_DF_CAP}),
@@ -3395,17 +3402,7 @@ def q_doc_containment(sf_dir: str):
 
 
 SQL_DOC_CONTAINMENT = rf"""
-WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-    END AS shingles
-  FROM t
-), e AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+WITH {_SQL_SHINGLES_CTE}, e AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
 dfs AS (SELECT s, COUNT(*) AS df FROM e GROUP BY s),
 v AS (SELECT e.doc_id, e.s FROM e JOIN dfs USING (s) WHERE dfs.df <= {CONT_DF_CAP}),
 sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY doc_id),
@@ -4374,14 +4371,16 @@ def _host_edges(sf_dir: str):
     from ..stages.dedup import exact_dedup
     from ..stages.media import explode_media
 
+    key = None
     try:
         job = ray.get_runtime_context().get_job_id()
+        key = (job, sf_dir)
     except Exception:
-        job = ""
-    key = (job, sf_dir)
-    cached = _HOST_EDGES_CACHE.get(key)
-    if cached is not None:
-        return cached
+        pass  # no session id to scope the cache by — build fresh, don't cache
+    if key is not None:
+        cached = _HOST_EDGES_CACHE.get(key)
+        if cached is not None:
+            return cached
 
     ds = archive_pages(sf_dir, extract_concurrency=8)
     m = ds.select_columns(["url", "media_links"]).map_batches(
@@ -4402,7 +4401,8 @@ def _host_edges(sf_dir: str):
         )
 
     edges = m.map_batches(hostify, batch_format="pyarrow", batch_size=4096).materialize()
-    _HOST_EDGES_CACHE[key] = edges
+    if key is not None:
+        _HOST_EDGES_CACHE[key] = edges
     return edges
 
 
@@ -4444,7 +4444,7 @@ def q_pages_rank_refresh(sf_dir: str):
     from ..stages.graph import host_pagerank
     from ..stages.sample import md5_bucket
 
-    edges = _host_edges(sf_dir).materialize()  # consumed twice: old + all
+    edges = _host_edges(sf_dir)  # already materialized (memoized per session)
 
     def keep_old(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_pylist()
@@ -4552,7 +4552,7 @@ def q_pages_trustrank(sf_dir: str):
     past that, swap in grouped_topk over the bucketed distinct reduction."""
     from ..stages.graph import host_trustrank
 
-    edges = _host_edges(sf_dir).materialize()  # consumed twice: seeds + rank
+    edges = _host_edges(sf_dir)  # already materialized (memoized per session)
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         df = batch.select(["src", "dst"]).to_pandas().drop_duplicates()
@@ -6847,10 +6847,10 @@ def q_embed_ann_recall(sf_dir: str):
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    exact = knn_brute_force(ds, _load_queries(sf_dir), k=10)[["query_id", "vec_id"]]
-    ds2 = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    cent = train_ivf_centroids(ds2, nlist=16)
-    ivf = knn_ivf(ds2, _load_queries(sf_dir), cent, k=10, nprobe=4)[["query_id", "vec_id"]]
+    queries = _load_queries(sf_dir)
+    exact = knn_brute_force(ds, queries, k=10)[["query_id", "vec_id"]]
+    cent = train_ivf_centroids(ds, nlist=16)
+    ivf = knn_ivf(ds, queries, cent, k=10, nprobe=4)[["query_id", "vec_id"]]
     hits = exact.merge(ivf, on=["query_id", "vec_id"]).groupby("query_id").size()
     qids = sorted(exact["query_id"].unique())
     n = [int(hits.get(q, 0)) for q in qids]
@@ -6900,17 +6900,20 @@ def q_doc_dedup_eval(sf_dir: str):
     """Dedup-quality EVALUATION — the meta-operator a training-data team
     runs before trusting a dedup plane: MinHash-LSH candidate pairs
     (threshold 0.7, the production setting) scored as a detector against
-    the EXACT n-gram-Jaccard ≥ 0.8 truth set, reporting (tp, fp, fn) and
-    integer precision/recall percentages. A recall below 100 would mean
-    the LSH banding misses true near-dups (the silent failure mode of
-    every sketch-based dedup); precision quantifies wasted verify work.
+    the EXHAUSTIVE exact n-gram-Jaccard ≥ 0.8 truth set
+    (:func:`..stages.dedup.exact_jaccard_pairs` — NO LSH anywhere in the
+    truth derivation, so a banding miss CAN appear as a false negative;
+    an LSH-bounded truth would structurally bias recall to 100, hiding
+    exactly the failure mode this eval exists to measure). Reports
+    (tp, fp, fn) and integer precision/recall percentages.
 
-    Scale shape: both sides are existing distributed operators (the
-    candidate generator and the exact verifier share one corpus scan
-    lineage); the confusion counts are a driver set-compare over two
-    SKINNY pair tables (near-dup pairs are a vanishing fraction of the
-    corpus — the ngram_jaccard contract)."""
-    from ..stages.dedup import minhash_candidate_pairs, ngram_jaccard_pairs
+    Scale shape: detector and truth are two independent distributed
+    operators over the same corpus (an eval inherently pays both — the
+    detector's banding chain, and the truth's shingle-bucketed
+    exhaustive pair scan whose per-shingle quadratic term is the same
+    one the SQL twin pays); the confusion counts are a driver
+    set-compare over two SKINNY pair tables."""
+    from ..stages.dedup import exact_jaccard_pairs, minhash_candidate_pairs
 
     rd = _rd()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
@@ -6920,7 +6923,7 @@ def q_doc_dedup_eval(sf_dir: str):
         .astype("int64")
     )
     truth = (
-        ngram_jaccard_pairs(
+        exact_jaccard_pairs(
             rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]),
             threshold=DEDUP_EVAL_THRESHOLD,
         )
@@ -6949,17 +6952,7 @@ def _sql_doc_dedup_eval(golden_dir: str) -> str:
     minhash pair parquet."""
     g = f"{golden_dir}/q_doc_minhash_pairs.parquet"
     return rf"""
-WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-    END AS shingles
-  FROM t
-), e AS (
+WITH {_SQL_SHINGLES_CTE}, e AS (
   SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
 ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
 inter AS (
@@ -7560,18 +7553,8 @@ def q_doc_novelty(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-SQL_DOC_NOVELTY = r"""
-WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-    END AS shingles
-  FROM t
-), e AS (
+SQL_DOC_NOVELTY = rf"""
+WITH {_SQL_SHINGLES_CTE}, e AS (
   SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
 ), df AS (SELECT s, COUNT(*) AS df FROM e GROUP BY s)
 SELECT e.doc_id,
@@ -8205,18 +8188,8 @@ def _golden_dir(sf_dir: str) -> str:
 # shingles are the lowercase word 3-grams (DuckDB strings; the Ray side's
 # 64-bit shingle hashing is set-cardinality-preserving), pair intersection
 # via a self-join on shingle, Jaccard as the same integer-derived double.
-SQL_DOC_NGRAM_JACCARD = r"""
-WITH t AS (
-  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-    CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[])
-         WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
-         ELSE list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
-    END AS shingles
-  FROM t
-), e AS (
+SQL_DOC_NGRAM_JACCARD = rf"""
+WITH {_SQL_SHINGLES_CTE}, e AS (
   SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh
 ), sizes AS (SELECT doc_id, COUNT(*) AS n FROM e GROUP BY doc_id),
 inter AS (

@@ -861,6 +861,147 @@ def _pdq_dist(g: pd.DataFrame):
 # ---------------------------------------------------------------------------
 
 
+def _pair_ids_fn(id_col: str):
+    """map_batches fn: the distinct ids appearing in an (id_a, id_b) pair
+    table. map_groups upstream can emit schema-less EMPTY blocks for empty
+    sort partitions; normalize them or downstream joins reject the block.
+    Shared by every candidate→payload-join pipeline (ngram verify, edit
+    distance) so the workaround lives in exactly one place."""
+
+    def pair_ids(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
+        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
+        return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
+
+    return pair_ids
+
+
+def exact_jaccard_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_buckets: int = 256,
+):
+    """EXHAUSTIVE exact n-gram-Jaccard pairs — NO LSH anywhere, so the
+    output is a true GROUND-TRUTH set: every doc pair sharing at least one
+    distinct shingle is scored, exactly the SQL shingle self-join's
+    semantics. This is the evaluation baseline :func:`q_doc_dedup_eval`
+    needs — an LSH-bounded "truth" (like :func:`ngram_jaccard_pairs`,
+    whose candidates come from banding) could never contain a banding
+    miss, structurally biasing measured recall to 100.
+
+    Scale shape: distinct (shingle-u64, doc_id) rows shuffle once to
+    hash(shingle) buckets; each shingle emits its doc pairs locally —
+    QUADRATIC in the shingle's doc frequency, inherent to exhaustive
+    truth semantics and exactly what the SQL twin pays (production truth
+    sampling would cap df and count the truncation); pair intersection
+    counts re-aggregate keyed by the pair, per-doc set sizes ride the
+    same exploded rows, and two bucketed hash joins attach the sizes.
+    Only skinny integer rows ever move."""
+    from .agg import _add_key_bucket_fn, bucketed_group_agg
+    from .join import bucketed_hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        hs, ds_ = [], []
+        for i, t in zip(ids, texts):
+            sh = np.unique(textkit.word_shingles(t or "", shingle_n))
+            if len(sh):
+                hs.append(sh)
+                ds_.append(np.full(len(sh), i, dtype=np.int64))
+        if not hs:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), id_col: pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "h": pa.array(np.concatenate(hs), pa.uint64()),
+                id_col: pa.array(np.concatenate(ds_)),
+            }
+        )
+
+    rows = (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=2048)
+        .map_batches(_add_key_bucket_fn(["h"], num_buckets), batch_format="pyarrow")
+        .materialize()  # consumed twice: pair partials + set sizes
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__tb"])
+        sizes = g.groupby("h")[id_col].transform("size")
+        g2 = g[sizes >= 2]
+        if g2.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "i": pd.Series(dtype="int64"),
+                }
+            )
+        m = g2.merge(g2, on="h")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False).size()
+        return out.rename(
+            columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "i"}
+        ).astype({"i": "int64"})
+
+    inter = bucketed_group_agg(
+        rows.groupby("__tb").map_groups(bucket_pairs, batch_format="pandas"),
+        ["id_a", "id_b"],
+        {"i": "sum"},
+        num_buckets=64,
+    )
+
+    def size_partial(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(id_col, as_index=False).size().rename(columns={"size": "n"})
+        return out.astype({"n": "int64"})
+
+    sizes = bucketed_group_agg(
+        rows.groupby("__tb").map_groups(size_partial, batch_format="pandas"),
+        [id_col],
+        {"n": "sum"},
+        num_buckets=64,
+    )
+
+    def ren(to: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [to if c == id_col else ("n_" + to if c == "n" else c) for c in batch.column_names]
+            )
+
+        return fn
+
+    j = bucketed_hash_join(inter, sizes.map_batches(ren("id_a"), batch_format="pyarrow"), on="id_a")
+    j = bucketed_hash_join(j, sizes.map_batches(ren("id_b"), batch_format="pyarrow"), on="id_b")
+
+    def score(batch: pa.Table) -> pa.Table:
+        if "i" not in batch.column_names:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        i = np.asarray(batch.column("i").to_pylist(), dtype=np.float64)
+        na = np.asarray(batch.column("n_id_a").to_pylist(), dtype=np.float64)
+        nb = np.asarray(batch.column("n_id_b").to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").cast(pa.int64()),
+                "id_b": batch.column("id_b").cast(pa.int64()),
+                "jaccard": pa.array(i / (na + nb - i)),
+            }
+        )
+
+    return j.map_batches(score, batch_format="pyarrow").filter(
+        expr=f"jaccard >= {threshold}"
+    )
+
+
 def ngram_jaccard_pairs(
     ds,
     id_col: str = "doc_id",
@@ -875,19 +1016,18 @@ def ngram_jaccard_pairs(
     candidate ids flow through the sharded semi-join, their shingle sets are
     rebuilt in one filtered map pass, hash-joined to the pairs by id, and
     verified per pair inside coarse-bucketed map_groups (:func:`pair_scores`).
-    No shingle map or pair loop ever lands on the driver."""
+    No shingle map or pair loop ever lands on the driver. (Candidates ARE
+    LSH-bounded — the q_doc_ngram_jaccard oracle match against the
+    exhaustive SQL self-join is precisely the proof no banding miss
+    occurred; for a structurally exhaustive set use
+    :func:`exact_jaccard_pairs`.)"""
     from .join import semi_join
 
     cand = minhash_candidate_pairs(
         ds, id_col, text_col, num_perm=num_perm, num_bands=num_bands, threshold=min(0.5, threshold)
     ).drop_columns(["est_jaccard"]).materialize()  # consumed by ids extraction + scoring
 
-    def pair_ids(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
-        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
-        return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
-
-    cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+    cand_ids = cand.map_batches(_pair_ids_fn(id_col), batch_format="pyarrow")
 
     def shingle_batch(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
@@ -943,12 +1083,7 @@ def editdist_verify_pairs(
         .materialize()
     )
 
-    def pair_ids(batch: pa.Table) -> pa.Table:
-        a = batch.column("id_a").to_pylist() if "id_a" in batch.column_names else []
-        b = batch.column("id_b").to_pylist() if "id_b" in batch.column_names else []
-        return pa.table({id_col: pa.array(sorted(set(a) | set(b)), pa.int64())})
-
-    cand_ids = cand.map_batches(pair_ids, batch_format="pyarrow")
+    cand_ids = cand.map_batches(_pair_ids_fn(id_col), batch_format="pyarrow")
     needed = semi_join(ds.select_columns([id_col, text_col]), cand_ids, on=id_col, strategy="sharded")
 
     def payload(batch: pa.Table) -> pa.Table:
