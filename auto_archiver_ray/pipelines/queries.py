@@ -6832,6 +6832,23 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_doc_exact_jaccard(sf_dir: str):
+    """Exhaustive exact n-gram-Jaccard pairs ≥0.8 — the NO-LSH structural
+    twin of q_doc_ngram_jaccard (same oracle, radically different path:
+    that one verifies MinHash candidates, this one scans every co-shingled
+    pair via :func:`..stages.dedup.exact_jaccard_pairs`). Agreement of the
+    two against ONE SQL statement is the strongest banding-recall evidence
+    the registry can state: a banding miss breaks the first, a bucketing
+    bug breaks the second, and they cannot fail identically."""
+    from ..stages.dedup import exact_jaccard_pairs
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = exact_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    out = out.astype({"id_a": "int64", "id_b": "int64"})
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_embed_ann_recall(sf_dir: str):
     """ANN-quality EVALUATION — recall@10 of the IVF index against exact
     brute-force cosine, per query: the second meta-operator beside
@@ -8057,6 +8074,7 @@ QUERIES = {
     "q_doc_dedup_eval": q_doc_dedup_eval,
     "q_embed_ann_recall": q_embed_ann_recall,
     "q_crawl_fair_plan": q_crawl_fair_plan,
+    "q_doc_exact_jaccard": q_doc_exact_jaccard,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8367,6 +8385,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_dedup_eval": _sql_doc_dedup_eval(g),
         "q_embed_ann_recall": _sql_embed_ann_recall(g),
         "q_crawl_fair_plan": _sql_pages(sf_dir, _sql_crawl_fair_plan()),
+        "q_doc_exact_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

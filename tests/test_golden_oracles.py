@@ -2052,3 +2052,35 @@ def test_fair_plan_matches_sql_and_composes():
     assert (got["n_admitted"] == got["alloc"]).all(), "admission missed the allocation"
     assert (got["last_epoch"] == (got["alloc"] - 1) // FAIR_PLAN_EPOCH_BUDGET).all()
     assert got["last_epoch"].max() > 0, "politeness budget never binds — plan vacuous"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_jaccard_matches_sql_and_lsh_variant():
+    """q_doc_exact_jaccard on sf0.001: the exhaustive no-LSH pair scan is
+    value-exact vs the SQL self-join AND pair-set-identical to the
+    LSH-verified q_doc_ngram_jaccard — the two paths cannot fail
+    identically, so their agreement is the banding-recall proof."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        SQL_DOC_NGRAM_JACCARD,
+        q_doc_exact_jaccard,
+        q_doc_ngram_jaccard,
+    )
+
+    got = q_doc_exact_jaccard(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_NGRAM_JACCARD).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    lsh = q_doc_ngram_jaccard(SF_SMALL)
+    lsh = (lsh.to_pandas() if hasattr(lsh, "to_pandas") else lsh)[["id_a", "id_b"]]
+    assert set(map(tuple, lsh.to_numpy())) == set(
+        map(tuple, got[["id_a", "id_b"]].to_numpy())
+    )
