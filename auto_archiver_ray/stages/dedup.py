@@ -883,6 +883,8 @@ def exact_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.8,
     num_buckets: int = 256,
+    strategy: str = "auto",
+    driver_row_limit: int = 5_000_000,
 ):
     """EXHAUSTIVE exact n-gram-Jaccard pairs — NO LSH anywhere, so the
     output is a true GROUND-TRUTH set: every doc pair sharing at least one
@@ -899,7 +901,15 @@ def exact_jaccard_pairs(
     sampling would cap df and count the truncation); pair intersection
     counts re-aggregate keyed by the pair, per-doc set sizes ride the
     same exploded rows, and two bucketed hash joins attach the sizes.
-    Only skinny integer rows ever move."""
+    Only skinny integer rows ever move.
+
+    Size-aware (the host_pagerank / label_propagate contract, both paths
+    bit-identical): while the exploded (shingle, doc) rows fit one
+    machine (``driver_row_limit``) the whole pair scan runs as one
+    vectorized pandas pass on the driver — the distributed path's four
+    exchanges cost ~3 s of FIXED overhead each on kilobyte-scale data;
+    beyond the bound the bucketed exchanges are the only shape that
+    works."""
     from .agg import _add_key_bucket_fn, bucketed_group_agg
     from .join import bucketed_hash_join
 
@@ -928,6 +938,46 @@ def exact_jaccard_pairs(
         .map_batches(_add_key_bucket_fn(["h"], num_buckets), batch_format="pyarrow")
         .materialize()  # consumed twice: pair partials + set sizes
     )
+
+    if strategy == "driver" or (strategy == "auto" and rows.count() <= driver_row_limit):
+        import ray.data as rd
+
+        df = rows.to_pandas()
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+        if not len(df):
+            return rd.from_arrow(empty)
+        sizes = df.groupby(id_col)[["h"]].size().rename("n")
+        fdf = df.groupby("h")[id_col].transform("size")
+        g2 = df[fdf >= 2]
+        if g2.empty:
+            return rd.from_arrow(empty)
+        m = g2.merge(g2, on="h")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        inter = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False)
+            .size()
+            .rename(columns={f"{id_col}_x": "id_a", f"{id_col}_y": "id_b", "size": "i"})
+        )
+        i = inter["i"].to_numpy(dtype=np.float64)
+        na = sizes.reindex(inter["id_a"]).to_numpy(dtype=np.float64)
+        nb = sizes.reindex(inter["id_b"]).to_numpy(dtype=np.float64)
+        jac = i / (na + nb - i)
+        keep = jac >= threshold
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(inter["id_a"].to_numpy()[keep].astype(np.int64)),
+                    "id_b": pa.array(inter["id_b"].to_numpy()[keep].astype(np.int64)),
+                    "jaccard": pa.array(jac[keep]),
+                }
+            )
+        )
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["__tb"])

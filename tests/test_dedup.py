@@ -342,3 +342,31 @@ def test_segment_dedup_planted_duplicates():
     assert out.loc[1, "clean_text"] == uniq[1]
     assert out.loc[2, "clean_text"] == ""
     assert out.loc[3, "clean_text"] == seg_b + " tail"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_exact_jaccard_strategies_bit_identical():
+    """exact_jaccard_pairs driver and bucketed paths produce the identical
+    pair set and scores (the size-aware contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import exact_jaccard_pairs
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+    a = (
+        exact_jaccard_pairs(rd.from_pandas(docs), strategy="driver")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    b = (
+        exact_jaccard_pairs(rd.from_pandas(docs), strategy="bucketed")
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) > 0
