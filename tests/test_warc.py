@@ -270,3 +270,50 @@ def test_store_jsonl_roundtrip_and_idempotence(tmp_path):
 
     store_jsonl(ds, root, ["doc_id", "lang", "text"], batch_size=2).to_pandas()
     assert sorted(os.listdir(root)) == files1  # retry/idempotence: same shard set
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_warc_revisit_shard_idempotent_and_mixed():
+    """write_warc_shard with revisit_col: (a) re-writing the identical
+    batch produces the identical content-addressed file set (retry
+    idempotence), (b) a mixed batch yields one response + one revisit
+    whose refers/digest headers parse back exactly."""
+    import glob
+    import hashlib
+    import shutil
+    import uuid
+
+    import pyarrow as pa
+
+    from auto_archiver_ray.functions import warckit
+    from auto_archiver_ray.stages.storage import write_warc_shard
+
+    root = f"/tmp/aar_warc_idem_{uuid.uuid4().hex[:8]}"
+    payload = b"<html>same bytes</html>"
+    batch = pa.table(
+        {
+            "url": pa.array(["http://a.org/1", "http://b.org/2"], pa.string()),
+            "html": pa.array([payload, payload], pa.binary()),
+            "refers": pa.array(["", "http://a.org/1"], pa.string()),
+        }
+    )
+    try:
+        m1 = write_warc_shard(batch, root, ts_col=None, revisit_col="refers")
+        files1 = sorted(glob.glob(f"{root}/*.warc.gz"))
+        m2 = write_warc_shard(batch, root, ts_col=None, revisit_col="refers")
+        files2 = sorted(glob.glob(f"{root}/*.warc.gz"))
+        assert files1 == files2 and len(files1) == 1, "retry duplicated the shard"
+        assert m1.column("warc_file").to_pylist() == m2.column("warc_file").to_pylist()
+
+        data = warckit.gunzip_members(open(files1[0], "rb").read())
+        recs = list(warckit.parse_warc_bytes(data))
+        assert [r.rec_type for r in recs] == ["response", "revisit"]
+        assert recs[0].payload == payload
+        rv = recs[1]
+        assert rv.headers["WARC-Refers-To-Target-URI"] == "http://a.org/1"
+        assert rv.headers["WARC-Payload-Digest"] == (
+            "sha256:" + hashlib.sha256(payload).hexdigest()
+        )
+        assert rv.payload == b"", "revisit stored duplicate bytes"
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
