@@ -1108,6 +1108,8 @@ def editdist_verify_pairs(
     cand_threshold: float = 0.7,
     num_perm: int = 128,
     num_bands: int = 16,
+    strategy: str = "auto",
+    driver_pair_limit: int = 1_000_000,
 ):
     """EXACT edit-distance verification of MinHash-LSH candidate pairs —
     the classic two-phase near-dup verify (hash-based candidates, exact
@@ -1121,7 +1123,13 @@ def editdist_verify_pairs(
     back per pair, and each O(len_a·len_b) DP runs inside coarse-bucketed
     map_groups. Neither the corpus nor the pair set lands on the driver;
     the quadratic DP touches only candidate pairs (a vanishing fraction of
-    the corpus), never all pairs."""
+    the corpus), never all pairs.
+
+    Size-aware (the exact_jaccard_pairs contract, bit-identical paths):
+    while the candidate pair table fits one machine the payloads of just
+    the candidate docs land on the driver and the DP runs locally — the
+    distributed path's payload-join + pair-bucket exchanges cost seconds
+    of FIXED overhead on a few hundred pairs."""
     from .join import semi_join
 
     cand = (
@@ -1135,6 +1143,37 @@ def editdist_verify_pairs(
 
     cand_ids = cand.map_batches(_pair_ids_fn(id_col), batch_format="pyarrow")
     needed = semi_join(ds.select_columns([id_col, text_col]), cand_ids, on=id_col, strategy="sharded")
+
+    if strategy == "driver" or (strategy == "auto" and cand.count() <= driver_pair_limit):
+        import ray.data as rd
+
+        pairs = cand.to_pandas()
+        texts = needed.to_pandas()
+        by_id = dict(
+            zip(texts[id_col].astype(int), (t or "" for t in texts[text_col]))
+        )
+        out_a, out_b, out_s = [], [], []
+        for ia, ib in zip(pairs["id_a"].astype(int), pairs["id_b"].astype(int)):
+            if ia not in by_id or ib not in by_id:
+                continue  # payload missing for one side — cannot score
+            out_a.append(ia)
+            out_b.append(ib)
+            out_s.append(
+                float(
+                    textkit.levenshtein_bytes(
+                        by_id[ia].encode("utf-8"), by_id[ib].encode("utf-8")
+                    )
+                )
+            )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(out_a, pa.int64()),
+                    "id_b": pa.array(out_b, pa.int64()),
+                    "lev": pa.array(out_s, pa.float64()),
+                }
+            )
+        )
 
     def payload(batch: pa.Table) -> pa.Table:
         return pa.table(

@@ -370,3 +370,29 @@ def test_exact_jaccard_strategies_bit_identical():
     )
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
     assert len(a) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_editdist_strategies_bit_identical():
+    """editdist_verify_pairs driver and distributed paths score the
+    identical pair set identically (the size-aware contract)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from auto_archiver_ray.stages.dedup import editdist_verify_pairs
+
+    docs = pd.read_parquet(
+        "/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def run(strategy):
+        return (
+            editdist_verify_pairs(rd.from_pandas(docs), strategy=strategy)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+
+    a, b = run("driver"), run("bucketed")
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+    assert len(a) > 0
