@@ -636,3 +636,24 @@ def test_host_opic_empty_edges():
 
     empty = rd.from_pandas(pd.DataFrame({"src": [], "dst": []}).astype(str))
     assert host_opic(empty).count() == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_host_edges_memoized_per_session():
+    """_host_edges returns the SAME materialized Dataset object on a
+    second call within one Ray session (the memo the seven graph
+    analytics share), and the cache key carries the live job id — no
+    entry under the unkeyed fallback."""
+    import ray
+
+    from auto_archiver_ray.pipelines import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q._host_edges(sf)
+    b = Q._host_edges(sf)
+    assert a is b, "second call rebuilt the edge derivation"
+    job = ray.get_runtime_context().get_job_id()
+    assert (job, sf) in Q._HOST_EDGES_CACHE
+    assert ("", sf) not in Q._HOST_EDGES_CACHE
+    # the cached object is genuinely consumable
+    assert a.count() > 0
