@@ -6832,6 +6832,63 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_doc_gini(sf_dir: str):
+    """Frequency-weighted lexical diversity per document — the
+    Gini–Simpson index in exact integer BASIS POINTS:
+    ``gini_bp = ((n² − Σ c_i²) · 10000) // n²`` over whitespace-token
+    counts c_i. The quality plane's distinct-token ratio (Gopher rule)
+    treats a doc repeating one word half the time like any other with the
+    same type count; Gini weights the frequencies, so uniform-tail
+    template spam and genuine prose separate. Pure rational arithmetic —
+    no logs — so the distributed scores are bit-identical to the SQL
+    twin. One shuffle-free map_batches pass; empty docs score 0."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        n_toks = np.zeros(len(ids), dtype=np.int64)
+        gini = np.zeros(len(ids), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            n = len(toks)
+            n_toks[i] = n
+            if n:
+                _, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                ss = int((counts.astype(np.int64) ** 2).sum())
+                gini[i] = ((n * n - ss) * 10000) // (n * n)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(n_toks),
+                "gini_bp": pa.array(gini),
+            }
+        )
+
+    out = ds.map_batches(score, batch_format="pyarrow", batch_size=4096).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+SQL_DOC_GINI = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, tok),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c * c) AS BIGINT) AS ss
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n, 0) AS BIGINT) AS n_tokens,
+       CAST(CASE WHEN a.n IS NULL OR a.n = 0 THEN 0
+                 ELSE ((a.n * a.n - a.ss) * 10000) // (a.n * a.n) END AS BIGINT) AS gini_bp
+FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id
+"""
+
+
 def q_doc_exact_jaccard(sf_dir: str):
     """Exhaustive exact n-gram-Jaccard pairs ≥0.8 — the NO-LSH structural
     twin of q_doc_ngram_jaccard (same oracle, radically different path:
@@ -8075,6 +8132,7 @@ QUERIES = {
     "q_embed_ann_recall": q_embed_ann_recall,
     "q_crawl_fair_plan": q_crawl_fair_plan,
     "q_doc_exact_jaccard": q_doc_exact_jaccard,
+    "q_doc_gini": q_doc_gini,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8386,6 +8444,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_embed_ann_recall": _sql_embed_ann_recall(g),
         "q_crawl_fair_plan": _sql_pages(sf_dir, _sql_crawl_fair_plan()),
         "q_doc_exact_jaccard": SQL_DOC_NGRAM_JACCARD,
+        "q_doc_gini": SQL_DOC_GINI,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

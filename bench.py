@@ -213,6 +213,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_embed_ann_recall",
             "q_crawl_fair_plan",
             "q_doc_exact_jaccard",
+            "q_doc_gini",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

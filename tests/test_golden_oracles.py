@@ -2084,3 +2084,30 @@ def test_exact_jaccard_matches_sql_and_lsh_variant():
     assert set(map(tuple, lsh.to_numpy())) == set(
         map(tuple, got[["id_a", "id_b"]].to_numpy())
     )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gini_matches_sql_and_discriminates():
+    """q_doc_gini on sf0.001: value-exact vs the SQL Σc² twin; scores stay
+    in [0, 10000), spread across docs, and respect the analytic bound
+    gini_bp ≤ 10000·(1 − 1/n) (equality iff all tokens distinct)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_DOC_GINI, q_doc_gini
+
+    got = q_doc_gini(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(SQL_DOC_GINI).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert got["gini_bp"].between(0, 9999).all()
+    assert got["gini_bp"].nunique() >= 10, "diversity collapsed"
+    nz = got[got["n_tokens"] > 0]
+    bound = (10000 * (nz["n_tokens"] - 1)) // nz["n_tokens"]
+    assert (nz["gini_bp"] <= bound).all(), "analytic diversity bound violated"
