@@ -6832,6 +6832,60 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_pages_degree_dist(sf_dir: str):
+    """Degree distribution of the host link graph — the EIGHTH graph
+    analytic and the sanity plot every crawl planner draws first: how many
+    hosts have out-degree k and in-degree k (heavy-tailed degree is WHY
+    the frontier salts hot hosts and the rank loops bucket by node).
+    Shares the memoized edge derivation with the rank analytics; the
+    rollup is distinct-edge degrees → two tiny (degree, n_hosts)
+    histograms unioned with a side tag. Only integer rows move.
+
+    Oracle: same golden-edge derivation as the rank oracles, degree
+    histogram fully in SQL — value-exact."""
+    edges = _host_edges(sf_dir)
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["src", "dst"]).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    ded = (
+        edges.map_batches(pair_partial, batch_format="pyarrow")
+        .to_pandas()
+        .drop_duplicates(["src", "dst"])
+    )
+    rows = []
+    for side, col in (("out", "src"), ("in", "dst")):
+        deg = ded.groupby(col).size()
+        hist = deg.groupby(deg).size()
+        for k, n in hist.items():
+            rows.append((side, int(k), int(n)))
+    out = pd.DataFrame(rows, columns=["side", "degree", "n_hosts"])
+    out["degree"] = out["degree"].astype("int64")
+    out["n_hosts"] = out["n_hosts"].astype("int64")
+    return out.sort_values(["side", "degree"]).reset_index(drop=True)
+
+
+def _sql_pages_degree_dist(golden_dir: str) -> str:
+    g = f"{golden_dir}/q_pages_media_plan.parquet"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT {_sql_canon_host('page_url')} AS src,
+                  {_sql_canon_host('media_url_best')} AS dst
+  FROM read_parquet('{g}')
+),
+od AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+idg AS (SELECT dst, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY dst),
+h AS (
+  SELECT 'out' AS side, deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_hosts
+  FROM od GROUP BY deg
+  UNION ALL
+  SELECT 'in', deg, CAST(COUNT(*) AS BIGINT) FROM idg GROUP BY deg
+)
+SELECT side, degree, n_hosts FROM h ORDER BY side, degree
+"""
+
+
 def q_doc_gini(sf_dir: str):
     """Frequency-weighted lexical diversity per document — the
     Gini–Simpson index in exact integer BASIS POINTS:
@@ -8133,6 +8187,7 @@ QUERIES = {
     "q_crawl_fair_plan": q_crawl_fair_plan,
     "q_doc_exact_jaccard": q_doc_exact_jaccard,
     "q_doc_gini": q_doc_gini,
+    "q_pages_degree_dist": q_pages_degree_dist,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8445,6 +8500,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_fair_plan": _sql_pages(sf_dir, _sql_crawl_fair_plan()),
         "q_doc_exact_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_gini": SQL_DOC_GINI,
+        "q_pages_degree_dist": _sql_pages_degree_dist(g),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

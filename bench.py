@@ -214,6 +214,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_fair_plan",
             "q_doc_exact_jaccard",
             "q_doc_gini",
+            "q_pages_degree_dist",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2111,3 +2111,29 @@ def test_gini_matches_sql_and_discriminates():
     nz = got[got["n_tokens"] > 0]
     bound = (10000 * (nz["n_tokens"] - 1)) // nz["n_tokens"]
     assert (nz["gini_bp"] <= bound).all(), "analytic diversity bound violated"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degree_dist_matches_sql_and_conserves_edges():
+    """q_pages_degree_dist on sf0.001: value-exact vs the golden-edge SQL
+    histogram; both sides' Σ(degree·n_hosts) equal the distinct edge
+    count (degree mass conservation)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_pages_degree_dist,
+        q_pages_degree_dist,
+    )
+
+    got = q_pages_degree_dist(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages_degree_dist(_golden_dir(SF_SMALL))).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    mass = got.assign(m=got["degree"] * got["n_hosts"]).groupby("side")["m"].sum()
+    assert mass["out"] == mass["in"], "edge mass differs between sides"
+    assert set(got["side"]) == {"in", "out"}
