@@ -6832,6 +6832,52 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_events_spike(sf_dir: str):
+    """Hourly traffic-SPIKE detection — the monitoring query over the
+    events stream: an hour is a spike when its event count exceeds twice
+    the per-hour mean, decided by exact integer CROSS-MULTIPLICATION
+    (``n · n_hours > 2 · total`` — no float mean, so the distributed
+    verdict is bit-identical to SQL). Output: every observed hour with
+    its count and the spike flag.
+
+    Scale shape: per-batch (hour, n) partials + driver reduce (hours are
+    bounded — the q_events_hourly contract); the verdict is driver-side
+    arithmetic over the tiny histogram."""
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hours = pc.floor_temporal(batch.column("ts").cast(pa.timestamp("us")), unit="hour")
+        t = pa.table(
+            {
+                "hour": hours,
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _ren(t.group_by("hour").aggregate([("n", "sum")]), {"n_sum": "n"})
+
+    hist = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=8192), ["hour"], {"n": "sum"}
+    )
+    total = int(hist["n"].sum())
+    n_hours = len(hist)
+    hist = hist.sort_values("hour").reset_index(drop=True)
+    hist["n"] = hist["n"].astype("int64")
+    hist["is_spike"] = (hist["n"] * n_hours > 2 * total).astype("int64")
+    return hist[["hour", "n", "is_spike"]]
+
+
+SQL_EVENTS_SPIKE = """
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n_hours FROM h)
+SELECT hour, n, CAST(n * (SELECT n_hours FROM t) > 2 * (SELECT total FROM t) AS BIGINT) AS is_spike
+FROM h ORDER BY hour
+"""
+
+
 def q_pages_degree_dist(sf_dir: str):
     """Degree distribution of the host link graph — the EIGHTH graph
     analytic and the sanity plot every crawl planner draws first: how many
@@ -8188,6 +8234,7 @@ QUERIES = {
     "q_doc_exact_jaccard": q_doc_exact_jaccard,
     "q_doc_gini": q_doc_gini,
     "q_pages_degree_dist": q_pages_degree_dist,
+    "q_events_spike": q_events_spike,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8501,6 +8548,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_exact_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_gini": SQL_DOC_GINI,
         "q_pages_degree_dist": _sql_pages_degree_dist(g),
+        "q_events_spike": SQL_EVENTS_SPIKE,
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

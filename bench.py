@@ -215,6 +215,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_exact_jaccard",
             "q_doc_gini",
             "q_pages_degree_dist",
+            "q_events_spike",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

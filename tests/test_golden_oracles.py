@@ -2137,3 +2137,30 @@ def test_degree_dist_matches_sql_and_conserves_edges():
     mass = got.assign(m=got["degree"] * got["n_hosts"]).groupby("side")["m"].sum()
     assert mass["out"] == mass["in"], "edge mass differs between sides"
     assert set(got["side"]) == {"in", "out"}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_spike_matches_sql_and_flags():
+    """q_events_spike on sf0.001: value-exact vs the SQL cross-multiplied
+    threshold; at least one spike fires and spikes are strictly the hours
+    above 2× the integer mean."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import SQL_EVENTS_SPIKE, q_events_spike
+
+    got = q_events_spike(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')"
+    )
+    want = con.execute(SQL_EVENTS_SPIKE).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    total, n_hours = int(got["n"].sum()), len(got)
+    expect = (got["n"] * n_hours > 2 * total).astype(int)
+    assert (got["is_spike"] == expect).all()
+    assert got["is_spike"].sum() > 0, "no spike on this corpus — flag vacuous"
+    assert got["is_spike"].sum() < len(got), "everything is a spike"
