@@ -6832,6 +6832,84 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+BYTE_EPOCH_CAP = 16_384  # q_crawl_byte_epochs: per-host bytes per epoch
+
+
+def q_crawl_byte_epochs(sf_dir: str):
+    """BANDWIDTH-budget politeness — the byte-weighted dual of the
+    URL-count epoch planner (real crawlers cap bytes/host/interval, not
+    fetch counts: ten 1 KB pages ≠ one 10 MB PDF): within each host, urls
+    in url order, ``epoch = (cumulative payload bytes BEFORE this url) //
+    CAP`` — a pure prefix-sum function of the input, so a resumed run
+    reproduces the schedule (the assign_crawl_epochs contract with bytes
+    as the resource). Output per host: url count, total bytes, last
+    epoch.
+
+    Scale shape: one exchange — (host, url, n_bytes) rows to hash(host)
+    coarse buckets, vectorized per-host sort + exclusive cumsum inside
+    the bucket, one rollup row per host out."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url", "html"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def skinny(batch: pa.Table) -> pa.Table:
+        hosts = np.asarray(batch.column("host").to_pylist(), dtype=object)
+        hb = (pd.util.hash_array(hosts) % np.uint64(128)).astype(np.int64)
+        return pa.table(
+            {
+                "host": batch["host"],
+                "url": batch["url"],
+                "n_bytes": pc.cast(pc.binary_length(batch["html"]), pa.int64()),
+                "__cb": pa.array(hb),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["host", "url"], kind="mergesort")
+        nb = g["n_bytes"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(nb) - nb  # exclusive prefix sum within the sort
+        # rebase at host boundaries: carry each host's first-row global cum
+        # forward (global cumsum is nondecreasing, so max-accumulate works)
+        first_idx = ~g["host"].duplicated().to_numpy()
+        host_base = np.maximum.accumulate(np.where(first_idx, cum, -1))
+        epoch = (cum - host_base) // BYTE_EPOCH_CAP
+        g = g.assign(__epoch=epoch)
+        out = g.groupby("host", as_index=False).agg(
+            n_urls=("url", "size"), total_bytes=("n_bytes", "sum"), last_epoch=("__epoch", "max")
+        )
+        return out.astype({"n_urls": "int64", "total_bytes": "int64", "last_epoch": "int64"})
+
+    out = (
+        ds.select_columns(["host", "url", "html"])
+        .map_batches(skinny, batch_format="pyarrow", batch_size=4096)
+        .groupby("__cb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def _sql_crawl_byte_epochs() -> str:
+    return f"""
+WITH v AS (
+  SELECT {_sql_canon_host('url')} AS host, url,
+         CAST(octet_length(html) AS BIGINT) AS n_bytes
+  FROM __PAGES__ WHERE {_VALID_SQL}
+),
+w AS (
+  SELECT host, url, n_bytes,
+         CAST(COALESCE(SUM(n_bytes) OVER (PARTITION BY host ORDER BY url
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+  FROM v
+)
+SELECT host, CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(MAX(cum // {BYTE_EPOCH_CAP}) AS BIGINT) AS last_epoch
+FROM w GROUP BY host ORDER BY host
+"""
+
+
 def q_events_spike(sf_dir: str):
     """Hourly traffic-SPIKE detection — the monitoring query over the
     events stream: an hour is a spike when its event count exceeds twice
@@ -8235,6 +8313,7 @@ QUERIES = {
     "q_doc_gini": q_doc_gini,
     "q_pages_degree_dist": q_pages_degree_dist,
     "q_events_spike": q_events_spike,
+    "q_crawl_byte_epochs": q_crawl_byte_epochs,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8549,6 +8628,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_doc_gini": SQL_DOC_GINI,
         "q_pages_degree_dist": _sql_pages_degree_dist(g),
         "q_events_spike": SQL_EVENTS_SPIKE,
+        "q_crawl_byte_epochs": _sql_pages(sf_dir, _sql_crawl_byte_epochs()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -216,6 +216,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_gini",
             "q_pages_degree_dist",
             "q_events_spike",
+            "q_crawl_byte_epochs",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

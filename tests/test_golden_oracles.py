@@ -2164,3 +2164,31 @@ def test_spike_matches_sql_and_flags():
     assert (got["is_spike"] == expect).all()
     assert got["is_spike"].sum() > 0, "no spike on this corpus — flag vacuous"
     assert got["is_spike"].sum() < len(got), "everything is a spike"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_byte_epochs_match_sql_and_cap_binds():
+    """q_crawl_byte_epochs on sf0.001: value-exact vs the SQL window twin;
+    the byte cap binds somewhere (a multi-epoch host exists), and the
+    epoch count respects the arithmetic bound last_epoch ≤ total_bytes //
+    CAP per host."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        BYTE_EPOCH_CAP,
+        _sql_crawl_byte_epochs,
+        _sql_pages,
+        q_crawl_byte_epochs,
+    )
+
+    got = q_crawl_byte_epochs(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_byte_epochs())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert got["last_epoch"].max() > 0, "byte cap never binds — dual plan vacuous"
+    assert (got["last_epoch"] <= got["total_bytes"] // BYTE_EPOCH_CAP).all()
+    assert (got["last_epoch"] >= 0).all()
