@@ -6832,6 +6832,74 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_crawl_skew(sf_dir: str):
+    """Frontier SKEW measurement — the Gini–Simpson concentration of URL
+    demand across hosts in exact integer basis points
+    (``10000 − (Σ d_i² · 10000) // total²``; 0 = all demand on one host,
+    →10000·(1−1/n) = perfectly even): the one-number answer to "does this
+    frontier need hot-key salting?" that the engine's own host-affine
+    design decisions cite. Also reports the head share (largest host's
+    demand per-myriad of total) — the single-hot-host signal. Per-batch
+    host partials + driver reduce (bounded hosts), then pure integer
+    arithmetic on the skinny demand table.
+
+    Reference analogue: the reference processes whatever the sheet lists
+    with no skew awareness (ref:core/orchestrator.py); a 10^10-URL
+    frontier plans shards off exactly this statistic."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "d": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _ren(t.group_by("host").aggregate([("d", "sum")]), {"d_sum": "d"})
+
+    dem = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"d": "sum"},
+    )
+    d = dem["d"].to_numpy(dtype=np.int64)
+    total = int(d.sum())
+    ss = int((d**2).sum())
+    return pd.DataFrame(
+        {
+            "n_hosts": pd.Series([len(d)], dtype="int64"),
+            "total_urls": pd.Series([total], dtype="int64"),
+            "gini_bp": pd.Series(
+                [10000 - (ss * 10000) // (total * total) if total else 0], dtype="int64"
+            ),
+            "head_share_myriad": pd.Series(
+                [(int(d.max()) * 10000) // total if total else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+def _sql_crawl_skew() -> str:
+    return f"""
+WITH c AS (
+  SELECT {_sql_canon_host('url')} AS host, CAST(COUNT(*) AS BIGINT) AS d
+  FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
+),
+a AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts, CAST(SUM(d) AS BIGINT) AS total,
+         CAST(SUM(d * d) AS BIGINT) AS ss, CAST(MAX(d) AS BIGINT) AS mx
+  FROM c
+)
+SELECT n_hosts, total AS total_urls,
+       CAST(10000 - (ss * 10000) // (total * total) AS BIGINT) AS gini_bp,
+       CAST((mx * 10000) // total AS BIGINT) AS head_share_myriad
+FROM a
+"""
+
+
 BYTE_EPOCH_CAP = 16_384  # q_crawl_byte_epochs: per-host bytes per epoch
 
 
@@ -8314,6 +8382,7 @@ QUERIES = {
     "q_pages_degree_dist": q_pages_degree_dist,
     "q_events_spike": q_events_spike,
     "q_crawl_byte_epochs": q_crawl_byte_epochs,
+    "q_crawl_skew": q_crawl_skew,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8629,6 +8698,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_pages_degree_dist": _sql_pages_degree_dist(g),
         "q_events_spike": SQL_EVENTS_SPIKE,
         "q_crawl_byte_epochs": _sql_pages(sf_dir, _sql_crawl_byte_epochs()),
+        "q_crawl_skew": _sql_pages(sf_dir, _sql_crawl_skew()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

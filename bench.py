@@ -217,6 +217,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_pages_degree_dist",
             "q_events_spike",
             "q_crawl_byte_epochs",
+            "q_crawl_skew",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

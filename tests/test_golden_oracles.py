@@ -2192,3 +2192,31 @@ def test_byte_epochs_match_sql_and_cap_binds():
     assert got["last_epoch"].max() > 0, "byte cap never binds — dual plan vacuous"
     assert (got["last_epoch"] <= got["total_bytes"] // BYTE_EPOCH_CAP).all()
     assert (got["last_epoch"] >= 0).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_crawl_skew_matches_sql_and_detects_zipf():
+    """q_crawl_skew on sf0.001: value-exact vs the SQL Σd² twin; the
+    Zipf-skewed generator shows through (head host holds >10% of demand,
+    diversity well below the even-spread bound 10000·(1−1/n))."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _sql_crawl_skew,
+        _sql_pages,
+        q_crawl_skew,
+    )
+
+    got = q_crawl_skew(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_skew())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    row = got.iloc[0]
+    even_bound = 10000 * (row["n_hosts"] - 1) // row["n_hosts"]
+    assert row["gini_bp"] < even_bound, "no skew detected on a Zipf corpus"
+    assert row["head_share_myriad"] > 1000, "head host under 10% — skew signal vacuous"
+    assert 0 <= row["gini_bp"] <= 10000
