@@ -6832,6 +6832,125 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+VOCAB_GROWTH_PCTS = (1, 10, 25, 50, 100)  # q_doc_vocab_growth prefixes (%)
+
+
+def q_doc_vocab_growth(sf_dir: str):
+    """Heaps'-law SHINGLE-vocabulary growth — distinct word-trigram count
+    after the first 1/10/25/50/100% of documents (by doc_id order): the
+    curve that sizes every shingle-keyed structure the engine runs
+    (MinHash band tables, winnow fingerprint indexes, the novelty df
+    table) as the corpus scales — sublinear growth = natural text,
+    near-linear = id-like junk flooding the key space. (Plain token
+    vocabulary is vacuous on this corpus — it saturates at 31 words in
+    the first prefix; trigrams grow 235 → 16.5k.) Exact distributed form:
+    vocabulary at prefix k = #{shingle : min doc_id containing it ≤
+    cutoff_k} — one (shingle-u64, min_doc) bucketed aggregation
+    (unbounded key space, the bucketed_group_agg contract; blake2b ≡
+    SQL-string count equivalence, the ngram-jaccard contract), then a
+    tiny driver histogram over the cutoffs. No prefix is re-scanned.
+
+    Output: (pct, n_docs_prefix, vocab_size)."""
+    from ..stages.agg import bucketed_group_agg
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = ds.count()
+    max_id = int(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"m": pa.array([pc.max(b.column("doc_id")).as_py()], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        ).max("m")
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        seen: dict[int, int] = {}
+        for i, t in zip(ids, texts):
+            for h in np.unique(textkit.word_shingles(t or "", 3)):
+                h = int(h)
+                prev = seen.get(h)
+                if prev is None or i < prev:
+                    seen[h] = i
+        return pa.table(
+            {
+                "tok": pa.array(list(seen.keys()), pa.uint64()),
+                "min_doc": pa.array(list(seen.values()), pa.int64()),
+            }
+        )
+
+    firsts = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["tok"],
+        {"min_doc": "min"},
+        num_buckets=64,
+    )
+
+    def hist(batch: pa.Table) -> pa.Table:
+        md = np.asarray(batch.column("min_doc").to_pylist(), dtype=np.int64)
+        counts = [
+            int((md <= max_id * p // 100).sum()) if p < 100 else len(md)
+            for p in VOCAB_GROWTH_PCTS
+        ]
+        return pa.table(
+            {
+                "pct": pa.array(list(VOCAB_GROWTH_PCTS), pa.int64()),
+                "vocab": pa.array(counts, pa.int64()),
+            }
+        )
+
+    agg = driver_reduce(firsts.map_batches(hist, batch_format="pyarrow"), ["pct"], {"vocab": "sum"})
+    agg = agg.sort_values("pct").reset_index(drop=True)
+
+    # n_docs at each cutoff: the same partial-histogram shape over doc ids
+    def doc_hist(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("doc_id").to_pylist(), dtype=np.int64)
+        counts = [
+            int((ids <= max_id * p // 100).sum()) if p < 100 else len(ids)
+            for p in VOCAB_GROWTH_PCTS
+        ]
+        return pa.table(
+            {
+                "pct": pa.array(list(VOCAB_GROWTH_PCTS), pa.int64()),
+                "nd": pa.array(counts, pa.int64()),
+            }
+        )
+
+    nd = driver_reduce(
+        ds.map_batches(doc_hist, batch_format="pyarrow"), ["pct"], {"nd": "sum"}
+    ).sort_values("pct").reset_index(drop=True)
+    assert int(nd["nd"].iloc[-1]) == n_docs
+    return pd.DataFrame(
+        {
+            "pct": agg["pct"].astype("int64"),
+            "n_docs_prefix": nd["nd"].astype("int64"),
+            "vocab_size": agg["vocab"].astype("int64"),
+        }
+    )
+
+
+def _sql_doc_vocab_growth() -> str:
+    pcts = ", ".join(str(p) for p in VOCAB_GROWTH_PCTS)
+    return rf"""
+WITH mx AS (SELECT MAX(doc_id) AS m, CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+{_SQL_SHINGLES_CTE},
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+f AS (SELECT s, CAST(MIN(doc_id) AS BIGINT) AS min_doc FROM e GROUP BY s),
+p AS (SELECT CAST(s AS BIGINT) AS pct FROM unnest([{pcts}]) t(s))
+SELECT p.pct,
+       CASE WHEN p.pct = 100 THEN (SELECT n FROM mx)
+            ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+                  WHERE doc_id <= (SELECT m FROM mx) * p.pct // 100) END AS n_docs_prefix,
+       CASE WHEN p.pct = 100 THEN (SELECT CAST(COUNT(*) AS BIGINT) FROM f)
+            ELSE (SELECT CAST(COUNT(*) AS BIGINT) FROM f
+                  WHERE min_doc <= (SELECT m FROM mx) * p.pct // 100) END AS vocab_size
+FROM p ORDER BY p.pct
+"""
+
+
 def q_crawl_skew(sf_dir: str):
     """Frontier SKEW measurement — the Gini–Simpson concentration of URL
     demand across hosts in exact integer basis points
@@ -8383,6 +8502,7 @@ QUERIES = {
     "q_events_spike": q_events_spike,
     "q_crawl_byte_epochs": q_crawl_byte_epochs,
     "q_crawl_skew": q_crawl_skew,
+    "q_doc_vocab_growth": q_doc_vocab_growth,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8699,6 +8819,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_events_spike": SQL_EVENTS_SPIKE,
         "q_crawl_byte_epochs": _sql_pages(sf_dir, _sql_crawl_byte_epochs()),
         "q_crawl_skew": _sql_pages(sf_dir, _sql_crawl_skew()),
+        "q_doc_vocab_growth": _sql_doc_vocab_growth(),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

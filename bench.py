@@ -218,6 +218,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_events_spike",
             "q_crawl_byte_epochs",
             "q_crawl_skew",
+            "q_doc_vocab_growth",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2220,3 +2220,35 @@ def test_crawl_skew_matches_sql_and_detects_zipf():
     assert row["gini_bp"] < even_bound, "no skew detected on a Zipf corpus"
     assert row["head_share_myriad"] > 1000, "head host under 10% — skew signal vacuous"
     assert 0 <= row["gini_bp"] <= 10000
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_growth_matches_sql_and_is_heaps():
+    """q_doc_vocab_growth on sf0.001: value-exact vs the SQL min-doc
+    twin; the curve is strictly increasing with SUBLINEAR growth (the
+    Heaps'-law shape: vocabulary per doc falls as the prefix grows)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _sql_doc_vocab_growth,
+        q_doc_vocab_growth,
+    )
+
+    got = q_doc_vocab_growth(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    want = con.execute(_sql_doc_vocab_growth()).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    import numpy as np
+
+    v = got["vocab_size"].to_numpy()
+    d = got["n_docs_prefix"].to_numpy()
+    assert (np.diff(v) > 0).all(), "vocabulary stopped growing — curve vacuous"
+    # sublinear: vocab per doc falls from the first prefix to the last
+    assert v[-1] * d[0] < v[0] * d[-1], "growth is not sublinear"
