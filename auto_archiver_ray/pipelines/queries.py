@@ -6832,6 +6832,72 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+BURNDOWN_BUDGET = 10  # q_crawl_burndown: flat per-host per-epoch politeness
+
+
+def q_crawl_burndown(sf_dir: str):
+    """Politeness-limited BURN-DOWN curve — for every epoch e under the
+    flat per-host budget, how many URLs are cumulatively fetched and how
+    many remain: the completion forecast a crawl operator reads before
+    committing fleet-hours (the long tail is one or two mega-hosts
+    grinding at budget·epoch — exactly the skew q_crawl_skew quantifies).
+    Pure closed form over per-host demand: fetched(e) = Σ_h min((e+1)·B,
+    n_h) — per-host partials + driver reduce (bounded hosts), then
+    vectorized arithmetic over the (hosts × epochs) grid on the skinny
+    demand table."""
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["url"])
+    ds = ds.map_batches(validate.validate_batch, batch_format="pyarrow", batch_size=4096)
+    ds = ds.map_batches(validate.keep_valid, batch_format="pyarrow", batch_size=4096)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "host": batch["host"],
+                "d": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return _ren(t.group_by("host").aggregate([("d", "sum")]), {"d_sum": "d"})
+
+    dem = driver_reduce(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=4096),
+        ["host"],
+        {"d": "sum"},
+    )
+    d = dem["d"].to_numpy(dtype=np.int64)
+    total = int(d.sum())
+    max_epoch = int((d.max() - 1) // BURNDOWN_BUDGET) if len(d) else 0
+    epochs = np.arange(max_epoch + 1, dtype=np.int64)
+    fetched = np.minimum(d[None, :], (epochs[:, None] + 1) * BURNDOWN_BUDGET).sum(axis=1)
+    return pd.DataFrame(
+        {
+            "epoch": epochs,
+            "n_fetched_cum": fetched.astype(np.int64),
+            "n_remaining": (total - fetched).astype(np.int64),
+        }
+    )
+
+
+def _sql_crawl_burndown() -> str:
+    return f"""
+WITH c AS (
+  SELECT {_sql_canon_host('url')} AS host, CAST(COUNT(*) AS BIGINT) AS n
+  FROM __PAGES__ WHERE {_VALID_SQL} GROUP BY 1
+),
+mx AS (SELECT CAST(MAX((n - 1) // {BURNDOWN_BUDGET}) AS BIGINT) AS me,
+              CAST(SUM(n) AS BIGINT) AS total FROM c),
+ep AS (SELECT CAST(s AS BIGINT) AS epoch FROM range(1000000) t(s)
+       WHERE s <= (SELECT me FROM mx)),
+f AS (
+  SELECT ep.epoch, CAST(SUM(least((ep.epoch + 1) * {BURNDOWN_BUDGET}, c.n)) AS BIGINT) AS done
+  FROM ep, c GROUP BY ep.epoch
+)
+SELECT epoch, done AS n_fetched_cum,
+       CAST((SELECT total FROM mx) - done AS BIGINT) AS n_remaining
+FROM f ORDER BY epoch
+"""
+
+
 VOCAB_GROWTH_PCTS = (1, 10, 25, 50, 100)  # q_doc_vocab_growth prefixes (%)
 
 
@@ -8503,6 +8569,7 @@ QUERIES = {
     "q_crawl_byte_epochs": q_crawl_byte_epochs,
     "q_crawl_skew": q_crawl_skew,
     "q_doc_vocab_growth": q_doc_vocab_growth,
+    "q_crawl_burndown": q_crawl_burndown,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8820,6 +8887,7 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_byte_epochs": _sql_pages(sf_dir, _sql_crawl_byte_epochs()),
         "q_crawl_skew": _sql_pages(sf_dir, _sql_crawl_skew()),
         "q_doc_vocab_growth": _sql_doc_vocab_growth(),
+        "q_crawl_burndown": _sql_pages(sf_dir, _sql_crawl_burndown()),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

@@ -219,6 +219,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_byte_epochs",
             "q_crawl_skew",
             "q_doc_vocab_growth",
+            "q_crawl_burndown",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2252,3 +2252,32 @@ def test_vocab_growth_matches_sql_and_is_heaps():
     assert (np.diff(v) > 0).all(), "vocabulary stopped growing — curve vacuous"
     # sublinear: vocab per doc falls from the first prefix to the last
     assert v[-1] * d[0] < v[0] * d[-1], "growth is not sublinear"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_burndown_matches_sql_and_monotone():
+    """q_crawl_burndown on sf0.001: value-exact vs the SQL closed-form
+    twin; cumulative fetches are strictly increasing and the curve
+    terminates exactly when the largest host drains (last remaining 0,
+    more than one epoch — the budget binds)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _sql_crawl_burndown,
+        _sql_pages,
+        q_crawl_burndown,
+    )
+
+    got = q_crawl_burndown(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    want = con.execute(_sql_pages(SF_SMALL, _sql_crawl_burndown())).df()
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    assert len(got) > 1, "single epoch — politeness budget never binds"
+    assert got["n_fetched_cum"].is_monotonic_increasing
+    assert (got["n_fetched_cum"].diff().dropna() > 0).all()
+    assert int(got["n_remaining"].iloc[-1]) == 0
+    assert int(got["n_remaining"].iloc[-2]) > 0, "curve overshoots the drain epoch"
