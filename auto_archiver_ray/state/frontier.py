@@ -55,6 +55,38 @@ def shard_for_host(host: str, num_shards: int) -> int:
     return int(shard_ids_for_hosts([host], num_shards)[0])
 
 
+_HRW_CACHE: dict[tuple[str, int], int] = {}
+
+
+def hrw_shard_ids_for_hosts(hosts, num_shards: int) -> np.ndarray:
+    """Rendezvous (HRW) host → shard routing — ``argmax_s
+    md5_lower64(host|s)``, ties → smallest s (the q_crawl_hrw_shards
+    spec). Unlike modulo placement, growing the fleet K→K+1 moves only
+    ~1/(K+1) of hosts — and every one of them to the NEW shard — so the
+    surviving shards' seen-filters and politeness state stay valid
+    (minimal-disruption resize). Per-(host, K) results are memoized: a
+    frontier routes the same hot hosts continuously."""
+    import hashlib
+
+    out = np.empty(len(hosts), dtype=np.int64)
+    for j, h in enumerate(hosts):
+        key = (h, num_shards)
+        s = _HRW_CACHE.get(key)
+        if s is None:
+            best_w = -1
+            s = 0
+            for cand in range(num_shards):
+                w = int.from_bytes(
+                    hashlib.md5(f"{h}|{cand}".encode("utf-8")).digest()[8:16], "little"
+                )
+                if w > best_w:
+                    best_w = w
+                    s = cand
+            _HRW_CACHE[key] = s
+        out[j] = s
+    return out
+
+
 def _digest_matrix(hex_hashes: list[str]) -> np.ndarray:
     """(n, 32) uint8 digest matrix from hex strings — ONE fromhex call per
     batch; per-shard slices ship as numpy arrays (zero-copy through the
@@ -370,10 +402,18 @@ class Frontier:
         name_prefix: str = "frontier",
         seen_filter: str = "bloom",
         template_cap: int | None = None,
+        placement: str = "mod",
     ):
         self.num_shards = num_shards
         self.name_prefix = name_prefix
         self.template_cap = template_cap
+        if placement == "hrw":
+            self._route = lambda hosts: hrw_shard_ids_for_hosts(hosts, num_shards)
+        elif placement == "mod":
+            self._route = lambda hosts: shard_ids_for_hosts(hosts, num_shards)
+        else:
+            raise ValueError(f"placement must be 'mod' or 'hrw', got {placement!r}")
+        self.placement = placement
         self.shards = [
             FrontierShard.options(name=f"{name_prefix}_{i}", get_if_exists=True).remote(
                 i, capacity_per_shard, error_rate, seen_filter, template_cap
@@ -388,7 +428,7 @@ class Frontier:
         number actually removed."""
         if not url_hashes:
             return 0
-        shard_ids = shard_ids_for_hosts(hosts, self.num_shards)
+        shard_ids = self._route(hosts)
         digmat = _digest_matrix(url_hashes)
         host_arr = np.asarray(hosts, dtype=object)
         futures = []
@@ -406,6 +446,7 @@ class Frontier:
         batch (consume with ``.sum("n_forgotten")``)."""
         shards = self.shards
         num_shards = self.num_shards
+        route = self._route
 
         def fn(batch: pa.Table) -> pa.Table:
             hosts = batch.column("host").to_pylist()
@@ -413,7 +454,7 @@ class Frontier:
             if n == 0:
                 return pa.table({"n_forgotten": pa.array([0], pa.int64())})
             hashes = batch.column("url_hash").to_pylist()
-            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            shard_ids = route(hosts)
             digmat = _digest_matrix(hashes)
             host_arr = np.asarray(hosts, dtype=object)
             futures = []
@@ -433,6 +474,7 @@ class Frontier:
         Requires ``host`` and ``url_hash`` columns (from stages.validate)."""
         shards = self.shards
         num_shards = self.num_shards
+        route = self._route
 
         def fn(batch: pa.Table) -> pa.Table:
             hosts = batch.column("host").to_pylist()
@@ -440,7 +482,7 @@ class Frontier:
             n = len(hosts)
             if n == 0:
                 return batch
-            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            shard_ids = route(hosts)
             digmat = _digest_matrix(hashes)
             host_arr = np.asarray(hosts, dtype=object)
             keep = np.zeros(n, dtype=bool)
@@ -468,6 +510,7 @@ class Frontier:
 
         shards = self.shards
         num_shards = self.num_shards
+        route = self._route
         template_cap = self.template_cap
 
         def fn(batch: pa.Table) -> pa.Table:
@@ -494,7 +537,7 @@ class Frontier:
                 if priority_col and priority_col in batch.column_names
                 else np.zeros(n, dtype=np.int64)
             )
-            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            shard_ids = route(hosts)
             digmat = _digest_matrix(hashes)
             host_arr = np.asarray(hosts, dtype=object)
             canon_arr = np.asarray(canons, dtype=object)
@@ -561,6 +604,7 @@ class Frontier:
 
         shards = self.shards
         num_shards = self.num_shards
+        route = self._route
 
         def fn(batch: pa.Table) -> pa.Table:
             hosts = batch.column("host").to_pylist()
@@ -569,7 +613,7 @@ class Frontier:
             if n == 0:
                 return batch
             paths = [urlparse(c).path for c in canons]
-            shard_ids = shard_ids_for_hosts(hosts, num_shards)
+            shard_ids = route(hosts)
             keep = np.zeros(n, dtype=bool)
             futures, index_lists = [], []
             for s in np.unique(shard_ids):

@@ -694,3 +694,62 @@ def test_template_cap_suppresses_and_survives_checkpoint(tmp_path):
     # counters round-trip too: 2 suppressed pre-kill + 5 post-restore
     assert sum(s.get("trap_suppressed", 0) for s in f2.stats()) == 7
     f2.shutdown()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_frontier_hrw_placement_and_minimal_disruption_resize():
+    """placement='hrw': (a) admission semantics identical to modulo
+    placement (same first-seen set on the same offers), (b) the routing
+    matches the q_crawl_hrw_shards spec exactly, (c) growing K=8 → K=9
+    moves only hosts whose HRW argmax becomes the NEW shard — every
+    non-migrated host keeps its shard id, so per-shard checkpoint state
+    stays valid across the resize (the modulo router remaps almost
+    everything)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from auto_archiver_ray.stages import validate
+    from auto_archiver_ray.state.frontier import (
+        Frontier,
+        hrw_shard_ids_for_hosts,
+        shard_ids_for_hosts,
+    )
+
+    urls = [{"url": f"https://h{i % 13}.example.org/p/{i}"} for i in range(120)]
+
+    def run(frontier, items):
+        ds = rd.from_items(items).map_batches(validate.validate_batch, batch_format="pyarrow")
+        ds = ds.map_batches(frontier.filter_new_stage(), batch_format="pyarrow")
+        df = ds.to_pandas()
+        return sorted(df["url"].tolist()) if "url" in df.columns else []
+
+    f = Frontier(num_shards=4, capacity_per_shard=10_000, name_prefix="t_hrw", placement="hrw")
+    first = run(f, urls)
+    assert len(first) == 120
+    assert run(f, urls) == []  # all duplicates on re-offer
+    # admitted rows are spread over multiple shards under HRW routing
+    stats = f.stats()
+    assert sum(s["admitted"] for s in stats) == 120
+    assert sum(1 for s in stats if s["admitted"] > 0) >= 2
+    f.shutdown()
+
+    # spec parity with q_crawl_hrw_shards: argmax md5(host|s), ties → min s
+    hosts = [f"h{i}.example.org" for i in range(50)]
+    got = hrw_shard_ids_for_hosts(hosts, 8)
+    for h, s in zip(hosts, got):
+        wts = [
+            int.from_bytes(hashlib.md5(f"{h}|{k}".encode()).digest()[8:16], "little")
+            for k in range(8)
+        ]
+        assert int(s) == max(range(8), key=lambda k: (wts[k], -k))
+
+    # minimal-disruption resize: K=8 → K=9
+    a8 = hrw_shard_ids_for_hosts(hosts, 8)
+    a9 = hrw_shard_ids_for_hosts(hosts, 9)
+    moved = a8 != a9
+    assert moved.any() and not moved.all()
+    assert (a9[moved] == 8).all(), "a migrated host landed on a surviving shard"
+    # modulo placement, for contrast, remaps MORE hosts on the same resize
+    m8, m9 = shard_ids_for_hosts(hosts, 8), shard_ids_for_hosts(hosts, 9)
+    assert (m8 != m9).sum() > moved.sum()
