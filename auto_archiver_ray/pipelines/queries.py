@@ -6832,6 +6832,54 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_doc_simhash_dedup(sf_dir: str):
+    """END-TO-END SimHash dedup — the bitwise sibling of
+    q_doc_neardup_dedup's MinHash chain (set-similarity clusters ≠
+    Hamming-ball clusters: SimHash catches frequency-weighted drift that
+    shingle sets dilute, so production pipelines run BOTH): SimHash
+    banded pairs (Hamming ≤ 3) → min-label propagation → losers removed
+    via the sharded anti-join (no driver key set). Keeps exactly one doc
+    per Hamming cluster (the min doc_id) plus every unclustered doc.
+
+    Oracle: transitive closure over the GOLDEN simhash pair set (the
+    q_doc_clusters contract — the pair set itself is serial-golden
+    checked; the closure is DuckDB's own recursive CTE)."""
+    from ..stages.dedup import label_propagate, simhash_candidate_pairs
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    pairs = simhash_candidate_pairs(ds, max_hamming=3)
+    labels = label_propagate(pairs)
+    losers = labels.filter(expr="node != label").map_batches(
+        lambda t: t.select(["node"]).rename_columns(["doc_id"]), batch_format="pyarrow"
+    )
+    kept = anti_join(ds.select_columns(["doc_id"]), losers, on="doc_id", strategy="sharded")
+    out = kept.to_pandas()
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _sql_simhash_cluster_labels(golden_dir: str) -> str:
+    """Transitive closure over the GOLDEN simhash pair set — the
+    _sql_cluster_labels pattern on the Hamming-ball edge family."""
+    g = f"{golden_dir}/q_doc_simhash_pairs.parquet"
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM read_parquet('{g}')
+  UNION
+  SELECT id_b AS a, id_a AS b FROM read_parquet('{g}')
+), nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS label
+FROM reach GROUP BY node
+"""
+
+
 BURNDOWN_BUDGET = 10  # q_crawl_burndown: flat per-host per-epoch politeness
 
 
@@ -8570,6 +8618,7 @@ QUERIES = {
     "q_crawl_skew": q_crawl_skew,
     "q_doc_vocab_growth": q_doc_vocab_growth,
     "q_crawl_burndown": q_crawl_burndown,
+    "q_doc_simhash_dedup": q_doc_simhash_dedup,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8888,6 +8937,11 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "q_crawl_skew": _sql_pages(sf_dir, _sql_crawl_skew()),
         "q_doc_vocab_growth": _sql_doc_vocab_growth(),
         "q_crawl_burndown": _sql_pages(sf_dir, _sql_crawl_burndown()),
+        "q_doc_simhash_dedup": (
+            "WITH labels AS (" + _sql_simhash_cluster_labels(g) + ") "
+            "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+            "(SELECT node FROM labels WHERE node <> label) ORDER BY doc_id"
+        ),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,
         "q_doc_decontaminate": SQL_DOC_DECONTAMINATE,

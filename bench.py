@@ -220,6 +220,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_skew",
             "q_doc_vocab_growth",
             "q_crawl_burndown",
+            "q_doc_simhash_dedup",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2281,3 +2281,44 @@ def test_burndown_matches_sql_and_monotone():
     assert (got["n_fetched_cum"].diff().dropna() > 0).all()
     assert int(got["n_remaining"].iloc[-1]) == 0
     assert int(got["n_remaining"].iloc[-2]) > 0, "curve overshoots the drain epoch"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dedup_matches_sql_and_differs_from_minhash():
+    """q_doc_simhash_dedup on sf0.001: value-exact vs the transitive
+    closure over the golden SimHash pair set; removes something; and the
+    survivor set is a genuinely different family from the MinHash e2e
+    dedup would be vacuous if Hamming and set-similarity clusters always
+    coincided — they may OVERLAP heavily, so the assertion is only that
+    the chain runs from the simhash edge family (every removed doc
+    appears in a golden simhash pair)."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_simhash_cluster_labels,
+        q_doc_simhash_dedup,
+    )
+
+    got = q_doc_simhash_dedup(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    sql = (
+        "WITH labels AS (" + _sql_simhash_cluster_labels(_golden_dir(SF_SMALL)) + ") "
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT node FROM labels WHERE node <> label) ORDER BY doc_id"
+    )
+    want = con.execute(sql).df()
+    n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+    pairs = pd.read_parquet(f"{_golden_dir(SF_SMALL)}/q_doc_simhash_pairs.parquet")
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    removed = set(range(n_docs)) - set(got["doc_id"])
+    assert removed, "nothing removed — dedup vacuous"
+    in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert removed <= in_pairs, "removed a doc with no simhash edge"
