@@ -6832,6 +6832,52 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_embed_dedup(sf_dir: str):
+    """END-TO-END embedding dedup — the semantic sibling of the text
+    chains (near-identical meaning survives every lexical signature;
+    cosine pairs catch it): sign-LSH cosine pairs (threshold 0.35, the
+    corpus-calibrated setting of q_embed_neardup) → min-label propagation
+    → losers removed via the sharded anti-join. One vector per cosine
+    cluster survives (min vec_id). Distinct from q_embed_semdedup (which
+    prunes within k-means cells); this is the pairwise-graph chain.
+
+    Oracle: transitive closure over the GOLDEN embedding pair set +
+    anti-membership — the q_doc_simhash_dedup contract on the embedding
+    edge family."""
+    from ..stages.dedup import embedding_neardup_pairs, label_propagate
+    from ..stages.join import anti_join
+
+    rd = _rd()
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pairs = embedding_neardup_pairs(ds, threshold=0.35, num_planes=6)
+    labels = label_propagate(pairs)
+    losers = labels.filter(expr="node != label").map_batches(
+        lambda t: t.select(["node"]).rename_columns(["vec_id"]), batch_format="pyarrow"
+    )
+    kept = anti_join(ds.select_columns(["vec_id"]), losers, on="vec_id", strategy="sharded")
+    out = kept.to_pandas()
+    out["vec_id"] = out["vec_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def _sql_embed_cluster_labels(golden_dir: str) -> str:
+    g = f"{golden_dir}/q_embed_neardup.parquet"
+    return f"""
+WITH RECURSIVE sym AS (
+  SELECT id_a AS a, id_b AS b FROM read_parquet('{g}')
+  UNION
+  SELECT id_b AS a, id_a AS b FROM read_parquet('{g}')
+), nodes AS (SELECT DISTINCT a AS n FROM sym),
+reach AS (
+  SELECT n AS node, n AS r FROM nodes
+  UNION
+  SELECT reach.node, sym.b AS r FROM reach JOIN sym ON sym.a = reach.r
+)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(r) AS BIGINT) AS label
+FROM reach GROUP BY node
+"""
+
+
 def q_doc_simhash_dedup(sf_dir: str):
     """END-TO-END SimHash dedup — the bitwise sibling of
     q_doc_neardup_dedup's MinHash chain (set-similarity clusters ≠
@@ -8619,6 +8665,7 @@ QUERIES = {
     "q_doc_vocab_growth": q_doc_vocab_growth,
     "q_crawl_burndown": q_crawl_burndown,
     "q_doc_simhash_dedup": q_doc_simhash_dedup,
+    "q_embed_dedup": q_embed_dedup,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8941,6 +8988,11 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WITH labels AS (" + _sql_simhash_cluster_labels(g) + ") "
             "SELECT doc_id FROM documents WHERE doc_id NOT IN "
             "(SELECT node FROM labels WHERE node <> label) ORDER BY doc_id"
+        ),
+        "q_embed_dedup": (
+            "WITH labels AS (" + _sql_embed_cluster_labels(g) + ") "
+            "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+            "(SELECT node FROM labels WHERE node <> label) ORDER BY vec_id"
         ),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,

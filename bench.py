@@ -221,6 +221,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_doc_vocab_growth",
             "q_crawl_burndown",
             "q_doc_simhash_dedup",
+            "q_embed_dedup",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -2322,3 +2322,40 @@ def test_simhash_dedup_matches_sql_and_differs_from_minhash():
     assert removed, "nothing removed — dedup vacuous"
     in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
     assert removed <= in_pairs, "removed a doc with no simhash edge"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embed_dedup_matches_sql_and_edge_family():
+    """q_embed_dedup on sf0.001: value-exact vs the transitive closure
+    over the golden embedding pair set; removes something; every removed
+    vector appears in a golden cosine pair."""
+    import duckdb
+
+    from auto_archiver_ray.pipelines.queries import (
+        _golden_dir,
+        _sql_embed_cluster_labels,
+        q_embed_dedup,
+    )
+
+    got = q_embed_dedup(SF_SMALL).reset_index(drop=True)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    sql = (
+        "WITH labels AS (" + _sql_embed_cluster_labels(_golden_dir(SF_SMALL)) + ") "
+        "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
+        "(SELECT node FROM labels WHERE node <> label) ORDER BY vec_id"
+    )
+    want = con.execute(sql).df()
+    all_ids = set(con.execute("SELECT vec_id FROM embeddings").df()["vec_id"])
+    pairs = pd.read_parquet(f"{_golden_dir(SF_SMALL)}/q_embed_neardup.parquet")
+    con.close()
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+
+    removed = all_ids - set(got["vec_id"])
+    assert removed, "nothing removed — dedup vacuous"
+    in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
+    assert removed <= in_pairs, "removed a vector with no cosine edge"
