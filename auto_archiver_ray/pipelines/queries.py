@@ -6832,6 +6832,64 @@ SELECT node AS host, CAST(MIN(d) AS BIGINT) AS hops FROM walk GROUP BY 1 ORDER B
 """
 
 
+def q_pages_cdc_ratio(sf_dir: str):
+    """CDC storage-dedup ACCOUNTING — the number content-defined chunking
+    exists to produce: stored-once (distinct-chunk) bytes vs as-fetched
+    bytes over the whole chunk multiset, i.e. the size a content-addressed
+    chunk store would actually hold (q_pages_cdc shows the top repeating
+    chunks; this is the corpus-level capacity-planning roll-up). Output:
+    one row (n_chunks_total, n_chunks_distinct, bytes_total,
+    bytes_distinct, dedup_ratio_pct = 100·distinct//total).
+
+    Scale shape: the same per-batch chunk partials as q_pages_cdc, then a
+    bucketed (chunk_hash,size) SUM over the unbounded chunk space — each
+    bucket emits FOUR counters and the driver adds them; no chunk table
+    is ever collected. Oracle: the independent serial byte-loop chunker's
+    whole-multiset summary golden."""
+    from ..stages.agg import _add_key_bucket_fn, bucketed_group_agg
+    from ..stages.dedup import cdc_chunk_partials
+
+    rd = _rd()
+    ds = rd.read_parquet(ensure_pages(sf_dir), columns=["html"])
+    per_chunk = bucketed_group_agg(
+        ds.map_batches(cdc_chunk_partials(), batch_format="pyarrow", batch_size=1024),
+        ["chunk_hash", "size_bytes"],
+        {"n": "sum"},
+        num_buckets=64,
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        size = np.asarray(batch.column("size_bytes").to_pylist(), dtype=np.int64)
+        n = np.asarray(batch.column("n").to_pylist(), dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array([0], pa.int64()),
+                "nt": pa.array([int(n.sum())], pa.int64()),
+                "nd": pa.array([len(n)], pa.int64()),
+                "bt": pa.array([int((size * n).sum())], pa.int64()),
+                "bd": pa.array([int(size.sum())], pa.int64()),
+            }
+        )
+
+    agg = driver_reduce(
+        per_chunk.map_batches(summarize, batch_format="pyarrow"),
+        ["k"],
+        {"nt": "sum", "nd": "sum", "bt": "sum", "bd": "sum"},
+    ).iloc[0]
+    bt = int(agg["bt"])
+    return pd.DataFrame(
+        {
+            "n_chunks_total": pd.Series([int(agg["nt"])], dtype="int64"),
+            "n_chunks_distinct": pd.Series([int(agg["nd"])], dtype="int64"),
+            "bytes_total": pd.Series([bt], dtype="int64"),
+            "bytes_distinct": pd.Series([int(agg["bd"])], dtype="int64"),
+            "dedup_ratio_pct": pd.Series(
+                [(100 * int(agg["bd"])) // bt if bt else 0], dtype="int64"
+            ),
+        }
+    )
+
+
 def q_embed_dedup(sf_dir: str):
     """END-TO-END embedding dedup — the semantic sibling of the text
     chains (near-identical meaning survives every lexical signature;
@@ -8666,6 +8724,7 @@ QUERIES = {
     "q_crawl_burndown": q_crawl_burndown,
     "q_doc_simhash_dedup": q_doc_simhash_dedup,
     "q_embed_dedup": q_embed_dedup,
+    "q_pages_cdc_ratio": q_pages_cdc_ratio,
     # (riskiest r3-stale rotated in: join / window / sketch family)
     "q_orders_without_lineitems": q_orders_without_lineitems,
     "q_events_asof": q_events_asof,
@@ -8993,6 +9052,10 @@ def oracles(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "WITH labels AS (" + _sql_embed_cluster_labels(g) + ") "
             "SELECT vec_id FROM embeddings WHERE vec_id NOT IN "
             "(SELECT node FROM labels WHERE node <> label) ORDER BY vec_id"
+        ),
+        "q_pages_cdc_ratio": (
+            "SELECT n_chunks_total, n_chunks_distinct, bytes_total, bytes_distinct, "
+            f"dedup_ratio_pct FROM read_parquet('{g}/q_pages_cdc_summary.parquet')"
         ),
         "q_doc_ngram_jaccard": SQL_DOC_NGRAM_JACCARD,
         "q_doc_segment_dedup": SQL_DOC_SEGMENT_DEDUP,

@@ -222,6 +222,7 @@ def run_bench(skip_queries: bool = False) -> dict:
             "q_crawl_burndown",
             "q_doc_simhash_dedup",
             "q_embed_dedup",
+            "q_pages_cdc_ratio",
         ):
             t0 = time.time()
             res = Q.QUERIES[name](SF_DIR)

@@ -1016,20 +1016,20 @@ def bpe_encode_serial(docs: pd.DataFrame, num_merges: int = 8) -> pd.DataFrame:
     )
 
 
-def cdc_chunks_serial(
+def _cdc_chunk_counter(
     pages: pd.DataFrame,
     payload_col: str = "html",
     min_size: int = 64,
     mask_bits: int = 6,
     max_size: int = 512,
-    top_k: int = 50,
-) -> pd.DataFrame:
-    """Serial content-defined chunking golden: byte-at-a-time gear rolling
-    hash (g = (2g + gear[b]) mod 2^32, gear[i] = blake2b(byte i, 4B); cut
-    after a byte whose hash has the low mask_bits zero, min/max enforced
-    with the scan restarting at each cut) over every payload, global chunk
-    Counter, top-k by (count DESC, hash ASC). Shares only the spec with
-    stages.dedup.cdc_chunk_spans (which vectorizes the recurrence)."""
+):
+    """The serial chunk multiset shared by cdc_chunks_serial (top-k view)
+    and cdc_summary_serial (whole-multiset dedup accounting): byte-at-a-
+    time gear rolling hash (g = (2g + gear[b]) mod 2^32, gear[i] =
+    blake2b(byte i, 4B); cut after a byte whose hash has the low mask_bits
+    zero, min/max enforced with the scan restarting at each cut) over
+    every payload. Shares only the SPEC with stages.dedup.cdc_chunk_spans
+    (which vectorizes the recurrence)."""
     import hashlib
     from collections import Counter
 
@@ -1065,6 +1065,41 @@ def cdc_chunks_serial(
                 end = hard_end
             c[(hashlib.sha256(data[start:end]).hexdigest(), end - start)] += 1
             start = end
+    return c
+
+
+def cdc_summary_serial(pages: pd.DataFrame, payload_col: str = "html") -> pd.DataFrame:
+    """One-row dedup accounting over the whole serial chunk multiset:
+    stored-once (distinct) vs as-fetched (total) bytes — the ratio a
+    content-addressed chunk store would realize."""
+    c = _cdc_chunk_counter(pages, payload_col)
+    n_total = sum(c.values())
+    n_distinct = len(c)
+    bytes_total = sum(size * n for (_, size), n in c.items())
+    bytes_distinct = sum(size for (_, size) in c.keys())
+    return pd.DataFrame(
+        {
+            "n_chunks_total": pd.array([n_total], dtype="int64"),
+            "n_chunks_distinct": pd.array([n_distinct], dtype="int64"),
+            "bytes_total": pd.array([bytes_total], dtype="int64"),
+            "bytes_distinct": pd.array([bytes_distinct], dtype="int64"),
+            "dedup_ratio_pct": pd.array(
+                [(100 * bytes_distinct) // bytes_total if bytes_total else 0], dtype="int64"
+            ),
+        }
+    )
+
+
+def cdc_chunks_serial(
+    pages: pd.DataFrame,
+    payload_col: str = "html",
+    min_size: int = 64,
+    mask_bits: int = 6,
+    max_size: int = 512,
+    top_k: int = 50,
+) -> pd.DataFrame:
+    """Top-k view of the serial chunk multiset (count DESC, hash ASC)."""
+    c = _cdc_chunk_counter(pages, payload_col, min_size, mask_bits, max_size)
     rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0][0]))[:top_k]
     return pd.DataFrame(
         {

@@ -109,6 +109,9 @@ def serial_goldens(sf_dir: str, out_dir: str) -> None:
 
     pages = pd.read_parquet(ensure_pages(sf_dir), columns=["html"])
     gs.cdc_chunks_serial(pages).to_parquet(f"{out_dir}/q_pages_cdc.parquet", index=False)
+    gs.cdc_summary_serial(pages).to_parquet(
+        f"{out_dir}/q_pages_cdc_summary.parquet", index=False
+    )
     print(f"serial goldens written to {out_dir}")
 
 

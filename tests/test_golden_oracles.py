@@ -2359,3 +2359,31 @@ def test_embed_dedup_matches_sql_and_edge_family():
     assert removed, "nothing removed — dedup vacuous"
     in_pairs = set(pairs["id_a"]) | set(pairs["id_b"])
     assert removed <= in_pairs, "removed a vector with no cosine edge"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_cdc_ratio_matches_serial_and_accounts():
+    """q_pages_cdc_ratio on sf0.001: identical to the independent serial
+    whole-multiset summary (fresh recomputation, not just the checked-in
+    parquet — the staleness guard for this golden); accounting invariants
+    hold (distinct ≤ total on both axes; ratio consistent; dedup is real
+    — distinct < total)."""
+    import pandas as pd
+
+    import golden_serial as gs
+
+    from auto_archiver_ray.pipelines.queries import q_pages_cdc_ratio
+    from auto_archiver_ray.sources.pages import ensure_pages
+
+    got = q_pages_cdc_ratio(SF_SMALL).reset_index(drop=True)
+
+    pages = pd.read_parquet(ensure_pages(SF_SMALL), columns=["html"])
+    want = gs.cdc_summary_serial(pages).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=True)
+    checked_in = pd.read_parquet(f"{GOLDEN.replace('sf0.01','sf0.001')}/q_pages_cdc_summary.parquet")
+    pd.testing.assert_frame_equal(got, checked_in, check_dtype=False, check_exact=True)
+
+    row = got.iloc[0]
+    assert row["n_chunks_distinct"] < row["n_chunks_total"], "no chunk repeats — vacuous"
+    assert row["bytes_distinct"] < row["bytes_total"]
+    assert row["dedup_ratio_pct"] == (100 * row["bytes_distinct"]) // row["bytes_total"]
